@@ -1,0 +1,81 @@
+"""Append-side event tables: ph_variables (D1) and ph_tasks (D2).
+
+Batch replay order. The reference processes events in NATS arrival order;
+a batch replay has no arrival order, so the canonical order here (and in the
+DuckDB oracles) is event order ``(timestamp, position)`` — Zeebe's own log
+order. All dedup rules below are stated against that order.
+
+D1 — variable history (RecordParser.java:133-156): a VARIABLE event is
+dropped iff an *earlier-processed* event with the same
+(workflowInstanceKey, name) had ``timestamp >= new.timestamp``. Replayed in
+(timestamp, position) order, an earlier event always has ts <= new ts, so
+the rule degenerates to: among events sharing (instance, name, timestamp)
+keep the first by position; strictly newer timestamps always insert (it is
+last-writer-wins *history*, one row per re-write, not a pure dedup).
+
+D2 — task log (RecordParser.java:223-256): insert once per
+(workflowInstanceKey, elementId, intent); later duplicates are dropped
+regardless of timestamp. JOB records with null ``value.type`` are skipped
+(:224-227).
+
+Both use a single hash-aggregate (groupBy + min_by) rather than a window:
+one shuffle on the dedup key, map-side partial aggregation, no sort — the
+shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_ORDER = ("timestamp", "position")
+
+
+def _first_by_order(value_cols: list[str], df: DataFrame, keys: list[str]) -> DataFrame:
+    ord_ = F.struct(*[F.col(c) for c in _ORDER])
+    aggs = [F.min_by(F.col(c), ord_).alias(c) for c in value_cols]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def variables_table(routed: DataFrame) -> DataFrame:
+    """ph_variables (entity/variable/Variable.java:17-33). Keeps the raw
+    (pre-rekey) instance key, exactly like processVariable."""
+    vars_ = routed.filter(F.col("value_type") == "VARIABLE")
+    deduped = _first_by_order(
+        ["process_definition_key", "position", "value"],
+        vars_.select(
+            "process_instance_key", "name", "timestamp", "position",
+            "process_definition_key", "value",
+        ),
+        ["process_instance_key", "name", "timestamp"],
+    )
+    return deduped.select(
+        F.col("process_definition_key").alias("workflow_key"),
+        F.col("process_instance_key").alias("workflow_instance_key"),
+        F.col("timestamp"),
+        F.col("name"),
+        F.col("value"),
+    )
+
+
+def tasks_table(routed: DataFrame) -> DataFrame:
+    """ph_tasks (entity/task/Task.java:15-28)."""
+    jobs = routed.filter(
+        (F.col("value_type") == "JOB") & F.col("job_type").isNotNull()
+    )
+    deduped = _first_by_order(
+        ["process_definition_key", "timestamp", "record_type", "job_type"],
+        jobs.select(
+            "process_instance_key", "element_id", "intent", "timestamp", "position",
+            "process_definition_key", "record_type", "job_type",
+        ),
+        ["process_instance_key", "element_id", "intent"],
+    )
+    return deduped.select(
+        F.col("process_definition_key").alias("workflow_key"),
+        F.col("process_instance_key").alias("workflow_instance_key"),
+        F.col("timestamp"),
+        F.col("intent"),
+        F.col("record_type"),
+        F.col("job_type").alias("type"),
+        F.col("element_id"),
+    )

@@ -1,0 +1,48 @@
+"""End-to-end batch import pipeline: flat Zeebe events -> the five output
+tables (SURVEY §3 restated declaratively).
+
+    raw/flat events
+      └─ with_routing      F1-F6 + C5         (classify.py)
+          ├─ variables_table   D1             (event_tables.py)
+          ├─ tasks_table       D2             (event_tables.py)
+          └─ process_events ─ parent_links C4 (lifecycle.py)
+              └─ lifecycle_table  C2/C3/D3/D4
+                  ├─ transfers_table            (entities.py)
+                  ├─ transaction_requests_table
+                  └─ batches_table
+
+Every stage is a DataFrame transformation; the only shuffles are the
+per-instance aggregations (all on the same key) and the two small dimension
+joins (registry — broadcast; parent links — key-aligned with the aggs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ph_ee_nats_importer_rdbms_spark.operators import entities, event_tables, lifecycle
+from ph_ee_nats_importer_rdbms_spark.operators.classify import with_routing
+
+
+def run_import_pipeline(
+    events: DataFrame,
+    registry: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """``events`` is a flat event relation (schemas.FLAT_EVENT_SCHEMA shape,
+    e.g. from classify.parse_envelope). Returns the five output tables."""
+    routed = with_routing(events, registry)
+    routed_vars = routed.filter(routed["value_type"] == "VARIABLE")
+
+    proc = lifecycle.process_events(routed)
+    links = lifecycle.parent_links(proc)
+    lc = lifecycle.lifecycle_table(proc, links)
+
+    return {
+        "variables": event_tables.variables_table(routed),
+        "tasks": event_tables.tasks_table(routed),
+        "transfers": entities.transfers_table(lc, routed_vars, links),
+        "transaction_requests": entities.transaction_requests_table(
+            lc, routed_vars, links
+        ),
+        "batches": entities.batches_table(lc, routed_vars, links),
+    }
