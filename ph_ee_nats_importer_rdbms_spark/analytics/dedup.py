@@ -1,0 +1,517 @@
+"""Deduplication operators over ``documents`` / ``embeddings``.
+
+Four families beyond the exact-hash dedup in plans/queries.py:
+
+* MinHash + LSH  — word-shingle Jaccard near-dup at scale: signature via
+  one explode + one groupBy (map-side-combinable ``min`` aggregates), LSH
+  band bucketing so the candidate join touches only colliding docs, then
+  exact Jaccard verification on candidates only.
+* SimHash       — 32-bit sign-sum sketch; near-dups = small Hamming
+  distance, found via byte-band bucketing (pigeonhole: distance ≤ 3 over 4
+  bands ⇒ at least one band equal).
+* n-gram Jaccard — exact pairwise Jaccard inside cheap blocking groups.
+* Embedding near-dup — sign-LSH (random-hyperplane) buckets over the
+  embedding column, exact cosine on candidates.
+
+Everything is built-in Spark SQL (JVM/codegen); hash primitives come from
+hashing.py so the DuckDB oracles compute identical values. Scale notes per
+operator in the docstrings — the shapes here are the standard web-scale
+dedup pipelines (shingle→minhash→band→bucket-join) and survive a 1000×
+scale-up because no stage is quadratic in corpus size, only in bucket size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ph_ee_nats_importer_rdbms_spark.analytics.hashing import (
+    MINHASH_BANDS,
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+    MINHASH_ROWS_PER_BAND,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+    duck_h32,
+    duck_h60,
+    hyperplanes,
+    spark_h32,
+    spark_h60,
+)
+from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
+
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.4
+SIMHASH_MAX_HAMMING = 3
+#: The synthetic embeddings have no true near-dups (max pairwise cosine
+#: ≈0.51), so the "near-dup" threshold is tuned to surface the closest
+#: pairs; on a real corpus this would be 0.95+. Fewer planes = higher
+#: recall at this low threshold (P[co-bucket] = (1-θ/π)^planes).
+EMBED_PLANES = 4
+EMBED_COSINE_THRESHOLD = 0.40
+EMBED_DIM = 64
+_SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+# ---------------------------------------------------------------------------
+# Shared shingle relation
+# ---------------------------------------------------------------------------
+
+
+def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles array<string>) — distinct word k-shingles."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform("
+            f"  sequence(1, size(split(trim(lower(text)), '\\\\s+')) - {SHINGLE_K - 1}),"
+            "  i -> concat_ws(' ',"
+            "    element_at(split(trim(lower(text)), '\\\\s+'), i),"
+            "    element_at(split(trim(lower(text)), '\\\\s+'), i + 1),"
+            "    element_at(split(trim(lower(text)), '\\\\s+'), i + 2))))"
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+
+_DUCK_SHINGLES = rf"""
+SELECT doc_id,
+       list_distinct(list_transform(
+         range(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - {SHINGLE_K - 2}),
+         i -> regexp_split_to_array(trim(lower(text)), '\s+')[i] || ' ' ||
+              regexp_split_to_array(trim(lower(text)), '\s+')[i+1] || ' ' ||
+              regexp_split_to_array(trim(lower(text)), '\s+')[i+2])) AS shingles
+FROM documents
+WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= {SHINGLE_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig_0..sig_11). One explode + one groupBy; `min` is
+    map-side combinable so the shuffle carries only n_docs × 12 longs —
+    this is the stage that must (and does) stay linear at 100 TB."""
+    sh = shingle_sets(spark, sf_dir)
+    h = F.expr(spark_h32("shingle")) % MINHASH_PRIME
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle")).withColumn(
+        "h", h
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"sig_{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def _duck_minhash() -> str:
+    h = f"({duck_h32('shingle')} % {MINHASH_PRIME})"
+    aggs = ",\n         ".join(
+        f"min(({a} * {h} + {b}) % {MINHASH_PRIME}) AS sig_{j}"
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    return f"""
+  SELECT doc_id,
+         {aggs}
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+  GROUP BY doc_id
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(spark, sf_dir)
+
+
+MINHASH_SIGNATURES_ORACLE = (
+    f"WITH sh AS ({_DUCK_SHINGLES}) {_duck_minhash()}"
+)
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH near-dup pairs (band → bucket-join → exact Jaccard verify)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs from LSH band collisions, verified with exact Jaccard
+    over the distinct shingle sets; pairs with J ≥ threshold survive.
+
+    Scale: the self-join is on (band_id, band_key) — shuffle is hash
+    partitioning on band keys, bucket sizes are bounded by true near-dup
+    cluster sizes (AQE skew-split handles pathological clusters). The
+    verify join only touches candidate pairs, never the full cross
+    product."""
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col(f"sig_{b * MINHASH_ROWS_PER_BAND + r}")
+                                for r in range(MINHASH_ROWS_PER_BAND)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sh = shingle_sets(spark, sf_dir)
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    jacc = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        4,
+    )
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _duck_bands() -> str:
+    rows = []
+    for b in range(MINHASH_BANDS):
+        key = " || '-' || ".join(
+            f"CAST(sig_{b * MINHASH_ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(MINHASH_ROWS_PER_BAND)
+        )
+        rows.append(f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig")
+    return " UNION ALL ".join(rows)
+
+
+MINHASH_DUPS_ORACLE = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sig AS ({_duck_minhash()}),
+bands AS ({_duck_bands()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / len(list_distinct(sa.shingles || sb.shingles)), 4) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / len(list_distinct(sa.shingles || sb.shingles)), 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — 60-bit sign-sum sketch over distinct tokens.
+    One explode + one groupBy with 60 map-side-combinable sums."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("tok"),
+    ).withColumn("h", F.expr(spark_h60("tok")))
+    bit_sums = [
+        F.sum(
+            F.when((F.shiftright(F.col("h"), bit) % 2) == 1, 1).otherwise(-1)
+        ).alias(f"b_{bit}")
+        for bit in range(SIMHASH_BITS)
+    ]
+    summed = toks.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for bit in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b_{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return summed.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_table(spark, sf_dir)
+
+
+def _duck_simhash() -> str:
+    h = duck_h60("tok")
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (({h} // {1 << bit}) % 2) = 1 THEN 1 ELSE -1 END) AS b_{bit}"
+        for bit in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN b_{bit} > 0 THEN {1 << bit} ELSE 0 END"
+        for bit in range(SIMHASH_BITS)
+    )
+    return f"""
+  SELECT doc_id, CAST({combine} AS BIGINT) AS simhash
+  FROM (
+    SELECT doc_id,
+         {bit_sums}
+    FROM (SELECT doc_id,
+                 unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
+          FROM documents)
+    GROUP BY doc_id
+  )
+"""
+
+
+SIMHASH_ORACLE = _duck_simhash()
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ 3 via band pigeonhole: any
+    pair within distance 3 over 4 15-bit bands must agree on ≥1 whole band,
+    so the join is bucketed on (band_idx, band_val) — never all-pairs."""
+    sh = simhash_table(spark, sf_dir)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        (
+                            F.shiftright(F.col("simhash"), _SIMHASH_BAND_BITS * i)
+                            % (1 << _SIMHASH_BAND_BITS)
+                        ).alias("band_val"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+SIMHASH_DUPS_ORACLE = f"""
+WITH sh AS ({_duck_simhash()}),
+bands AS (
+  SELECT doc_id, simhash, i AS band_idx,
+         (simhash // CAST(POWER(2, {_SIMHASH_BAND_BITS} * i) AS BIGINT))
+           % {1 << _SIMHASH_BAND_BITS} AS band_val
+  FROM sh, range(0, {SIMHASH_BANDS}) t(i)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard inside blocking groups
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise shingle-Jaccard, blocked by `source` so the pair space
+    is quadratic only within a block (classic blocking; at 100 TB the block
+    key would be a coarse cluster/LSH prefix instead)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sh = shingle_sets(spark, sf_dir).join(d, "doc_id")
+    a = sh.select(
+        F.col("source"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("source").alias("source_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    jacc = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        4,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("source") == F.col("source_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("source", "doc_a", "doc_b", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.25)
+    )
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+j AS (
+  SELECT d.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(a.shingles || b.shingles)), 4) AS jaccard
+  FROM sh a
+  JOIN documents d ON d.doc_id = a.doc_id
+  JOIN documents e ON e.source = d.source
+  JOIN sh b ON b.doc_id = e.doc_id AND a.doc_id < b.doc_id
+)
+SELECT source, doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.25
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (sign-LSH buckets + exact cosine verify)
+# ---------------------------------------------------------------------------
+
+
+def _dot_literal(vec_col: str, plane: list[float]) -> Column:
+    """JVM-side dot(embedding, literal plane) via aggregate over a zipped
+    product — no Python in the loop."""
+    terms = " + ".join(
+        f"CAST(element_at({vec_col}, {d + 1}) AS DOUBLE) * ({w!r})"
+        for d, w in enumerate(plane)
+    )
+    return F.expr(terms)
+
+
+def _embed_bucket_col(vec_col: str, planes: list[list[float]]) -> Column:
+    bucket = None
+    for p, plane in enumerate(planes):
+        term = F.when(_dot_literal(vec_col, plane) > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("long")
+
+
+def _cosine(a: str, b: str) -> Column:
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = F.sqrt(
+        F.expr(
+            f"aggregate({a}, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+        )
+    )
+    nb = F.sqrt(
+        F.expr(
+            f"aggregate({b}, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+        )
+    )
+    return dot / (na * nb)
+
+
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate embedding pairs: random-hyperplane LSH bucket join,
+    exact cosine on candidates, threshold filter. The bucket key collapses
+    the candidate space from O(n²) to per-bucket quadratics."""
+    planes = hyperplanes(EMBED_PLANES, EMBED_DIM)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucketed = e.withColumn("bucket", _embed_bucket_col("embedding", planes))
+    a = bucketed.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = bucketed.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cos = F.round(_cosine("emb_a", "emb_b"), 4)
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= EMBED_COSINE_THRESHOLD)
+    )
+
+
+def _duck_plane_dot(vec_col: str, plane: list[float]) -> str:
+    return " + ".join(
+        f"CAST({vec_col}[{d + 1}] AS DOUBLE) * ({w!r})" for d, w in enumerate(plane)
+    )
+
+
+def _duck_bucket(vec_col: str, planes: list[list[float]] | None = None) -> str:
+    planes = planes or hyperplanes(EMBED_PLANES, EMBED_DIM)
+    return " + ".join(
+        f"CASE WHEN {_duck_plane_dot(vec_col, plane)} > 0 THEN {1 << p} ELSE 0 END"
+        for p, plane in enumerate(planes)
+    )
+
+
+_DUCK_COSINE = """
+round(
+  list_sum(list_transform(range(1, 65),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(range(1, 65),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+   * sqrt(list_sum(list_transform(range(1, 65),
+      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 4)
+"""
+
+
+def _embedding_dups_oracle() -> str:
+    return f"""
+WITH bk AS (
+  SELECT vec_id, embedding, {_duck_bucket("embedding")} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_DUCK_COSINE} AS cosine
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_DUCK_COSINE} >= {EMBED_COSINE_THRESHOLD}
+"""
+
+
+EMBEDDING_DUPS_ORACLE = _embedding_dups_oracle()

@@ -1,0 +1,273 @@
+"""Text analysis over the ``documents`` table: token counting, language
+identification, quality scoring, document fingerprinting.
+
+All hot-path logic is built-in Spark SQL functions (JVM, codegen) — zero
+Python UDFs. Each public ``q_*`` takes ``(spark, sf_dir)`` and has a
+matching ``*_ORACLE`` DuckDB SQL string computing identical values.
+
+These are the "operations a training-data pipeline needs" additions on
+top of the reference importer (which has no analytics surface at all —
+see SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ph_ee_nats_importer_rdbms_spark.analytics.hashing import duck_h32, spark_h32
+from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
+
+#: BPE-ish primitive token pattern: a word run, a digit run, or a single
+#: non-alphanumeric symbol. Same regex semantics in Java (Spark) and
+#: DuckDB's RE2 for this class-only pattern.
+BPE_TOKEN_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+#: Tiny per-language stopword lexicons for the n-gram/lexicon language-ID
+#: heuristic. Deliberately small — the heuristic must be cheap enough to run
+#: inline over 100 TB; a real deployment would swap in a larger lexicon or a
+#: fastText-style model via mapInPandas.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"),
+    "en": ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"),
+    "es": ("el", "los", "las", "una", "es", "en", "por", "que", "del", "se"),
+    "fr": ("le", "les", "et", "une", "est", "pour", "dans", "que", "des", "au"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "men5", "bu4"),
+}
+
+#: English stopwords reused by the quality score's stopword-ratio component.
+_QUALITY_STOPWORDS = LANG_LEXICONS["en"]
+
+#: Winnowing-style fingerprints: char k-grams, keep hashes ≡ 0 (mod W)
+#: ("mod-p sampling" — a standard deterministic alternative to per-window
+#: minima that needs no positional window state).
+FINGERPRINT_K = 8
+FINGERPRINT_MOD = 8
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.trim(F.lower(F.col(col))), r"\s+")
+
+
+def _lexicon_hits(toks: Column, lexicon: tuple[str, ...]) -> Column:
+    """Count of tokens present in ``lexicon`` (higher-order filter, JVM-side).
+    A one-arg lambda is required — PySpark reads a second parameter as the
+    element index."""
+
+    def member(t: Column) -> Column:
+        return t.isin(*lexicon)
+
+    return F.size(F.filter(toks, member))
+
+
+def _duck_tokens(col: str = "text") -> str:
+    return rf"regexp_split_to_array(trim(lower({col})), '\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Token counting
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish primitive token count per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_ws_tokens"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(BPE_TOKEN_REGEX)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+TOKEN_COUNTS_ORACLE = rf"""
+SELECT doc_id,
+       len({_duck_tokens()}) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{BPE_TOKEN_REGEX}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language identification
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-overlap language ID: per-language stopword hit counts over the
+    token stream; predicted = first language (alphabetical) achieving the max
+    score, 'und' when every score is zero. Pure built-ins — the per-language
+    score is a higher-order `filter` over the token array (no shuffle, no
+    Python)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            _lexicon_hits(toks, lex).alias(f"s_{lang}")
+            for lang, lex in sorted(LANG_LEXICONS.items())
+        ],
+    )
+    langs = sorted(LANG_LEXICONS)
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        *[f"s_{lang}" for lang in langs],
+        pred.alias("predicted_lang"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(LANG_LEXICONS)
+    score_exprs = ",\n       ".join(
+        "len(list_filter(toks, t -> t IN ({lex}))) AS s_{lang}".format(
+            lex=", ".join(f"'{w}'" for w in LANG_LEXICONS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    best = "greatest({})".format(", ".join(f"s_{lang}" for lang in langs))
+    pred = "CASE WHEN {best} <= 0 THEN 'und' {whens} END".format(
+        best=best,
+        whens=" ".join(
+            f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+        ),
+    )
+    cols = ", ".join(f"s_{lang}" for lang in langs)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang AS labeled_lang, {_duck_tokens()} AS toks FROM documents
+),
+scored AS (
+  SELECT doc_id, labeled_lang,
+       {score_exprs}
+  FROM tok
+)
+SELECT doc_id, labeled_lang, {cols}, {pred} AS predicted_lang FROM scored
+"""
+
+
+LANG_ID_ORACLE = _lang_id_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length, punctuation ratio, stopword ratio,
+    mean token length — the classic cheap pre-filters applied before
+    expensive dedup/training steps."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = F.regexp_count(F.lower(F.col("text")), F.lit(r"[^a-z0-9\s]"))
+    n_stop = _lexicon_hits(toks, _QUALITY_STOPWORDS)
+    nospace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    punct_ratio = F.round(n_punct / n_chars, 4)
+    stop_ratio = F.round(n_stop / n_tokens, 4)
+    mean_tok_len = F.round(nospace / n_tokens, 4)
+    # floor-truncate instead of round: the weighted sum lands on exact
+    # .xxxx5 boundaries (quarter weights over rounded ratios) where Spark's
+    # HALF_UP and DuckDB's rounding disagree; floor over the bit-identical
+    # IEEE754 sum is engine-stable.
+    score = F.floor(
+        (
+            0.25 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+            + 0.25 * (1.0 - punct_ratio)
+            + 0.25 * F.least(stop_ratio * 5.0, F.lit(1.0))
+            + 0.25 * F.least(mean_tok_len / 8.0, F.lit(1.0))
+        )
+        * 10000
+    ) / 10000
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        mean_tok_len.alias("mean_tok_len"),
+        score.alias("quality_score"),
+    )
+
+
+QUALITY_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+         len({_duck_tokens()}) AS n_tokens,
+         length(text) AS n_chars,
+         len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS n_punct,
+         len(list_filter({_duck_tokens()},
+             t -> t IN ({", ".join(f"'{w}'" for w in _QUALITY_STOPWORDS)}))) AS n_stop,
+         length(regexp_replace(text, '\s', '', 'g')) AS nospace
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens, n_chars,
+         round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+         round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+         round(CAST(nospace AS DOUBLE) / n_tokens, 4) AS mean_tok_len
+  FROM t
+)
+SELECT doc_id, n_tokens, n_chars, punct_ratio, stop_ratio, mean_tok_len,
+       floor((0.25 * least(n_tokens / 100.0, 1.0)
+           + 0.25 * (1.0 - punct_ratio)
+           + 0.25 * least(stop_ratio * 5.0, 1.0)
+           + 0.25 * least(mean_tok_len / 8.0, 1.0)) * 10000) / 10000 AS quality_score
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (rolling char k-gram hashes, mod-p sampled)
+# ---------------------------------------------------------------------------
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct sampled k-gram fingerprints per document. The per-row
+    explode is JVM-side (`sequence` + `transform`); sampling keeps ~1/W of
+    hashes so output stays bounded at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    with_norm = d.select("doc_id", norm.alias("norm")).filter(
+        F.length("norm") >= FINGERPRINT_K
+    )
+    exploded = with_norm.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(norm) - {FINGERPRINT_K - 1}), "
+                f"i -> substring(norm, i, {FINGERPRINT_K}))"
+            )
+        ).alias("gram"),
+    )
+    fp = F.expr(spark_h32("gram"))
+    return (
+        exploded.select("doc_id", fp.alias("fingerprint"))
+        .filter(F.col("fingerprint") % FINGERPRINT_MOD == 0)
+        .distinct()
+    )
+
+
+FINGERPRINTS_ORACLE = rf"""
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(norm) - {FINGERPRINT_K - 2}),
+                i -> substring(norm, CAST(i AS INT), {FINGERPRINT_K}))) AS gram
+  FROM n WHERE length(norm) >= {FINGERPRINT_K}
+)
+SELECT DISTINCT doc_id, {duck_h32("gram")} AS fingerprint
+FROM g
+WHERE {duck_h32("gram")} % {FINGERPRINT_MOD} = 0
+"""

@@ -36,11 +36,11 @@ def _ord():
 COMPLETED_PSEUDO = "__completed__"
 
 _TRANSFER_COMPLETED_SPECS = [
-    FieldSpec(COMPLETED_PSEUDO, "status", lambda v: F.lit("COMPLETED")),
-    FieldSpec(COMPLETED_PSEUDO, "completed_at", lambda v: epoch_ms_to_ts(F.col("timestamp"))),
+    FieldSpec(COMPLETED_PSEUDO, "status", ("const", "COMPLETED")),
+    FieldSpec(COMPLETED_PSEUDO, "completed_at", ("event_ts",)),
 ]
 _ENDED_AT_SPEC = [
-    FieldSpec(COMPLETED_PSEUDO, "completed_at", lambda v: epoch_ms_to_ts(F.col("timestamp"))),
+    FieldSpec(COMPLETED_PSEUDO, "completed_at", ("event_ts",)),
 ]
 
 _VAR_COLS = ["instance_key", "name", "value", "timestamp", "position"]

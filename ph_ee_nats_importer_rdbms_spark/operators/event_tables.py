@@ -36,6 +36,26 @@ def _first_by_order(value_cols: list[str], df: DataFrame, keys: list[str]) -> Da
     return df.groupBy(*keys).agg(*aggs)
 
 
+def variables_deduped(routed: DataFrame) -> DataFrame:
+    """The routed VARIABLE stream with D1 applied, all columns preserved.
+
+    The reference short-circuits processVariable on a D1 duplicate *before*
+    addVariableToEntity (RecordParser.java:137-145 guard precedes the
+    :77-131 entity update), so the entity mappers must see the deduped
+    stream, not the raw one — a same-timestamp duplicate must not win LWW.
+    """
+    vars_ = routed.filter(F.col("value_type") == "VARIABLE")
+    keys = ["process_instance_key", "name", "timestamp"]
+    rest = [c for c in vars_.columns if c not in keys]
+    # within a (instance, name, timestamp) group order is by position alone
+    winner = F.min_by(F.struct(*rest), F.col("position")).alias("_w")
+    return (
+        vars_.groupBy(*keys)
+        .agg(winner)
+        .select(*keys, *[F.col(f"_w.{c}").alias(c) for c in rest])
+    )
+
+
 def variables_table(routed: DataFrame) -> DataFrame:
     """ph_variables (entity/variable/Variable.java:17-33). Keeps the raw
     (pre-rekey) instance key, exactly like processVariable."""

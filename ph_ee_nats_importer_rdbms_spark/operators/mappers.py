@@ -1,22 +1,38 @@
-"""Variable -> entity-field mappers, batch form (SURVEY §2.4 C6, §2.5).
+"""Variable -> entity-field mappers (SURVEY §2.4 C6, §2.5).
 
 The reference registers ~47 per-variable-name closures that mutate entity
 fields in arrival order (VariableParser.java:41-91). Instead of 47 hand
 functions, each mapping is a declarative spec row:
 
-    FieldSpec(variable, target, extract, mode, condition)
+    FieldSpec(variable, target, op, mode, cond)
 
-- ``extract``  : Column -> Column over the raw variable value (JSONPath leaf
-                 reads via get_json_object on the unescaped payload, casts,
-                 quote-stripping — §2.5 X1-X10).
-- ``mode``     : 'lww'   — last writer wins in (timestamp, position) replay
-                           order (the net effect of per-event mutation under
-                           the D1 rule);
-                 'first' — first writer wins (reference sets only-if-null,
-                           VariableParser.java:228-233).
-- ``condition``: row-level gate evaluated against the (direction-joined)
-                 variable row, for the direction-conditional mappers
-                 (VariableParser.java:155-166, 285-295).
+- ``op``   : what to extract from the raw variable value — a tagged tuple
+             interpreted twice: as a Column expression for the batch pivot
+             (this module) and as a Python function for the streaming
+             stateful processor (streaming/state.py). ONE spec table drives
+             both paths, so they cannot drift.
+- ``mode`` : 'lww'   — last writer wins in (timestamp, position) replay
+                       order (the net effect of per-event mutation under
+                       the D1 rule);
+             'first' — first writer wins (reference sets only-if-null,
+                       VariableParser.java:228-233).
+- ``cond`` : row-level gate tag, for the direction-conditional mappers
+             (VariableParser.java:155-166, 285-295) and value-gated setters.
+
+Op tags:
+    ("json", path)                get_json_object leaf (X3)
+    ("json_money", path)          leaf cast to DECIMAL(19,4) (X4)
+    ("json_default", path, d)     leaf with null-coalesced default (X9)
+    ("json_iso_ts", path)         leaf parsed yyyy-MM-dd'T'HH:mm:ss UTC (X5)
+    ("strip",)                    quote-stripped raw value (X1)
+    ("money",)                    quote-stripped cast to money (X4)
+    ("transfer_status",)          "false"→COMPLETED else FAILED (X7)
+    ("state_bool", t, f)          null/empty→no-op, "true"→t else f (X7)
+    ("const", v)                  literal value
+    ("event_ts",)                 the event's own timestamp as TIMESTAMP (X6)
+
+Cond tags: "incoming" | "not_incoming" | "outgoing" | "value_true" |
+"value_nonempty" (see _COND_COLS for exact semantics).
 
 The whole pivot is ONE hash aggregation per entity type: every target column
 is a conditional min/max_by over a single groupBy(instance_key) pass — one
@@ -36,7 +52,6 @@ AND by a later 'first' spec would keep null in the reference but take the
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -44,47 +59,63 @@ from ph_ee_nats_importer_rdbms_spark import config as cfg
 from ph_ee_nats_importer_rdbms_spark.functions.scalars import (
     bool_to_state,
     bool_to_transfer_status,
+    epoch_ms_to_ts,
     iso_to_ts,
     jget,
     strip_quotes,
     to_money,
 )
 
-Extract = Callable[[Column], Column]
-Condition = Callable[[], Column]
-
 
 @dataclass(frozen=True)
 class FieldSpec:
     variable: str
     target: str
-    extract: Extract
+    op: tuple
     mode: str = "lww"  # 'lww' | 'first'
-    condition: Condition | None = None  # extra row gate (e.g. direction)
+    cond: str | None = None
 
 
-def _s(path: str) -> Extract:
-    return lambda v: jget(v, path)
+def extract_col(spec: FieldSpec, value: Column) -> Column:
+    """Batch interpretation of ``spec.op`` as a Column over the raw value."""
+    tag, *args = spec.op
+    if tag == "json":
+        return jget(value, args[0])
+    if tag == "json_money":
+        return jget(value, args[0]).cast("decimal(19,4)")
+    if tag == "json_default":
+        return F.coalesce(jget(value, args[0]), F.lit(args[1]))
+    if tag == "json_iso_ts":
+        return iso_to_ts(jget(value, args[0]))
+    if tag == "strip":
+        return strip_quotes(value)
+    if tag == "money":
+        return to_money(value)
+    if tag == "transfer_status":
+        return bool_to_transfer_status(value)
+    if tag == "state_bool":
+        return bool_to_state(value, args[0], args[1])
+    if tag == "const":
+        return F.lit(args[0])
+    if tag == "event_ts":
+        return epoch_ms_to_ts(F.col("timestamp"))
+    raise ValueError(f"unknown op tag {tag!r}")
 
 
-def _money(path: str) -> Extract:
-    return lambda v: jget(v, path).cast("decimal(19,4)")
-
-
-def _strip() -> Extract:
-    return lambda v: strip_quotes(v)
-
-
-def _is_incoming() -> Column:
-    return F.col("direction") == cfg.INCOMING
-
-
-def _not_incoming() -> Column:  # reference: else-branch, includes null direction
-    return ~F.coalesce(F.col("direction") == cfg.INCOMING, F.lit(False))
-
-
-def _is_outgoing() -> Column:
-    return F.col("direction") == cfg.OUTGOING
+def _cond_col(tag: str) -> Column:
+    """Row gates; evaluated against the direction-joined variable row."""
+    if tag == "incoming":
+        return F.col("direction") == cfg.INCOMING
+    if tag == "not_incoming":  # reference else-branch: includes null direction
+        return ~F.coalesce(F.col("direction") == cfg.INCOMING, F.lit(False))
+    if tag == "outgoing":
+        return F.col("direction") == cfg.OUTGOING
+    if tag == "value_true":
+        return strip_quotes(F.col("value")) == "true"
+    if tag == "value_nonempty":
+        s = strip_quotes(F.col("value"))
+        return s.isNotNull() & (s != "")
+    raise ValueError(f"unknown cond tag {tag!r}")
 
 
 # --------------------------------------------------------------------------
@@ -93,64 +124,64 @@ def _is_outgoing() -> Column:
 
 TRANSFER_SPECS: list[FieldSpec] = [
     # localQuoteResponse — direction-conditional (VariableParser.java:155-166)
-    FieldSpec("localQuoteResponse", "payee_fee", _money("$.fspFee.amount"), condition=_is_incoming),
-    FieldSpec("localQuoteResponse", "payee_fee_currency", _s("$.fspFee.currency"), condition=_is_incoming),
-    FieldSpec("localQuoteResponse", "payee_quote_code", _s("$.quoteCode"), condition=_is_incoming),
-    FieldSpec("localQuoteResponse", "payer_fee", _money("$.fspFee.amount"), condition=_not_incoming),
-    FieldSpec("localQuoteResponse", "payer_fee_currency", _s("$.fspFee.currency"), condition=_not_incoming),
-    FieldSpec("localQuoteResponse", "payer_quote_code", _s("$.quoteCode"), condition=_not_incoming),
+    FieldSpec("localQuoteResponse", "payee_fee", ("json_money", "$.fspFee.amount"), cond="incoming"),
+    FieldSpec("localQuoteResponse", "payee_fee_currency", ("json", "$.fspFee.currency"), cond="incoming"),
+    FieldSpec("localQuoteResponse", "payee_quote_code", ("json", "$.quoteCode"), cond="incoming"),
+    FieldSpec("localQuoteResponse", "payer_fee", ("json_money", "$.fspFee.amount"), cond="not_incoming"),
+    FieldSpec("localQuoteResponse", "payer_fee_currency", ("json", "$.fspFee.currency"), cond="not_incoming"),
+    FieldSpec("localQuoteResponse", "payer_quote_code", ("json", "$.quoteCode"), cond="not_incoming"),
     # quoteSwitchRequest (VariableParser.java:139-153)
-    FieldSpec("quoteSwitchRequest", "transaction_id", _s("$.transactionId")),
-    FieldSpec("quoteSwitchRequest", "payee_party_id_type", _s("$.payee.partyIdInfo.partyIdType")),
-    FieldSpec("quoteSwitchRequest", "payee_party_id", _s("$.payee.partyIdInfo.partyIdentifier")),
-    FieldSpec("quoteSwitchRequest", "payee_dfsp_id", _s("$.payee.partyIdInfo.fspId")),
-    FieldSpec("quoteSwitchRequest", "payer_party_id_type", _s("$.payer.partyIdInfo.partyIdType")),
-    FieldSpec("quoteSwitchRequest", "payer_party_id", _s("$.payer.partyIdInfo.partyIdentifier")),
-    FieldSpec("quoteSwitchRequest", "payer_dfsp_id", _s("$.payer.partyIdInfo.fspId")),
-    FieldSpec("quoteSwitchRequest", "amount", _money("$.amount.amount")),
-    FieldSpec("quoteSwitchRequest", "currency", _s("$.amount.currency")),
+    FieldSpec("quoteSwitchRequest", "transaction_id", ("json", "$.transactionId")),
+    FieldSpec("quoteSwitchRequest", "payee_party_id_type", ("json", "$.payee.partyIdInfo.partyIdType")),
+    FieldSpec("quoteSwitchRequest", "payee_party_id", ("json", "$.payee.partyIdInfo.partyIdentifier")),
+    FieldSpec("quoteSwitchRequest", "payee_dfsp_id", ("json", "$.payee.partyIdInfo.fspId")),
+    FieldSpec("quoteSwitchRequest", "payer_party_id_type", ("json", "$.payer.partyIdInfo.partyIdType")),
+    FieldSpec("quoteSwitchRequest", "payer_party_id", ("json", "$.payer.partyIdInfo.partyIdentifier")),
+    FieldSpec("quoteSwitchRequest", "payer_dfsp_id", ("json", "$.payer.partyIdInfo.fspId")),
+    FieldSpec("quoteSwitchRequest", "amount", ("json_money", "$.amount.amount")),
+    FieldSpec("quoteSwitchRequest", "currency", ("json", "$.amount.currency")),
     # payeeQuoteResponse (VariableParser.java:168-172)
-    FieldSpec("payeeQuoteResponse", "payee_fee", _money("$.payeeFspFee.amount")),
-    FieldSpec("payeeQuoteResponse", "payee_fee_currency", _s("$.payeeFspFee.currency")),
+    FieldSpec("payeeQuoteResponse", "payee_fee", ("json_money", "$.payeeFspFee.amount")),
+    FieldSpec("payeeQuoteResponse", "payee_fee_currency", ("json", "$.payeeFspFee.currency")),
     # quoteId (VariableParser.java:44)
-    FieldSpec("quoteId", "payee_quote_code", _strip()),
+    FieldSpec("quoteId", "payee_quote_code", ("strip",)),
     # transferResponse-PREPARE / -CREATE (VariableParser.java:174-198)
-    FieldSpec("transferResponse-PREPARE", "completed_at", lambda v: iso_to_ts(jget(v, "$.completedTimestamp"))),
-    FieldSpec("transferResponse-CREATE", "completed_at", lambda v: iso_to_ts(jget(v, "$.completedTimestamp"))),
+    FieldSpec("transferResponse-PREPARE", "completed_at", ("json_iso_ts", "$.completedTimestamp")),
+    FieldSpec("transferResponse-CREATE", "completed_at", ("json_iso_ts", "$.completedTimestamp")),
     # transferCreateFailed (VariableParser.java:185-187)
-    FieldSpec("transferCreateFailed", "status", lambda v: bool_to_transfer_status(v)),
+    FieldSpec("transferCreateFailed", "status", ("transfer_status",)),
     # partyLookupFspId / initiatorFspId (VariableParser.java:48-49)
-    FieldSpec("partyLookupFspId", "payee_dfsp_id", _strip()),
-    FieldSpec("initiatorFspId", "payer_dfsp_id", _strip()),
+    FieldSpec("partyLookupFspId", "payee_dfsp_id", ("strip",)),
+    FieldSpec("initiatorFspId", "payer_dfsp_id", ("strip",)),
     # channelRequest (VariableParser.java:200-211)
-    FieldSpec("channelRequest", "payer_party_id", _s("$.payer.partyIdInfo.partyIdentifier")),
-    FieldSpec("channelRequest", "payer_party_id_type", _s("$.payer.partyIdInfo.partyIdType")),
-    FieldSpec("channelRequest", "payee_party_id", _s("$.payee.partyIdInfo.partyIdentifier")),
-    FieldSpec("channelRequest", "payee_party_id_type", _s("$.payee.partyIdInfo.partyIdType")),
-    FieldSpec("channelRequest", "amount", _money("$.amount.amount")),
-    FieldSpec("channelRequest", "currency", _s("$.amount.currency")),
+    FieldSpec("channelRequest", "payer_party_id", ("json", "$.payer.partyIdInfo.partyIdentifier")),
+    FieldSpec("channelRequest", "payer_party_id_type", ("json", "$.payer.partyIdInfo.partyIdType")),
+    FieldSpec("channelRequest", "payee_party_id", ("json", "$.payee.partyIdInfo.partyIdentifier")),
+    FieldSpec("channelRequest", "payee_party_id_type", ("json", "$.payee.partyIdInfo.partyIdType")),
+    FieldSpec("channelRequest", "amount", ("json_money", "$.amount.amount")),
+    FieldSpec("channelRequest", "currency", ("json", "$.amount.currency")),
     # errorInformation (VariableParser.java:51-52,213-215): stores the text
     # AND routes through parseTransferCreateFailed (value != "false" => FAILED)
-    FieldSpec("errorInformation", "error_information", _strip()),
-    FieldSpec("errorInformation", "status", lambda v: bool_to_transfer_status(v)),
+    FieldSpec("errorInformation", "error_information", ("strip",)),
+    FieldSpec("errorInformation", "status", ("transfer_status",)),
     # batchId / transactionId / amount / accounts / currencies / fees /
     # institutions / quote codes / account types (VariableParser.java:53-69)
-    FieldSpec("batchId", "batch_id", _strip()),
-    FieldSpec("transactionId", "transaction_id", _strip()),
-    FieldSpec("amount", "amount", lambda v: to_money(v)),
-    FieldSpec("sourceAccountId", "payer_party_id", _strip()),
-    FieldSpec("targetAccountId", "payee_party_id", _strip()),
-    FieldSpec("currency", "currency", _strip()),
-    FieldSpec("sourceCurrency", "payer_fee_currency", _strip()),
-    FieldSpec("targetCurrency", "payee_fee_currency", _strip()),
-    FieldSpec("sourceFee", "payer_fee", lambda v: to_money(v)),
-    FieldSpec("targetFee", "payee_fee", lambda v: to_money(v)),
-    FieldSpec("sourceInstitution", "payer_dfsp_id", _strip()),
-    FieldSpec("targetInstitution", "payee_dfsp_id", _strip()),
-    FieldSpec("sourceQuoteCode", "payer_quote_code", _strip()),
-    FieldSpec("targetQuoteCode", "payee_quote_code", _strip()),
-    FieldSpec("sourceAccountType", "payer_party_id_type", _strip()),
-    FieldSpec("targetAccountType", "payee_party_id_type", _strip()),
+    FieldSpec("batchId", "batch_id", ("strip",)),
+    FieldSpec("transactionId", "transaction_id", ("strip",)),
+    FieldSpec("amount", "amount", ("money",)),
+    FieldSpec("sourceAccountId", "payer_party_id", ("strip",)),
+    FieldSpec("targetAccountId", "payee_party_id", ("strip",)),
+    FieldSpec("currency", "currency", ("strip",)),
+    FieldSpec("sourceCurrency", "payer_fee_currency", ("strip",)),
+    FieldSpec("targetCurrency", "payee_fee_currency", ("strip",)),
+    FieldSpec("sourceFee", "payer_fee", ("money",)),
+    FieldSpec("targetFee", "payee_fee", ("money",)),
+    FieldSpec("sourceInstitution", "payer_dfsp_id", ("strip",)),
+    FieldSpec("targetInstitution", "payee_dfsp_id", ("strip",)),
+    FieldSpec("sourceQuoteCode", "payer_quote_code", ("strip",)),
+    FieldSpec("targetQuoteCode", "payee_quote_code", ("strip",)),
+    FieldSpec("sourceAccountType", "payer_party_id_type", ("strip",)),
+    FieldSpec("targetAccountType", "payee_party_id_type", ("strip",)),
 ]
 
 # --------------------------------------------------------------------------
@@ -158,61 +189,55 @@ TRANSFER_SPECS: list[FieldSpec] = [
 # --------------------------------------------------------------------------
 
 TRANSACTION_REQUEST_SPECS: list[FieldSpec] = [
-    FieldSpec("authType", "auth_type", _strip()),
-    FieldSpec("transactionId", "transaction_id", _strip()),
-    FieldSpec("partyLookupFspId", "payer_dfsp_id", _strip()),
+    FieldSpec("authType", "auth_type", ("strip",)),
+    FieldSpec("transactionId", "transaction_id", ("strip",)),
+    FieldSpec("partyLookupFspId", "payer_dfsp_id", ("strip",)),
     # initiatorFspId: OUTGOING-only (VariableParser.java:285-289)
-    FieldSpec("initiatorFspId", "payee_dfsp_id", _strip(), condition=_is_outgoing),
+    FieldSpec("initiatorFspId", "payee_dfsp_id", ("strip",), cond="outgoing"),
     # channelRequest (VariableParser.java:217-234); initiatorType/scenario set
     # only-if-null -> 'first' mode
-    FieldSpec("channelRequest", "payer_party_id", _s("$.payer.partyIdInfo.partyIdentifier")),
-    FieldSpec("channelRequest", "payer_party_id_type", _s("$.payer.partyIdInfo.partyIdType")),
-    FieldSpec("channelRequest", "payee_party_id", _s("$.payee.partyIdInfo.partyIdentifier")),
-    FieldSpec("channelRequest", "payee_party_id_type", _s("$.payee.partyIdInfo.partyIdType")),
-    FieldSpec("channelRequest", "amount", _money("$.amount.amount")),
-    FieldSpec("channelRequest", "currency", _s("$.amount.currency")),
-    FieldSpec("channelRequest", "initiator_type", _s("$.transactionType.initiatorType"), mode="first"),
-    FieldSpec("channelRequest", "scenario", _s("$.transactionType.scenario"), mode="first"),
+    FieldSpec("channelRequest", "payer_party_id", ("json", "$.payer.partyIdInfo.partyIdentifier")),
+    FieldSpec("channelRequest", "payer_party_id_type", ("json", "$.payer.partyIdInfo.partyIdType")),
+    FieldSpec("channelRequest", "payee_party_id", ("json", "$.payee.partyIdInfo.partyIdentifier")),
+    FieldSpec("channelRequest", "payee_party_id_type", ("json", "$.payee.partyIdInfo.partyIdType")),
+    FieldSpec("channelRequest", "amount", ("json_money", "$.amount.amount")),
+    FieldSpec("channelRequest", "currency", ("json", "$.amount.currency")),
+    FieldSpec("channelRequest", "initiator_type", ("json", "$.transactionType.initiatorType"), mode="first"),
+    FieldSpec("channelRequest", "scenario", ("json", "$.transactionType.scenario"), mode="first"),
     # transactionRequestResponse (VariableParser.java:242-245)
-    FieldSpec("transactionRequestResponse", "state", _s("$.transactionRequestState")),
+    FieldSpec("transactionRequestResponse", "state", ("json", "$.transactionRequestState")),
     # transactionRequestFailed (VariableParser.java:247-251): sets FAILED only
     # on "true"; otherwise no-op -> gate the candidate row itself
-    FieldSpec(
-        "transactionRequestFailed", "state", lambda v: F.lit("FAILED"),
-        condition=lambda: strip_quotes(F.col("value")) == "true",
-    ),
+    FieldSpec("transactionRequestFailed", "state", ("const", "FAILED"), cond="value_true"),
     # transactionRequest (VariableParser.java:253-272)
-    FieldSpec("transactionRequest", "transaction_id", _s("$.transactionRequestId")),
-    FieldSpec("transactionRequest", "amount", _money("$.amount.amount")),
-    FieldSpec("transactionRequest", "currency", _s("$.amount.currency")),
-    FieldSpec("transactionRequest", "payee_party_id", _s("$.payee.partyIdInfo.partyIdentifier")),
-    FieldSpec("transactionRequest", "payee_party_id_type", _s("$.payee.partyIdInfo.partyIdType")),
-    FieldSpec("transactionRequest", "payee_dfsp_id", _s("$.payee.partyIdInfo.fspId")),
-    FieldSpec("transactionRequest", "payer_party_id", _s("$.payer.partyIdentifier")),
-    FieldSpec("transactionRequest", "payer_party_id_type", _s("$.payer.partyIdType")),
-    FieldSpec("transactionRequest", "payer_dfsp_id", _s("$.payer.fspId")),
-    FieldSpec("transactionRequest", "auth_type", lambda v: F.coalesce(jget(v, "$.authenticationType"), F.lit("NONE"))),
-    FieldSpec("transactionRequest", "scenario", _s("$.transactionType.scenario")),
-    FieldSpec("transactionRequest", "initiator_type", _s("$.transactionType.initiatorType")),
+    FieldSpec("transactionRequest", "transaction_id", ("json", "$.transactionRequestId")),
+    FieldSpec("transactionRequest", "amount", ("json_money", "$.amount.amount")),
+    FieldSpec("transactionRequest", "currency", ("json", "$.amount.currency")),
+    FieldSpec("transactionRequest", "payee_party_id", ("json", "$.payee.partyIdInfo.partyIdentifier")),
+    FieldSpec("transactionRequest", "payee_party_id_type", ("json", "$.payee.partyIdInfo.partyIdType")),
+    FieldSpec("transactionRequest", "payee_dfsp_id", ("json", "$.payee.partyIdInfo.fspId")),
+    FieldSpec("transactionRequest", "payer_party_id", ("json", "$.payer.partyIdentifier")),
+    FieldSpec("transactionRequest", "payer_party_id_type", ("json", "$.payer.partyIdType")),
+    FieldSpec("transactionRequest", "payer_dfsp_id", ("json", "$.payer.fspId")),
+    FieldSpec("transactionRequest", "auth_type", ("json_default", "$.authenticationType", "NONE")),
+    FieldSpec("transactionRequest", "scenario", ("json", "$.transactionType.scenario")),
+    FieldSpec("transactionRequest", "initiator_type", ("json", "$.transactionType.initiatorType")),
     # localQuoteResponse / payeeQuoteResponse (VariableParser.java:274-283)
-    FieldSpec("localQuoteResponse", "payer_fee", _money("$.fspFee.amount")),
-    FieldSpec("localQuoteResponse", "payer_quote_code", _s("$.quoteCode")),
-    FieldSpec("payeeQuoteResponse", "payee_fee", _money("$.payeeFspFee.amount")),
-    FieldSpec("quoteId", "payee_quote_code", _strip()),
+    FieldSpec("localQuoteResponse", "payer_fee", ("json_money", "$.fspFee.amount")),
+    FieldSpec("localQuoteResponse", "payer_quote_code", ("json", "$.quoteCode")),
+    FieldSpec("payeeQuoteResponse", "payee_fee", ("json_money", "$.payeeFspFee.amount")),
+    FieldSpec("quoteId", "payee_quote_code", ("strip",)),
     # transactionState: INCOMING-only (VariableParser.java:291-295)
-    FieldSpec("transactionState", "state", _strip(), condition=_is_incoming),
+    FieldSpec("transactionState", "state", ("strip",), cond="incoming"),
     # mpesaChannelRequest (VariableParser.java:236-240): unconditional set
-    FieldSpec("mpesaChannelRequest", "initiator_type", _s("$.transactionType.initiatorType")),
-    FieldSpec("mpesaChannelRequest", "scenario", _s("$.transactionType.scenario")),
+    FieldSpec("mpesaChannelRequest", "initiator_type", ("json", "$.transactionType.initiatorType")),
+    FieldSpec("mpesaChannelRequest", "scenario", ("json", "$.transactionType.scenario")),
     # partyLookupFailed / transactionFailed / transferSettlementFailed
-    # (VariableParser.java:102-133): null/empty no-op handled by bool_to_state
-    # returning null + the null-candidate gate below
-    FieldSpec("partyLookupFailed", "state", lambda v: bool_to_state(v, "FAILED", "RECEIVED"),
-              condition=lambda: strip_quotes(F.col("value")).isNotNull() & (strip_quotes(F.col("value")) != "")),
-    FieldSpec("transactionFailed", "state", lambda v: bool_to_state(v, "FAILED", "IN_PROGRESS"),
-              condition=lambda: strip_quotes(F.col("value")).isNotNull() & (strip_quotes(F.col("value")) != "")),
-    FieldSpec("transferSettlementFailed", "state", lambda v: bool_to_state(v, "FAILED", "ACCEPTED"),
-              condition=lambda: strip_quotes(F.col("value")).isNotNull() & (strip_quotes(F.col("value")) != "")),
+    # (VariableParser.java:102-133): null/empty no-op handled by the
+    # value_nonempty gate + state_bool
+    FieldSpec("partyLookupFailed", "state", ("state_bool", "FAILED", "RECEIVED"), cond="value_nonempty"),
+    FieldSpec("transactionFailed", "state", ("state_bool", "FAILED", "IN_PROGRESS"), cond="value_nonempty"),
+    FieldSpec("transferSettlementFailed", "state", ("state_bool", "FAILED", "ACCEPTED"), cond="value_nonempty"),
 ]
 
 # --------------------------------------------------------------------------
@@ -220,10 +245,10 @@ TRANSACTION_REQUEST_SPECS: list[FieldSpec] = [
 # --------------------------------------------------------------------------
 
 BATCH_SPECS: list[FieldSpec] = [
-    FieldSpec("batchId", "batch_id", _strip()),
-    FieldSpec("fileName", "request_file", _strip()),
-    FieldSpec("requestId", "request_id", _strip()),
-    FieldSpec("note", "note", _strip()),
+    FieldSpec("batchId", "batch_id", ("strip",)),
+    FieldSpec("fileName", "request_file", ("strip",)),
+    FieldSpec("requestId", "request_id", ("strip",)),
+    FieldSpec("note", "note", ("strip",)),
 ]
 
 KNOWN_TRANSFER_VARIABLES = sorted({s.variable for s in TRANSFER_SPECS})
@@ -263,9 +288,9 @@ def pivot_entity_fields(
             expr: Column = F.lit(None)
             for s in specs_:
                 gate = F.col("name") == s.variable
-                if s.condition is not None:
-                    gate = gate & F.coalesce(s.condition(), F.lit(False))
-                expr = F.when(gate, s.extract(F.col("value"))).otherwise(expr)
+                if s.cond is not None:
+                    gate = gate & F.coalesce(_cond_col(s.cond), F.lit(False))
+                expr = F.when(gate, extract_col(s, F.col("value"))).otherwise(expr)
             return expr
 
         cols = []
@@ -289,7 +314,7 @@ def _is_candidate(specs_: list[FieldSpec]) -> Column:
     expr = F.lit(False)
     for s in specs_:
         gate = F.col("name") == s.variable
-        if s.condition is not None:
-            gate = gate & F.coalesce(s.condition(), F.lit(False))
+        if s.cond is not None:
+            gate = gate & F.coalesce(_cond_col(s.cond), F.lit(False))
         expr = expr | gate
     return expr

@@ -31,7 +31,9 @@ def run_import_pipeline(
     """``events`` is a flat event relation (schemas.FLAT_EVENT_SCHEMA shape,
     e.g. from classify.parse_envelope). Returns the five output tables."""
     routed = with_routing(events, registry)
-    routed_vars = routed.filter(routed["value_type"] == "VARIABLE")
+    # D1-deduped variable stream — the reference drops duplicates before the
+    # entity mappers ever see them (RecordParser.java:137-145)
+    routed_vars = event_tables.variables_deduped(routed)
 
     proc = lifecycle.process_events(routed)
     links = lifecycle.parent_links(proc)

@@ -1,0 +1,458 @@
+"""Query registry backing ``__spark_entry__.py``.
+
+Each entry: name -> (spark callable (spark, sf_dir) -> DataFrame,
+DuckDB oracle SQL or None). Column names/aliases are identical on both
+sides — the driver's comparator sorts columns by name before hashing.
+
+Two families:
+
+1. ``zeebe_*`` — the import-pipeline semantics, hash-checked end-to-end:
+   both engines derive the same synthetic Zeebe event log from ``orders``
+   (plans/synthetic.py), Spark runs the real operator pipeline, DuckDB runs
+   a portable SQL re-computation of the reference semantics.
+
+2. Read-path / analytics — SURVEY §2.6 predicates and the north-star
+   analytics over the TPC-H-ish tables. Aggregate doubles are rounded to 2
+   decimals on both sides so the hash is insensitive to float summation
+   order; sets produced with LIMIT carry a total deterministic ORDER BY.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ph_ee_nats_importer_rdbms_spark.operators.pipeline import run_import_pipeline
+from ph_ee_nats_importer_rdbms_spark.plans import synthetic
+from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_MS = ("started_at", "completed_at", "result_generated_at")
+
+
+def zeebe_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(synthetic.spark_events_sql())
+
+
+def _pipeline(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return run_import_pipeline(zeebe_events_df(spark, sf_dir))
+
+
+def _ms_cols(df: DataFrame) -> DataFrame:
+    """Timestamps -> epoch-ms bigints named *_ms (portable value compare)."""
+    for c in _MS:
+        if c in df.columns:
+            df = df.withColumn(f"{c}_ms", F.unix_millis(F.col(c))).drop(c)
+    # keep original column order with _ms substituted in place
+    return df
+
+
+def _q_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _pipeline(spark, sf_dir)["transfers"]
+    return df.select(
+        "workflow_instance_key",
+        "transaction_id",
+        F.unix_millis("started_at").alias("started_at_ms"),
+        F.unix_millis("completed_at").alias("completed_at_ms"),
+        "status",
+        "status_detail",
+        "payee_dfsp_id",
+        "payee_party_id",
+        "payee_party_id_type",
+        F.col("payee_fee").cast("double").alias("payee_fee"),
+        "payee_fee_currency",
+        "payee_quote_code",
+        "payer_dfsp_id",
+        "payer_party_id",
+        "payer_party_id_type",
+        F.col("payer_fee").cast("double").alias("payer_fee"),
+        "payer_fee_currency",
+        "payer_quote_code",
+        F.col("amount").cast("double").alias("amount"),
+        "currency",
+        "direction",
+        "error_information",
+        "batch_id",
+    )
+
+
+def _q_transaction_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _pipeline(spark, sf_dir)["transaction_requests"]
+    return df.select(
+        "workflow_instance_key",
+        "transaction_id",
+        F.unix_millis("started_at").alias("started_at_ms"),
+        F.unix_millis("completed_at").alias("completed_at_ms"),
+        "state",
+        "payee_dfsp_id",
+        "payee_party_id",
+        "payee_party_id_type",
+        F.col("payee_fee").cast("double").alias("payee_fee"),
+        "payee_quote_code",
+        "payer_dfsp_id",
+        "payer_party_id",
+        "payer_party_id_type",
+        F.col("payer_fee").cast("double").alias("payer_fee"),
+        "payer_quote_code",
+        F.col("amount").cast("double").alias("amount"),
+        "currency",
+        "direction",
+        "auth_type",
+        "initiator_type",
+        "scenario",
+    )
+
+
+def _q_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _pipeline(spark, sf_dir)["batches"]
+    return df.select(
+        "workflow_instance_key",
+        "workflow_key",
+        "batch_id",
+        "request_id",
+        "request_file",
+        "note",
+        "result_file",
+        "total_transactions",
+        "ongoing",
+        "failed",
+        "completed",
+        F.unix_millis("result_generated_at").alias("result_generated_at_ms"),
+        F.unix_millis("started_at").alias("started_at_ms"),
+        F.unix_millis("completed_at").alias("completed_at_ms"),
+    )
+
+
+def _q_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipeline(spark, sf_dir)["variables"]
+
+
+def _q_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipeline(spark, sf_dir)["tasks"]
+
+
+def _q_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ph_ee_nats_importer_rdbms_spark.operators.classify import with_routing
+
+    routed = with_routing(zeebe_events_df(spark, sf_dir))
+    return routed.groupBy("tenant", "process_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Read-path predicates (SURVEY §2.6 Q1-Q7) over the derived transfers table —
+# TransferSpecs.java:10-29 semantics driven through the real pipeline.
+# ---------------------------------------------------------------------------
+
+
+def _q_transfers_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1/Q2/Q3: BETWEEN + >= + equality (TransferSpecs.java:10-29)."""
+    t = _pipeline(spark, sf_dir)["transfers"]
+    return t.filter(
+        F.col("amount").between(50_000, 200_000)
+        & (F.col("status") == "COMPLETED")
+        & (F.col("direction") == "INCOMING")
+    ).select(
+        "workflow_instance_key",
+        "transaction_id",
+        F.col("amount").cast("double").alias("amount"),
+        "currency",
+        F.unix_millis("started_at").alias("started_at_ms"),
+    )
+
+
+_TRANSFERS_RANGE_ORACLE = (
+    "WITH t AS (" + synthetic.TRANSFERS_ORACLE + ") "
+    + """
+SELECT workflow_instance_key, transaction_id, amount, currency, started_at_ms
+FROM t
+WHERE amount BETWEEN 50000 AND 200000
+  AND status = 'COMPLETED' AND direction = 'INCOMING'
+"""
+)
+
+
+def _q_transfer_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 TransferDetail: transfer ⋈ tasks ⋈ variables on the instance key
+    (entity/transfer/TransferDetail.java:9-12), aggregated to one row per
+    transfer so the result is order-insensitive."""
+    out = _pipeline(spark, sf_dir)
+    t = out["transfers"].select("workflow_instance_key", "transaction_id", "status")
+    tasks = out["tasks"].groupBy("workflow_instance_key").agg(
+        F.count(F.lit(1)).alias("n_tasks")
+    )
+    vars_ = out["variables"].groupBy("workflow_instance_key").agg(
+        F.count(F.lit(1)).alias("n_variables")
+    )
+    return (
+        t.join(tasks, "workflow_instance_key", "left")
+        .join(vars_, "workflow_instance_key", "left")
+        .select(
+            "workflow_instance_key",
+            "transaction_id",
+            "status",
+            F.coalesce("n_tasks", F.lit(0)).alias("n_tasks"),
+            F.coalesce("n_variables", F.lit(0)).alias("n_variables"),
+        )
+    )
+
+
+_TRANSFER_DETAIL_ORACLE = (
+    "WITH t AS (" + synthetic.TRANSFERS_ORACLE + "), "
+    + "tk AS (" + synthetic.TASKS_ORACLE + "), "
+    + "vr AS (" + synthetic.VARIABLES_ORACLE + ") "
+    + """
+SELECT t.workflow_instance_key, t.transaction_id, t.status,
+       COALESCE(tkc.n_tasks, 0) AS n_tasks,
+       COALESCE(vrc.n_variables, 0) AS n_variables
+FROM t
+LEFT JOIN (SELECT workflow_instance_key, count(*) AS n_tasks FROM tk GROUP BY 1) tkc
+  ON t.workflow_instance_key = tkc.workflow_instance_key
+LEFT JOIN (SELECT workflow_instance_key, count(*) AS n_variables FROM vr GROUP BY 1) vrc
+  ON t.workflow_instance_key = vrc.workflow_instance_key
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Analytics over the TPC-H-ish tables (north-star additions, SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_SUMMARY_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_REVENUE_BY_NATION_ORACLE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .select("p_partkey", "p_name", "total_qty", "n_orders")
+        .orderBy(F.col("total_qty").desc(), F.col("p_partkey"))
+        .limit(10)
+    )
+
+
+_TOP_PARTS_ORACLE = """
+SELECT p_partkey, p_name, total_qty, n_orders
+FROM (
+  SELECT l_partkey, round(sum(l_quantity), 2) AS total_qty, count(*) AS n_orders
+  FROM lineitem GROUP BY l_partkey
+) agg
+JOIN part ON l_partkey = p_partkey
+ORDER BY total_qty DESC, p_partkey
+LIMIT 10
+"""
+
+
+def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("event_type"),
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+_EVENTS_DAILY_ORACLE = """
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a >30min gap — classic
+    streaming-style correlation done with window functions in batch."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    with_gap = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = with_gap.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    )
+    sessions = sessions.withColumn("session_seq", F.col("session_seq").cast("long"))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+_USER_SESSIONS_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, CAST(sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM s GROUP BY 1, 2
+"""
+
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis basics: token count + char count per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+_DOC_STATS_ORACLE = r"""
+SELECT doc_id, lang,
+       length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       length(text) AS len_chars
+FROM documents
+"""
+
+
+def _q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: md5 groups, keeper = min doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text")).alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+_DOC_EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS content_hash, count(*) AS n_copies,
+       min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+from ph_ee_nats_importer_rdbms_spark.analytics import (  # noqa: E402
+    dedup as _dd,
+    multimodal as _mm,
+    similarity as _sim,
+    text as _tx,
+)
+
+QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "zeebe_transfers": (_q_transfers, synthetic.TRANSFERS_ORACLE),
+    "zeebe_transaction_requests": (
+        _q_transaction_requests,
+        synthetic.TRANSACTION_REQUESTS_ORACLE,
+    ),
+    "zeebe_batches": (_q_batches, synthetic.BATCHES_ORACLE),
+    "zeebe_variables": (_q_variables, synthetic.VARIABLES_ORACLE),
+    "zeebe_tasks": (_q_tasks, synthetic.TASKS_ORACLE),
+    "zeebe_routing": (_q_routing, synthetic.ROUTING_ORACLE),
+    "transfers_range_filter": (_q_transfers_range, _TRANSFERS_RANGE_ORACLE),
+    "transfer_detail_join": (_q_transfer_detail, _TRANSFER_DETAIL_ORACLE),
+    "pricing_summary": (_q_pricing_summary, _PRICING_SUMMARY_ORACLE),
+    "revenue_by_nation": (_q_revenue_by_nation, _REVENUE_BY_NATION_ORACLE),
+    "top_parts": (_q_top_parts, _TOP_PARTS_ORACLE),
+    "events_daily": (_q_events_daily, _EVENTS_DAILY_ORACLE),
+    "user_sessions": (_q_user_sessions, _USER_SESSIONS_ORACLE),
+    "doc_stats": (_q_doc_stats, _DOC_STATS_ORACLE),
+    "doc_exact_dedup": (_q_doc_exact_dedup, _DOC_EXACT_DEDUP_ORACLE),
+    # --- text analysis (analytics/text.py) ---
+    "token_counts": (_tx.q_token_counts, _tx.TOKEN_COUNTS_ORACLE),
+    "lang_id": (_tx.q_lang_id, _tx.LANG_ID_ORACLE),
+    "doc_quality": (_tx.q_quality, _tx.QUALITY_ORACLE),
+    "doc_fingerprints": (_tx.q_fingerprints, _tx.FINGERPRINTS_ORACLE),
+    # --- dedup (analytics/dedup.py) ---
+    "minhash_signatures": (_dd.q_minhash_signatures, _dd.MINHASH_SIGNATURES_ORACLE),
+    "minhash_dups": (_dd.q_minhash_dups, _dd.MINHASH_DUPS_ORACLE),
+    "simhash": (_dd.q_simhash, _dd.SIMHASH_ORACLE),
+    "simhash_dups": (_dd.q_simhash_dups, _dd.SIMHASH_DUPS_ORACLE),
+    "ngram_jaccard": (_dd.q_ngram_jaccard, _dd.NGRAM_JACCARD_ORACLE),
+    "embedding_dups": (_dd.q_embedding_dups, _dd.EMBEDDING_DUPS_ORACLE),
+    # --- similarity search (analytics/similarity.py) ---
+    "ann_bruteforce": (_sim.q_ann_bruteforce, _sim.ANN_BRUTEFORCE_ORACLE),
+    "ann_lsh": (_sim.q_ann_lsh, _sim.ANN_LSH_ORACLE),
+    # --- multimodal (analytics/multimodal.py) ---
+    "media_features": (_mm.q_media_features, _mm.MEDIA_FEATURES_ORACLE),
+    "media_summary": (_mm.q_media_summary, _mm.MEDIA_SUMMARY_ORACLE),
+}

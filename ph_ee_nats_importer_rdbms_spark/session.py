@@ -14,6 +14,30 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: Runtime-settable SQL confs every entry point needs regardless of who
+#: built the SparkSession (the driver harness builds its own).
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    # driver testdata stores TIMESTAMP(NANOS) parquet, which Spark does not
+    # read natively; surface as long + convert in sources.files
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply RUNTIME_CONF to an externally-built session (idempotent)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — static conf on some builds; keep going
+            pass
+    return spark
+
+
 def build_session(
     app_name: str = "ph-ee-spark",
     master: str | None = None,
@@ -32,6 +56,9 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # driver testdata stores TIMESTAMP(NANOS) parquet, which Spark does
+        # not read natively; surface as long + convert in sources.files
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,294 @@
+"""Structured Streaming wiring: stateful stage wrappers + multi-hop
+topology (see package docstring for the stage map).
+
+Each stage keys on a different column, and chaining arbitrary stateful
+operators inside one streaming query is not supported — so the pipeline is
+a standard multi-hop (bronze→silver→gold) DAG: every hop is its own
+checkpointed streaming query writing parquet, giving per-hop exactly-once
+and independent scaling. With ``availableNow`` triggers the same topology
+runs as an incremental batch (used by the tests); in production the hops
+run continuously.
+
+Scale notes: state lives in the Spark state store (RocksDB provider on a
+real cluster — set ``spark.sql.streaming.stateStore.providerClass``), hash
+partitioned by the stage key across executors; the Python reducers see one
+key group at a time. The reference holds all of this in single-JVM maps —
+the streaming port is what makes the same semantics horizontally
+shardable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ph_ee_nats_importer_rdbms_spark import schemas
+from ph_ee_nats_importer_rdbms_spark.operators.classify import (
+    DROPPED_VALUE_TYPES,
+    parse_envelope,
+    with_routing,
+)
+from ph_ee_nats_importer_rdbms_spark.streaming import state as sm
+
+_STATE_SCHEMA = StructType([StructField("blob", StringType(), True)])
+
+_FLAT_FIELDS = [
+    ("partition_id", LongType()),
+    ("position", LongType()),
+    ("key", LongType()),
+    ("timestamp", LongType()),
+    ("record_type", StringType()),
+    ("value_type", StringType()),
+    ("intent", StringType()),
+    ("bpmn_process_id", StringType()),
+    ("process_instance_key", LongType()),
+    ("process_definition_key", LongType()),
+    ("parent_process_instance_key", LongType()),
+    ("bpmn_element_type", StringType()),
+    ("element_id", StringType()),
+    ("name", StringType()),
+    ("value", StringType()),
+    ("job_type", StringType()),
+]
+
+_ROUTED_EXTRA = [
+    ("process_id", StringType()),
+    ("tenant", StringType()),
+    ("process_type", StringType()),
+    ("process_direction", StringType()),
+]
+
+FLAT_SCHEMA = StructType([StructField(n, t, True) for n, t in _FLAT_FIELDS])
+ROUTED_SCHEMA = StructType(
+    [StructField(n, t, True) for n, t in _FLAT_FIELDS + _ROUTED_EXTRA]
+)
+REKEYED_SCHEMA = StructType(
+    ROUTED_SCHEMA.fields
+    + [
+        StructField("effective_key", LongType(), True),
+        StructField("child_start", BooleanType(), True),
+    ]
+)
+
+#: Stage-3 output: typed change rows. ``payload`` is the row JSON; sinks
+#: re-type it per kind with from_json (schemas in sinks/jdbc.py).
+CHANGES_SCHEMA = StructType(
+    [
+        StructField("kind", StringType(), False),
+        StructField("workflow_instance_key", LongType(), True),
+        StructField("tenant", StringType(), True),
+        StructField("payload", StringType(), True),
+    ]
+)
+
+
+def _records(pdf: pd.DataFrame) -> list[dict]:
+    """pandas rows -> plain-python dicts (no numpy scalars, NaN -> None)."""
+    out = []
+    for rec in pdf.to_dict("records"):
+        clean = {}
+        for k, v in rec.items():
+            if v is None or (isinstance(v, float) and pd.isna(v)) or v is pd.NaT:
+                clean[k] = None
+            elif hasattr(v, "item"):  # numpy scalar
+                clean[k] = v.item()
+            else:
+                clean[k] = v
+        out.append(clean)
+    return out
+
+
+def _sorted_events(pdf_iter: Iterator[pd.DataFrame]) -> list[dict]:
+    pdf = pd.concat(list(pdf_iter), ignore_index=True)
+    pdf = pdf.sort_values(["timestamp", "position"], kind="mergesort")
+    return _records(pdf)
+
+
+def _columns(schema: StructType) -> list[str]:
+    return [f.name for f in schema.fields]
+
+
+# ---------------------------------------------------------------------------
+# Stage wrappers
+# ---------------------------------------------------------------------------
+
+
+def resolve_stage(events: DataFrame) -> DataFrame:
+    """C5: resolve empty bpmnProcessIds through per-definition-key state."""
+    cols = _columns(FLAT_SCHEMA)
+
+    def fn(key, pdf_iter, state: GroupState):
+        st = sm.ResolveState(**json.loads(state.get[0])) if state.exists else sm.ResolveState()
+        st, out = sm.resolve_step(st, _sorted_events(pdf_iter))
+        state.update((json.dumps({"resolved_bpmn": st.resolved_bpmn, "buffered": st.buffered}),))
+        yield pd.DataFrame(out, columns=cols)
+
+    filtered = events.filter(
+        ~F.col("value_type").isin(*DROPPED_VALUE_TYPES)
+    ).filter(
+        ~(
+            (F.col("bpmn_process_id").isNull() | (F.col("bpmn_process_id") == ""))
+            & F.col("process_definition_key").isNull()
+        )
+    )
+    return filtered.groupBy("process_definition_key").applyInPandasWithState(
+        fn, FLAT_SCHEMA, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def rekey_stage(routed: DataFrame) -> DataFrame:
+    """C4: add effective_key via per-instance call-activity link state."""
+    cols = _columns(REKEYED_SCHEMA)
+
+    def fn(key, pdf_iter, state: GroupState):
+        st = sm.RekeyState(parent_key=json.loads(state.get[0])["parent_key"]) if state.exists else sm.RekeyState()
+        st, out = sm.rekey_step(st, _sorted_events(pdf_iter))
+        state.update((json.dumps({"parent_key": st.parent_key}),))
+        yield pd.DataFrame(out, columns=cols)
+
+    return routed.groupBy("process_instance_key").applyInPandasWithState(
+        fn, REKEYED_SCHEMA, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def entity_stage(rekeyed: DataFrame) -> DataFrame:
+    """C1-C3/C6/D1-D4: per-effective-key entity state machine emitting
+    variable/task inserts + entity upsert snapshots."""
+    cols = _columns(CHANGES_SCHEMA)
+
+    def fn(key, pdf_iter, state: GroupState):
+        st = sm.EntityState.from_json(state.get[0]) if state.exists else sm.EntityState()
+        events = _sorted_events(pdf_iter)
+        tenant = next((e.get("tenant") for e in events if e.get("tenant")), None)
+        st, rows = sm.entity_step(st, events)
+        st.seq += 1
+        out = [
+            {
+                "kind": r.pop("kind"),
+                "workflow_instance_key": r.get("workflow_instance_key"),
+                "tenant": tenant,
+                "payload": json.dumps(r),
+            }
+            for r in rows
+        ]
+        snap = sm.entity_snapshot(key[0], st)
+        if snap is not None:
+            out.append(
+                {
+                    "kind": snap.pop("kind"),
+                    "workflow_instance_key": snap["workflow_instance_key"],
+                    "tenant": tenant,
+                    "payload": json.dumps(snap),
+                }
+            )
+        state.update((st.to_json(),))
+        yield pd.DataFrame(out, columns=cols)
+
+    return rekeyed.groupBy("effective_key").applyInPandasWithState(
+        fn, CHANGES_SCHEMA, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-hop topology
+# ---------------------------------------------------------------------------
+
+
+def read_raw_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Raw Zeebe envelope JSON strings from a file-drop directory — the
+    NATS-bridge ingestion pattern (sources/nats.py writes this layout)."""
+    return (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 64)
+        .load(source_dir)
+        .transform(parse_envelope)
+    )
+
+
+def run_multi_hop(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    registry: DataFrame | None = None,
+    available_now: bool = True,
+) -> dict[str, str]:
+    """Run the 3-hop pipeline over ``source_dir``; returns output paths.
+
+    Hops (each checkpointed, restart-safe, exactly-once into parquet):
+      resolved/  flat events after F1-F3 + C5
+      rekeyed/   + routing (F5/F6) + effective_key (C4)
+      changes/   typed change rows (variable/task inserts, entity upserts)
+    """
+    paths = {
+        n: os.path.join(work_dir, n) for n in ("resolved", "rekeyed", "changes")
+    }
+
+    def start(df: DataFrame, name: str):
+        w = (
+            df.writeStream.format("parquet")
+            .option("path", paths[name])
+            .option("checkpointLocation", os.path.join(work_dir, f"ckpt_{name}"))
+            .outputMode("append")
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    q1 = start(resolve_stage(read_raw_stream(spark, source_dir)), "resolved")
+    q1.awaitTermination()
+
+    resolved = spark.readStream.schema(FLAT_SCHEMA).parquet(paths["resolved"])
+    q2 = start(rekey_stage(with_routing(resolved, registry)), "rekeyed")
+    q2.awaitTermination()
+
+    rekeyed = spark.readStream.schema(REKEYED_SCHEMA).parquet(paths["rekeyed"])
+    q3 = start(entity_stage(rekeyed), "changes")
+    q3.awaitTermination()
+    return paths
+
+
+def materialize_tables(spark: SparkSession, changes_path: str) -> dict[str, DataFrame]:
+    """Fold the change log into the five output tables (upsert semantics:
+    the latest snapshot per instance wins; variables/tasks are appends).
+    In production this folding runs inside foreachBatch straight into JDBC
+    (sinks/jdbc.py); reading the parquet change log gives the same tables
+    for verification."""
+    ch = spark.read.schema(CHANGES_SCHEMA).parquet(changes_path)
+    # snapshots carry a per-key micro-batch sequence (_seq); the upsert fold
+    # is max_by(_seq) per key — exactly what a MERGE sink applies per batch.
+    ent = ch.filter(F.col("kind").isin("transfer", "transaction_request", "batch"))
+    latest = (
+        ent.withColumn("_seq", F.get_json_object("payload", "$._seq").cast("long"))
+        .groupBy("kind", "workflow_instance_key")
+        .agg(F.max_by("payload", F.col("_seq")).alias("payload"))
+    )
+    out: dict[str, DataFrame] = {}
+    for kind, plural in (
+        ("transfer", "transfers"),
+        ("transaction_request", "transaction_requests"),
+        ("batch", "batches"),
+    ):
+        out[plural] = latest.filter(F.col("kind") == kind).select(
+            "workflow_instance_key", "payload"
+        )
+    for kind, plural, schema in (
+        ("variable", "variables", schemas.VARIABLES_SCHEMA),
+        ("task", "tasks", schemas.TASKS_SCHEMA),
+    ):
+        rows = ch.filter(F.col("kind") == kind)
+        out[plural] = rows.select(
+            F.from_json("payload", schema).alias("r")
+        ).select("r.*")
+    return out
