@@ -77,12 +77,17 @@ def parse_envelope(raw_df: DataFrame, value_col: str = "value") -> DataFrame:
 def with_routing(
     events: DataFrame,
     registry: DataFrame | None = None,
+    resolve_definitions: bool = True,
 ) -> DataFrame:
     """F1-F3 + C5 + F5 + F6 over a flat event relation.
 
     Adds: ``tenant``, ``process_id`` (tenant-less), ``process_type``,
     ``process_direction``. Unroutable rows are dropped, mirroring the
     reference's early returns.
+
+    ``resolve_definitions=False`` skips the batch-mode C5 join — used by the
+    streaming pipeline, where resolution already happened in keyed state
+    (an unwatermarked aggregation is illegal mid-stream anyway).
     """
     spark = events.sparkSession
     registry = registry if registry is not None else cfg.registry_df(spark)
@@ -91,24 +96,25 @@ def with_routing(
 
     empty_bpmn = F.col("bpmn_process_id").isNull() | (F.col("bpmn_process_id") == "")
 
-    # C5 (batch form): definition-key -> bpmnProcessId dimension derived from
-    # the records that carry both, joined back to resolve the ones that don't.
-    # The reference replays buffered records once the mapping is learned
-    # (NatsConsumer.java:60-70,82-87); over a bounded batch the fixed point of
-    # that replay is exactly this join.
-    defs = (
-        ev.filter(~empty_bpmn & F.col("process_definition_key").isNotNull())
-        .groupBy("process_definition_key")
-        .agg(F.max_by("bpmn_process_id", F.struct("timestamp", "position")).alias(
-            "resolved_bpmn_process_id"
-        ))
-    )
-    ev = ev.join(defs, on="process_definition_key", how="left").withColumn(
-        "bpmn_process_id",
-        F.when(empty_bpmn, F.col("resolved_bpmn_process_id")).otherwise(
-            F.col("bpmn_process_id")
-        ),
-    ).drop("resolved_bpmn_process_id")
+    if resolve_definitions:
+        # C5 (batch form): definition-key -> bpmnProcessId dimension derived
+        # from the records that carry both, joined back to resolve the ones
+        # that don't. The reference replays buffered records once the mapping
+        # is learned (NatsConsumer.java:60-70,82-87); over a bounded batch the
+        # fixed point of that replay is exactly this join.
+        defs = (
+            ev.filter(~empty_bpmn & F.col("process_definition_key").isNotNull())
+            .groupBy("process_definition_key")
+            .agg(F.max_by("bpmn_process_id", F.struct("timestamp", "position")).alias(
+                "resolved_bpmn_process_id"
+            ))
+        )
+        ev = ev.join(defs, on="process_definition_key", how="left").withColumn(
+            "bpmn_process_id",
+            F.when(empty_bpmn, F.col("resolved_bpmn_process_id")).otherwise(
+                F.col("bpmn_process_id")
+            ),
+        ).drop("resolved_bpmn_process_id")
 
     # F3: still unroutable after resolution -> drop.
     ev = ev.filter(

@@ -201,6 +201,60 @@ def _q_transfer_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_instance_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 key lookups (findByWorkflowInstanceKey across the five repos,
+    TransferRepository.java:8 et al.): point-reads by the natural key. At
+    scale this is a partition-pruned / min-max-skipped parquet read — the
+    predicate reaches the scan (PushedFilters)."""
+    out = _pipeline(spark, sf_dir)
+    keys = [2040, 4690, 10000]
+    v = out["variables"].filter(F.col("workflow_instance_key").isin(keys))
+    return v.groupBy("workflow_instance_key").agg(
+        F.count(F.lit(1)).alias("n_variables"),
+        F.min("timestamp").alias("first_ts"),
+        F.max("timestamp").alias("last_ts"),
+    )
+
+
+_INSTANCE_LOOKUP_ORACLE = (
+    "WITH v AS (" + synthetic.VARIABLES_ORACLE + ") "
+    + """
+SELECT workflow_instance_key, count(*) AS n_variables,
+       min(timestamp) AS first_ts, max(timestamp) AS last_ts
+FROM v WHERE workflow_instance_key IN (2040, 4690, 10000)
+GROUP BY 1
+"""
+)
+
+
+def _q_tenant_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 tenant config lookup (findOneBySchemaName,
+    TenantServerConnectionRepository.java:27) driven through the routed
+    stream: per-tenant instance counts — the query the routing sink runs to
+    size per-tenant writes."""
+    from ph_ee_nats_importer_rdbms_spark.operators.classify import with_routing
+
+    routed = with_routing(zeebe_events_df(spark, sf_dir))
+    return (
+        routed.filter(F.col("tenant") == "tn1")
+        .groupBy("tenant")
+        .agg(
+            F.countDistinct("process_instance_key").alias("n_instances"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_TENANT_LOOKUP_ORACLE = (
+    "WITH " + synthetic.oracle_with_clause()
+    + """
+SELECT tenant, count(DISTINCT process_instance_key) AS n_instances,
+       count(*) AS n_events
+FROM routed WHERE tenant = 'tn1' GROUP BY 1
+"""
+)
+
+
 _TRANSFER_DETAIL_ORACLE = (
     "WITH t AS (" + synthetic.TRANSFERS_ORACLE + "), "
     + "tk AS (" + synthetic.TASKS_ORACLE + "), "
@@ -430,6 +484,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "zeebe_routing": (_q_routing, synthetic.ROUTING_ORACLE),
     "transfers_range_filter": (_q_transfers_range, _TRANSFERS_RANGE_ORACLE),
     "transfer_detail_join": (_q_transfer_detail, _TRANSFER_DETAIL_ORACLE),
+    "instance_lookup": (_q_instance_lookup, _INSTANCE_LOOKUP_ORACLE),
+    "tenant_lookup": (_q_tenant_lookup, _TENANT_LOOKUP_ORACLE),
     "pricing_summary": (_q_pricing_summary, _PRICING_SUMMARY_ORACLE),
     "revenue_by_nation": (_q_revenue_by_nation, _REVENUE_BY_NATION_ORACLE),
     "top_parts": (_q_top_parts, _TOP_PARTS_ORACLE),

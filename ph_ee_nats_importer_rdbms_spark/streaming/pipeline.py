@@ -183,7 +183,7 @@ def entity_stage(rekeyed: DataFrame) -> DataFrame:
             }
             for r in rows
         ]
-        snap = sm.entity_snapshot(key[0], st)
+        snap = sm.entity_snapshot(int(key[0]), st)
         if snap is not None:
             out.append(
                 {
@@ -206,12 +206,16 @@ def entity_stage(rekeyed: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def read_raw_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def read_raw_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 64
+) -> DataFrame:
     """Raw Zeebe envelope JSON strings from a file-drop directory — the
-    NATS-bridge ingestion pattern (sources/nats.py writes this layout)."""
+    NATS-bridge ingestion pattern (sources/nats.py writes this layout).
+    ``max_files_per_trigger`` bounds micro-batch size (tests set 1 to force
+    cross-batch state handoff)."""
     return (
         spark.readStream.format("text")
-        .option("maxFilesPerTrigger", 64)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(source_dir)
         .transform(parse_envelope)
     )
@@ -223,6 +227,7 @@ def run_multi_hop(
     work_dir: str,
     registry: DataFrame | None = None,
     available_now: bool = True,
+    max_files_per_trigger: int = 64,
 ) -> dict[str, str]:
     """Run the 3-hop pipeline over ``source_dir``; returns output paths.
 
@@ -246,11 +251,17 @@ def run_multi_hop(
             w = w.trigger(availableNow=True)
         return w.start()
 
-    q1 = start(resolve_stage(read_raw_stream(spark, source_dir)), "resolved")
+    q1 = start(
+        resolve_stage(read_raw_stream(spark, source_dir, max_files_per_trigger)),
+        "resolved",
+    )
     q1.awaitTermination()
 
     resolved = spark.readStream.schema(FLAT_SCHEMA).parquet(paths["resolved"])
-    q2 = start(rekey_stage(with_routing(resolved, registry)), "rekeyed")
+    q2 = start(
+        rekey_stage(with_routing(resolved, registry, resolve_definitions=False)),
+        "rekeyed",
+    )
     q2.awaitTermination()
 
     rekeyed = spark.readStream.schema(REKEYED_SCHEMA).parquet(paths["rekeyed"])

@@ -1,0 +1,77 @@
+"""Sink (JDBC upsert/tenant routing) and source (NATS bridge file plumbing)
+tests. No database / broker in the container, so the executor is a
+recording fake — statement generation, batching, tenant fan-out, and
+drop-file rotation are what is under test.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from ph_ee_nats_importer_rdbms_spark.sinks import jdbc
+from ph_ee_nats_importer_rdbms_spark.sources.nats import NatsFileBridge
+from ph_ee_nats_importer_rdbms_spark.streaming.pipeline import CHANGES_SCHEMA
+
+
+def test_upsert_sql_shapes():
+    s = jdbc.upsert_sql("ph_transfers")
+    assert s.startswith("INSERT INTO ph_transfers (workflow_instance_key")
+    assert "ON DUPLICATE KEY UPDATE" in s
+    assert "workflow_instance_key = VALUES" not in s  # key never updated
+    assert jdbc.upsert_sql("ph_variables").startswith("INSERT INTO ph_variables")
+    assert "ON DUPLICATE" not in jdbc.upsert_sql("ph_variables")  # append-only
+
+
+def test_rows_to_statements_batches_at_1000():
+    rows = [("variable", {"workflow_instance_key": i, "name": "x"}) for i in range(2500)]
+    stmts = jdbc.rows_to_statements(rows)
+    assert [len(batch) for _, batch in stmts] == [1000, 1000, 500]
+
+
+def test_foreach_batch_routes_per_tenant(spark):
+    calls: list[tuple[str, int]] = []
+
+    def executor(url, statements):
+        calls.append((url, sum(len(b) for _, b in statements)))
+
+    resolve = jdbc.tenant_url_resolver(
+        {"tn01": "jdbc:mysql://db1/tn01", "tn02": "jdbc:mysql://db2/tn02"}
+    )
+    write = jdbc.changes_foreach_batch(resolve, executor)
+
+    rows = [
+        ("transfer", 1, "tn01", json.dumps({"workflow_instance_key": 1, "amount": 5})),
+        ("variable", 1, "tn01", json.dumps({"workflow_instance_key": 1, "name": "a"})),
+        ("transfer", 2, "tn02", json.dumps({"workflow_instance_key": 2})),
+        ("transfer", 3, "ghost", json.dumps({"workflow_instance_key": 3})),  # unroutable
+    ]
+    batch = spark.createDataFrame(rows, CHANGES_SCHEMA)
+    write(batch, 0)
+
+    assert sorted(calls) == [("jdbc:mysql://db1/tn01", 2), ("jdbc:mysql://db2/tn02", 1)]
+
+
+def test_bridge_rotation_atomic(tmp_path):
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    b = NatsFileBridge(drop, rotate_messages=3, rotate_seconds=9999)
+    for i in range(7):
+        b.append(json.dumps({"n": i}))
+    b.flush()
+    files = sorted(f for f in os.listdir(drop) if f.endswith(".jsonl"))
+    assert len(files) == 3  # 3 + 3 + 1
+    lines = []
+    for f in files:
+        lines += open(os.path.join(drop, f)).read().splitlines()
+    assert [json.loads(ln)["n"] for ln in lines] == list(range(7))
+    assert os.listdir(os.path.join(drop, "_tmp")) == []  # nothing partial
+
+
+def test_bridge_run_raises_without_client(tmp_path):
+    b = NatsFileBridge(str(tmp_path))
+    try:
+        b.run()
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass

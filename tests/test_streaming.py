@@ -1,0 +1,274 @@
+"""Streaming pipeline tests: state-machine unit tests (no Spark) + a
+multi-hop end-to-end run compared against the batch pipeline on the same
+corpus — the batch fixed point IS the specification for the final tables.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from ph_ee_nats_importer_rdbms_spark.streaming import state as sm
+from tests.zeebe_fixtures import (
+    CHANNEL_REQUEST,
+    escaped_json,
+    flat_event,
+    job_event,
+    process_event,
+    to_df,
+    variable_event,
+)
+
+# ---------------------------------------------------------------------------
+# State machine unit tests (pure Python, fast)
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_buffers_until_definition_known():
+    st = sm.ResolveState()
+    ev_unres = {"bpmn_process_id": "", "name": "amount", "timestamp": 1}
+    st, out = sm.resolve_step(st, [ev_unres])
+    assert out == [] and len(st.buffered) == 1
+    carrier = {"bpmn_process_id": "flow-tn01", "timestamp": 2}
+    st, out = sm.resolve_step(st, [carrier])
+    # buffered event replays first, with the learned id
+    assert [e.get("bpmn_process_id") for e in out] == ["flow-tn01", "flow-tn01"]
+    assert st.buffered == [] and st.resolved_bpmn == "flow-tn01"
+    # later unresolved events pass straight through
+    st, out = sm.resolve_step(st, [dict(ev_unres)])
+    assert out[0]["bpmn_process_id"] == "flow-tn01"
+
+
+def test_rekey_child_lifecycle():
+    st = sm.RekeyState()
+    act = {
+        "value_type": "PROCESS_INSTANCE", "bpmn_element_type": "PROCESS",
+        "intent": "ELEMENT_ACTIVATING", "process_instance_key": 77,
+        "parent_process_instance_key": 70,
+    }
+    var = {"value_type": "VARIABLE", "process_instance_key": 77, "name": "x"}
+    done = {
+        "value_type": "PROCESS_INSTANCE", "bpmn_element_type": "PROCESS",
+        "intent": "ELEMENT_COMPLETED", "process_instance_key": 77,
+    }
+    st, out = sm.rekey_step(st, [act, var, done])
+    assert [e["effective_key"] for e in out] == [70, 70, 70]
+    assert out[0]["child_start"] is True
+    assert st.parent_key is None  # completion popped the link
+    # post-completion events are NOT re-keyed (map was popped)
+    st, out = sm.rekey_step(st, [dict(var)])
+    assert out[0]["effective_key"] == 77
+
+
+def test_entity_d1_d3_d4_semantics():
+    st = sm.EntityState()
+    mk = lambda ts, name, value: {
+        "value_type": "VARIABLE", "process_instance_key": 9, "timestamp": ts,
+        "name": name, "value": value, "process_type": "TRANSFER",
+        "process_definition_key": 1,
+    }
+    start = {
+        "value_type": "PROCESS_INSTANCE", "bpmn_element_type": "PROCESS",
+        "intent": "ELEMENT_ACTIVATING", "process_instance_key": 9,
+        "timestamp": 5, "process_type": "TRANSFER",
+        "process_direction": "INCOMING", "process_definition_key": 1,
+    }
+    end = dict(start, intent="ELEMENT_COMPLETED", timestamp=30)
+    st, out = sm.entity_step(
+        st,
+        [
+            start,
+            mk(10, "amount", '"5.00"'),
+            mk(10, "amount", '"9.99"'),   # D1: same ts -> dropped
+            mk(20, "amount", '"7.00"'),   # newer ts -> wins
+            dict(start, timestamp=25),     # D3: second start ignored
+            end,
+            dict(end, timestamp=40),       # D4: second completion ignored
+        ],
+    )
+    assert st.entity["amount"] == 7.0
+    assert st.entity["started_at"] == 5 and st.entity["completed_at"] == 30
+    assert st.entity["status"] == "COMPLETED"
+    assert st.entity["direction"] == "INCOMING"
+    # two accepted variable rows (D1 kept ts=10 once and ts=20)
+    assert [r["timestamp"] for r in out if r["kind"] == "variable"] == [10, 20]
+
+
+def test_entity_task_dedup_and_null_type_guard():
+    st = sm.EntityState()
+    job = lambda intent, ts, jt="svc": {
+        "value_type": "JOB", "process_instance_key": 3, "timestamp": ts,
+        "element_id": "T1", "intent": intent, "job_type": jt,
+        "record_type": "EVENT", "process_type": "TRANSFER",
+        "process_definition_key": 1,
+    }
+    st, out = sm.entity_step(
+        st, [job("CREATED", 1), job("CREATED", 2), job("COMPLETED", 3),
+             job("FAILED", 4, jt=None)]
+    )
+    kinds = [(r["intent"]) for r in out if r["kind"] == "task"]
+    assert kinds == ["CREATED", "COMPLETED"]  # dup CREATED + null-type dropped
+
+
+def test_entity_mapper_interpretation_matches_condition_gates():
+    st = sm.EntityState()
+    start = {
+        "value_type": "PROCESS_INSTANCE", "bpmn_element_type": "PROCESS",
+        "intent": "ELEMENT_ACTIVATING", "process_instance_key": 4,
+        "timestamp": 1, "process_type": "TRANSFER",
+        "process_direction": "INCOMING", "process_definition_key": 1,
+    }
+    lqr = {
+        "value_type": "VARIABLE", "process_instance_key": 4, "timestamp": 2,
+        "name": "localQuoteResponse", "value": escaped_json(
+            {"fspFee": {"amount": "1.25", "currency": "USD"}, "quoteCode": "Q-7"}
+        ),
+        "process_type": "TRANSFER", "process_definition_key": 1,
+    }
+    st, _ = sm.entity_step(st, [start, lqr])
+    # INCOMING direction -> payee_* fields set, payer_* untouched
+    assert st.entity["payee_fee"] == 1.25
+    assert st.entity["payee_quote_code"] == "Q-7"
+    assert "payer_fee" not in st.entity
+
+
+# ---------------------------------------------------------------------------
+# End-to-end multi-hop streaming vs batch pipeline
+# ---------------------------------------------------------------------------
+
+
+def _corpus() -> list[dict]:
+    """A corpus exercising C4 (call activity), C5 (unresolved bpmn), D1-D4,
+    and all three entity types."""
+    ev = []
+    # transfer with call-activity child (parent 100, child 101)
+    ev += [
+        process_event(100, "ELEMENT_ACTIVATING", 1_000),
+        variable_event(100, "transactionId", '"tx-A"', 2_000),
+        variable_event(100, "channelRequest", escaped_json(CHANNEL_REQUEST), 2_500),
+        process_event(101, "ELEMENT_ACTIVATING", 3_000, parent=100, definition=5002),
+        variable_event(101, "amount", '"77.70"', 3_500, definition=5002),
+        process_event(101, "ELEMENT_COMPLETED", 4_000, parent=100, definition=5002),
+        job_event(100, "svc-a", "T1", "CREATED", 4_200),
+        job_event(100, "svc-a", "T1", "CREATED", 4_300),  # D2 dup
+        process_event(100, "ELEMENT_COMPLETED", 5_000),
+    ]
+    # C5: variable arrives with empty bpmn BEFORE any carrier of def 6001
+    ev += [
+        variable_event(200, "batchId", '"B-9"', 6_000, bpmn="", definition=6001),
+        process_event(200, "ELEMENT_ACTIVATING", 7_000, bpmn="bulk_processor-tn02", definition=6001),
+        variable_event(200, "fileName", '"f.csv"', 7_500, bpmn="bulk_processor-tn02", definition=6001),
+    ]
+    # transaction request with same-ts D1 duplicate
+    ev += [
+        process_event(300, "ELEMENT_ACTIVATING", 8_000, bpmn="mpesa_flow-tn03", definition=7001),
+        variable_event(300, "transactionId", '"tr-1"', 9_000, bpmn="mpesa_flow-tn03", definition=7001),
+        variable_event(300, "transactionId", '"tr-2"', 9_000, bpmn="mpesa_flow-tn03", definition=7001, position=999_999),
+        variable_event(300, "transactionState", '"ACCEPTED"', 9_500, bpmn="mpesa_flow-tn03", definition=7001),
+    ]
+    return ev
+
+
+def _raw_json(flat: dict) -> str:
+    """Inverse of parse_envelope: flat fixture row -> Zeebe 1.x envelope."""
+    value: dict = {}
+    for src, dst in (
+        ("bpmn_process_id", "bpmnProcessId"),
+        ("process_instance_key", "processInstanceKey"),
+        ("process_definition_key", "processDefinitionKey"),
+        ("parent_process_instance_key", "parentProcessInstanceKey"),
+        ("bpmn_element_type", "bpmnElementType"),
+        ("element_id", "elementId"),
+        ("name", "name"),
+        ("job_type", "type"),
+    ):
+        if flat.get(src) is not None:
+            value[dst] = flat[src]
+    if flat.get("value") is not None:
+        # the raw variable value string, exactly as the fixture stored it
+        value["value"] = flat["value"]
+    env = {
+        "partitionId": flat.get("partition_id"),
+        "position": flat.get("position"),
+        "key": flat.get("key"),
+        "timestamp": flat.get("timestamp"),
+        "recordType": flat.get("record_type"),
+        "valueType": flat.get("value_type"),
+        "intent": flat.get("intent"),
+        "value": value,
+    }
+    return json.dumps(env)
+
+
+def test_multi_hop_matches_batch(spark, tmp_path):
+    from ph_ee_nats_importer_rdbms_spark.operators.classify import parse_envelope
+    from ph_ee_nats_importer_rdbms_spark.operators.pipeline import run_import_pipeline
+    from ph_ee_nats_importer_rdbms_spark.streaming import pipeline as sp
+
+    corpus = _corpus()
+
+    # three file drops -> with maxFilesPerTrigger=1, three micro-batches,
+    # so C4/C5 state must survive across batches
+    src = tmp_path / "events"
+    src.mkdir()
+    chunks = [corpus[0:6], corpus[6:12], corpus[12:]]
+    for i, chunk in enumerate(chunks):
+        (src / f"drop_{i}.jsonl").write_text(
+            "\n".join(_raw_json(e) for e in chunk) + "\n"
+        )
+
+    paths = sp.run_multi_hop(
+        spark, str(src), str(tmp_path / "work"), max_files_per_trigger=1
+    )
+    got = sp.materialize_tables(spark, paths["changes"])
+
+    # batch reference on the same events — via the raw-JSON parse path too
+    raw_df = spark.createDataFrame(
+        [(_raw_json(e),) for e in corpus], "value string"
+    )
+    want = run_import_pipeline(parse_envelope(raw_df))
+
+    # --- transfers: parent 100 carries the child's amount (C4) ---
+    t_want = {r["workflow_instance_key"]: r.asDict() for r in want["transfers"].collect()}
+    t_got = {
+        r["workflow_instance_key"]: json.loads(r["payload"])
+        for r in got["transfers"].collect()
+    }
+    assert set(t_got) == set(t_want) == {100}
+    w, g = t_want[100], t_got[100]
+    assert float(g["amount"]) == float(w["amount"]) == 77.70
+    assert g["status"] == w["status"] == "COMPLETED"
+    assert g["transaction_id"] == w["transaction_id"] == "tx-A"
+    assert g["direction"] == w["direction"]
+    # the child's COMPLETED (ts 4000) re-keys to the parent and wins first-
+    # completion (D4); the parent's own COMPLETED at 5000 is then dropped —
+    # same as the batch min() and the reference's idempotent transferEnded
+    assert g["started_at"] == 1_000 and g["completed_at"] == 4_000
+    import pyspark.sql.functions as _F
+    w_ms = want["transfers"].select(
+        _F.unix_millis("completed_at").alias("ms")
+    ).collect()[0]["ms"]
+    assert w_ms == g["completed_at"]
+
+    # --- batches: C5 resolution routed instance 200 to BATCH ---
+    b_got = {
+        r["workflow_instance_key"]: json.loads(r["payload"])
+        for r in got["batches"].collect()
+    }
+    assert b_got[200]["batch_id"] == "B-9"
+    assert b_got[200]["request_file"] == "f.csv"
+
+    # --- transaction requests: D1 kept tr-1; INCOMING state applied ---
+    tr_got = {
+        r["workflow_instance_key"]: json.loads(r["payload"])
+        for r in got["transaction_requests"].collect()
+    }
+    assert tr_got[300]["transaction_id"] == "tr-1"
+    assert tr_got[300]["state"] == "ACCEPTED"
+
+    # --- event logs match the batch tables exactly ---
+    for name in ("variables", "tasks"):
+        wv = {tuple(r) for r in want[name].collect()}
+        gv = {tuple(r) for r in got[name].select(*want[name].columns).collect()}
+        assert gv == wv, f"{name} mismatch"
