@@ -61,7 +61,7 @@ from ph_ee_nats_importer_rdbms_spark.functions.scalars import (
     bool_to_transfer_status,
     epoch_ms_to_ts,
     iso_to_ts,
-    jget,
+    payload_json,
     strip_quotes,
     to_money,
 )
@@ -76,17 +76,26 @@ class FieldSpec:
     cond: str | None = None
 
 
-def extract_col(spec: FieldSpec, value: Column) -> Column:
-    """Batch interpretation of ``spec.op`` as a Column over the raw value."""
+def extract_col(
+    spec: FieldSpec, value: Column, payload: Column | None = None
+) -> Column:
+    """Batch interpretation of ``spec.op`` as a Column over the raw value.
+
+    ``payload`` is the pre-normalized JSON form of the value (see
+    ``scalars.payload_json``) computed ONCE per row; passing it keeps the
+    per-spec expression trees small — inlining the normalization into all
+    ~46 specs multiplies both Catalyst analysis time and runtime regex
+    work."""
     tag, *args = spec.op
+    pj = payload if payload is not None else payload_json(value)
     if tag == "json":
-        return jget(value, args[0])
+        return F.get_json_object(pj, args[0])
     if tag == "json_money":
-        return jget(value, args[0]).cast("decimal(19,4)")
+        return F.get_json_object(pj, args[0]).cast("decimal(19,4)")
     if tag == "json_default":
-        return F.coalesce(jget(value, args[0]), F.lit(args[1]))
+        return F.coalesce(F.get_json_object(pj, args[0]), F.lit(args[1]))
     if tag == "json_iso_ts":
-        return iso_to_ts(jget(value, args[0]))
+        return iso_to_ts(F.get_json_object(pj, args[0]))
     if tag == "strip":
         return strip_quotes(value)
     if tag == "money":
@@ -276,6 +285,11 @@ def pivot_entity_fields(
     for s in specs:
         by_target.setdefault(s.target, []).append(s)
 
+    # normalize the (possibly escaped) JSON payload ONCE per row; every
+    # json-op spec reads this single column instead of inlining the
+    # normalization regex chain ~46 times into the plan
+    variables = variables.withColumn("payload", payload_json(F.col("value")))
+
     ord_ = F.struct(F.col("timestamp"), F.col("position"))
     aggs: list[Column] = [
         F.count(F.lit(1)).alias("known_variable_events"),
@@ -290,7 +304,9 @@ def pivot_entity_fields(
                 gate = F.col("name") == s.variable
                 if s.cond is not None:
                     gate = gate & F.coalesce(_cond_col(s.cond), F.lit(False))
-                expr = F.when(gate, extract_col(s, F.col("value"))).otherwise(expr)
+                expr = F.when(
+                    gate, extract_col(s, F.col("value"), F.col("payload"))
+                ).otherwise(expr)
             return expr
 
         cols = []

@@ -27,13 +27,28 @@ from ph_ee_nats_importer_rdbms_spark.operators.classify import with_routing
 def run_import_pipeline(
     events: DataFrame,
     registry: DataFrame | None = None,
+    cache: bool = True,
 ) -> dict[str, DataFrame]:
     """``events`` is a flat event relation (schemas.FLAT_EVENT_SCHEMA shape,
-    e.g. from classify.parse_envelope). Returns the five output tables."""
+    e.g. from classify.parse_envelope). Returns the five output tables.
+
+    ``cache`` stages the two relations every output re-reads (the routed
+    event stream and the D1-deduped variable stream) via an eager
+    ``localCheckpoint``: this both avoids re-executing the source scan and
+    C5 resolution shuffle per output subtree AND truncates the logical
+    plan, keeping Catalyst analysis of the ~8 downstream subtrees O(small)
+    instead of O(full source plan each). At cluster scale the equivalent is
+    staging to a table once (the streaming path does exactly that with its
+    multi-hop parquet layers); use ``reliableCheckpoint``/Delta there if
+    executor loss matters."""
     routed = with_routing(events, registry)
+    if cache:
+        routed = routed.localCheckpoint(eager=True)
     # D1-deduped variable stream — the reference drops duplicates before the
     # entity mappers ever see them (RecordParser.java:137-145)
     routed_vars = event_tables.variables_deduped(routed)
+    if cache:
+        routed_vars = routed_vars.localCheckpoint(eager=True)
 
     proc = lifecycle.process_events(routed)
     links = lifecycle.parent_links(proc)

@@ -1,0 +1,114 @@
+"""Analytics operator tests at sf0.001 — invariants that hold regardless
+of corpus content (the DuckDB oracle gate covers exact values; these pin
+the algebraic properties the operators promise).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ph_ee_nats_importer_rdbms_spark.analytics import dedup, similarity, text
+from ph_ee_nats_importer_rdbms_spark.analytics.multimodal import (
+    extract_features,
+    media_table,
+)
+from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
+
+
+@pytest.fixture(scope="module")
+def n_docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").count()
+
+
+def test_minhash_signature_bounds(spark, sf_dir, n_docs):
+    sigs = dedup.minhash_signatures(spark, sf_dir)
+    assert sigs.count() == n_docs
+    row = sigs.agg(
+        *[F.min(f"sig_{j}").alias(f"lo{j}") for j in range(12)],
+        *[F.max(f"sig_{j}").alias(f"hi{j}") for j in range(12)],
+    ).collect()[0]
+    for j in range(12):
+        assert 0 <= row[f"lo{j}"] <= row[f"hi{j}"] < dedup.MINHASH_PRIME
+
+
+def test_minhash_dups_are_symmetric_free_and_above_threshold(spark, sf_dir):
+    dups = dedup.q_minhash_dups(spark, sf_dir).collect()
+    assert len(dups) > 0  # corpus contains planted near-dups
+    for r in dups:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["jaccard"] >= dedup.JACCARD_THRESHOLD
+
+
+def test_simhash_near_dup_recall_vs_bruteforce(spark, sf_dir):
+    """The band join must find EVERY pair within the Hamming radius
+    (pigeonhole guarantee) — verify against a driver-side brute force."""
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash_table(spark, sf_dir).collect()}
+    want = {
+        (a, b)
+        for a in sh
+        for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= dedup.SIMHASH_MAX_HAMMING
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.q_simhash_dups(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_ann_bruteforce_topk_shape(spark, sf_dir):
+    res = similarity.q_ann_bruteforce(spark, sf_dir)
+    rows = res.collect()
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r["query_id"], []).append(r)
+    assert set(per_query) == set(range(similarity.N_QUERIES))
+    for q, rs in per_query.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, similarity.TOP_K + 1))
+        cos = [r["cosine"] for r in rs]
+        assert cos == sorted(cos, reverse=True)
+        assert all(r["vec_id"] != q for r in rs)
+
+
+def test_ann_lsh_is_subset_of_bruteforce_candidates(spark, sf_dir):
+    """LSH results are drawn from the same scored universe; any neighbor LSH
+    returns must score <= the brute-force best at the same rank."""
+    bf = {
+        (r["query_id"], r["rank"]): r["cosine"]
+        for r in similarity.q_ann_bruteforce(spark, sf_dir).collect()
+    }
+    for r in similarity.q_ann_lsh(spark, sf_dir).collect():
+        assert r["cosine"] <= bf[(r["query_id"], 1)] + 1e-9
+
+
+def test_lang_id_covers_all_docs_with_known_labels(spark, sf_dir, n_docs):
+    res = text.q_lang_id(spark, sf_dir)
+    assert res.count() == n_docs
+    preds = {r["predicted_lang"] for r in res.select("predicted_lang").distinct().collect()}
+    assert preds <= set(text.LANG_LEXICONS) | {"und"}
+
+
+def test_quality_score_in_unit_interval(spark, sf_dir):
+    res = text.q_quality(spark, sf_dir)
+    row = res.agg(
+        F.min("quality_score").alias("lo"), F.max("quality_score").alias("hi")
+    ).collect()[0]
+    assert 0.0 <= row["lo"] <= row["hi"] <= 1.0
+
+
+def test_fingerprints_sampled_mod(spark, sf_dir):
+    fp = text.q_fingerprints(spark, sf_dir)
+    bad = fp.filter(F.col("fingerprint") % text.FINGERPRINT_MOD != 0).count()
+    assert bad == 0 and fp.count() > 0
+
+
+def test_media_features_deterministic_fake_decode(spark, sf_dir, n_docs):
+    feats = extract_features(media_table(spark, sf_dir))
+    rows = feats.collect()
+    assert len(rows) == n_docs
+    for r in rows[:20]:
+        assert r["n_bytes"] > 0 and len(r["content_md5"]) == 32
+        for i in range(4):
+            assert 0.0 <= r[f"feat_{i}"] <= 1.0
