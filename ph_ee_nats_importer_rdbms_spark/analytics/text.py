@@ -235,8 +235,12 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes so output stays bounded at scale."""
     d = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    with_norm = d.select("doc_id", norm.alias("norm")).filter(
-        F.length("norm") >= FINGERPRINT_K
+    # checkpoint = optimizer barrier: without it CollapseProject inlines the
+    # regexp_replace into every per-gram substring (O(len²) per doc)
+    with_norm = (
+        d.select("doc_id", norm.alias("norm"))
+        .filter(F.length("norm") >= FINGERPRINT_K)
+        .localCheckpoint(eager=False)
     )
     exploded = with_norm.select(
         "doc_id",

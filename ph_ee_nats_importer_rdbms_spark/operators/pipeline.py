@@ -44,6 +44,14 @@ def run_import_pipeline(
     routed = with_routing(events, registry)
     if cache:
         routed = routed.localCheckpoint(eager=True)
+    return run_import_pipeline_routed(routed, cache=cache)
+
+
+def run_import_pipeline_routed(
+    routed: DataFrame, cache: bool = True
+) -> dict[str, DataFrame]:
+    """The pipeline from an already-routed (and ideally staged) event
+    relation — lets callers that keep their own staged copy share it."""
     # D1-deduped variable stream — the reference drops duplicates before the
     # entity mappers ever see them (RecordParser.java:137-145)
     routed_vars = event_tables.variables_deduped(routed)

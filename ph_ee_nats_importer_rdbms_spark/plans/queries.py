@@ -23,7 +23,6 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ph_ee_nats_importer_rdbms_spark.operators.pipeline import run_import_pipeline
 from ph_ee_nats_importer_rdbms_spark.plans import synthetic
 from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
 
@@ -37,6 +36,22 @@ def zeebe_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(synthetic.spark_events_sql())
 
 
+_ROUTED_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The routed event stream, staged once per (session, sf_dir) — shared
+    by the routing/tenant queries so they don't re-derive the corpus."""
+    from ph_ee_nats_importer_rdbms_spark.operators.classify import with_routing
+
+    key = (id(spark), sf_dir)
+    if key not in _ROUTED_CACHE:
+        _ROUTED_CACHE[key] = with_routing(
+            zeebe_events_df(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+    return _ROUTED_CACHE[key]
+
+
 _PIPELINE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
@@ -46,9 +61,13 @@ def _pipeline(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     many times' — the first query pays the import, the rest read the
     persisted relations (exactly what the JDBC/parquet sink gives a real
     deployment)."""
+    from ph_ee_nats_importer_rdbms_spark.operators.pipeline import (
+        run_import_pipeline_routed,
+    )
+
     key = (id(spark), sf_dir)
     if key not in _PIPELINE_CACHE:
-        _PIPELINE_CACHE[key] = run_import_pipeline(zeebe_events_df(spark, sf_dir))
+        _PIPELINE_CACHE[key] = run_import_pipeline_routed(_routed(spark, sf_dir))
     return _PIPELINE_CACHE[key]
 
 
@@ -146,10 +165,7 @@ def _q_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ph_ee_nats_importer_rdbms_spark.operators.classify import with_routing
-
-    routed = with_routing(zeebe_events_df(spark, sf_dir))
-    return routed.groupBy("tenant", "process_type").agg(
+    return _routed(spark, sf_dir).groupBy("tenant", "process_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
 
@@ -243,11 +259,8 @@ def _q_tenant_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     TenantServerConnectionRepository.java:27) driven through the routed
     stream: per-tenant instance counts — the query the routing sink runs to
     size per-tenant writes."""
-    from ph_ee_nats_importer_rdbms_spark.operators.classify import with_routing
-
-    routed = with_routing(zeebe_events_df(spark, sf_dir))
     return (
-        routed.filter(F.col("tenant") == "tn1")
+        _routed(spark, sf_dir).filter(F.col("tenant") == "tn1")
         .groupBy("tenant")
         .agg(
             F.countDistinct("process_instance_key").alias("n_instances"),

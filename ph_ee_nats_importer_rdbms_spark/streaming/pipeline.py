@@ -163,12 +163,26 @@ def rekey_stage(routed: DataFrame) -> DataFrame:
     )
 
 
-def entity_stage(rekeyed: DataFrame) -> DataFrame:
+def entity_stage(rekeyed: DataFrame, state_ttl_minutes: int | None = None) -> DataFrame:
     """C1-C3/C6/D1-D4: per-effective-key entity state machine emitting
-    variable/task inserts + entity upsert snapshots."""
+    variable/task inserts + entity upsert snapshots.
+
+    ``state_ttl_minutes`` is a documented IMPROVEMENT over the reference,
+    whose in-JVM maps never evict (InflightTransferManager.java:19 et al. —
+    they grow until OOM). With a TTL, instances idle longer than the window
+    are dropped from the state store; their rows are already durable in the
+    sink, and a late event for an evicted instance re-creates state exactly
+    like the reference's get-or-create-after-restart path
+    (InflightTransferManager.java:56-70). Default None = reference parity.
+    """
     cols = _columns(CHANGES_SCHEMA)
+    ttl_ms = state_ttl_minutes * 60_000 if state_ttl_minutes else None
 
     def fn(key, pdf_iter, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
         st = sm.EntityState.from_json(state.get[0]) if state.exists else sm.EntityState()
         events = _sorted_events(pdf_iter)
         tenant = next((e.get("tenant") for e in events if e.get("tenant")), None)
@@ -194,10 +208,17 @@ def entity_stage(rekeyed: DataFrame) -> DataFrame:
                 }
             )
         state.update((st.to_json(),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out, columns=cols)
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return rekeyed.groupBy("effective_key").applyInPandasWithState(
-        fn, CHANGES_SCHEMA, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        fn, CHANGES_SCHEMA, _STATE_SCHEMA, "append", timeout
     )
 
 
