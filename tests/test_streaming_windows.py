@@ -1,0 +1,85 @@
+"""Watermark/windowed-aggregation tests: run the streaming query over a
+rate-limited file feed and verify (a) on-time + tolerably-late events land
+in their event-time windows, (b) events later than the watermark are
+dropped — the semantics the batch equivalent can't express.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ph_ee_nats_importer_rdbms_spark.streaming.windows import windowed_event_stats
+
+SCHEMA = StructType(
+    [
+        StructField("event_ts", TimestampType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("v", LongType(), True),
+    ]
+)
+
+H = 3_600  # seconds
+
+
+def _write_drop(path, i, rows):
+    with open(os.path.join(path, f"d{i:03d}.jsonl"), "w") as f:
+        for ts_s, typ in rows:
+            f.write(json.dumps({"event_ts": ts_s * 1000, "event_type": typ, "v": 1}) + "\n")
+
+
+def test_watermark_drops_too_late_events(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        stream = (
+            spark.readStream.format("json")
+            .schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+            .withColumn("event_ts", F.timestamp_millis(F.col("event_ts").cast("long")))
+        )
+        q = (
+            windowed_event_stats(stream, window="1 hour", watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: events in hour-0 and hour-3 (advances max event time to 3h;
+    # checkpointed watermark after this run = 3h - 2h = 1h)
+    _write_drop(str(src), 0, [(10, "a"), (20, "a"), (3 * H + 10, "b")])
+    run()
+    # run 2 (resumes checkpoint): hour-2 event is late but within the
+    # watermark -> accepted; the hour-0 event's window closed at 1h -> dropped
+    _write_drop(str(src), 1, [(2 * H + 5, "a"), (30, "a")])
+    run()
+    # run 3 far in the future closes all remaining windows
+    _write_drop(str(src), 2, [(10 * H, "c")])
+    run()
+
+    got = {
+        (r["window_start"].hour, r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # hour-0 'a': the two on-time events; the too-late third one is DROPPED
+    assert got[(0, "a")] == 2
+    # hour-2 'a': late but within watermark -> counted
+    assert got[(2, "a")] == 1
+    assert got[(3, "b")] == 1
