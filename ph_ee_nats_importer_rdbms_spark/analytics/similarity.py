@@ -34,6 +34,15 @@ TOP_K = 10
 ANN_PLANES = 6
 EMBED_DIM = 64
 
+#: IVF: fixed centroid set (deterministic — a deployment would run
+#: k-means once offline and broadcast the result; the structure below is
+#: identical either way). 16 lists, probe the 4 nearest: this corpus's
+#: embeddings are weakly clustered (max pairwise cosine ≈0.5), so a wider
+#: probe buys recall; with k-means centroids on real data nprobe=1-2
+#: usually suffices.
+IVF_CENTROID_IDS = tuple(range(100, 116))
+IVF_NPROBE = 4
+
 
 def _ranked(pairs: DataFrame) -> DataFrame:
     """Deterministic top-k per query: rounded cosine desc, vec_id asc."""
@@ -97,6 +106,119 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = F.round(_cosine("q_emb", "embedding"), 4)
     return _ranked(pairs.select("query_id", "vec_id", cos.alias("cosine")))
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: every vector is assigned to its nearest
+    centroid's list; a query scores only the vectors in its ``nprobe``
+    nearest lists.
+
+    Scale path: the assignment is one broadcast join + map-side argmax
+    (linear, no shuffle of the big side beyond the final per-list
+    bucketing); at 100 TB the table is written partitioned by
+    ``cluster_id`` so a query reads only its probed partitions. Centroids
+    here are a fixed deterministic subset so the DuckDB oracle can replay
+    them; swap in offline k-means without touching the plan shape."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = F.broadcast(
+        e.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+        )
+    )
+    scored = e.crossJoin(cent).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(_cosine("embedding", "cemb"), 6).alias("ccos"),
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("ccos"), -F.col("cid"))).alias("cluster_id"),
+        F.first("embedding").alias("embedding"),
+    )
+
+    queries = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    q_scored = F.broadcast(queries).crossJoin(cent).select(
+        "query_id",
+        "q_emb",
+        "cid",
+        F.round(_cosine("q_emb", "cemb"), 6).alias("qcos"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q_scored.withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("query_id", "q_emb", F.col("cid").alias("cluster_id"))
+    )
+
+    pairs = F.broadcast(probes).join(assign, "cluster_id").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    cos = F.round(_cosine("q_emb", "embedding"), 4)
+    return _ranked(pairs.select("query_id", "vec_id", cos.alias("cosine")))
+
+
+def _duck_pair_cosine(a_col: str, b_col: str) -> str:
+    return f"""
+round(
+  list_sum(list_transform(range(1, 65),
+      i -> CAST({a_col}[i] AS DOUBLE) * CAST({b_col}[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(range(1, 65),
+      i -> CAST({a_col}[i] AS DOUBLE) * CAST({a_col}[i] AS DOUBLE))))
+   * sqrt(list_sum(list_transform(range(1, 65),
+      i -> CAST({b_col}[i] AS DOUBLE) * CAST({b_col}[i] AS DOUBLE))))), {{nd}})
+"""
+
+
+def _ann_ivf_oracle() -> str:
+    ids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    c6 = _duck_pair_cosine("e.embedding", "c.cemb").format(nd=6)
+    q6 = _duck_pair_cosine("q.q_emb", "c.cemb").format(nd=6)
+    p4 = _duck_pair_cosine("p.q_emb", "a.embedding").format(nd=4)
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+  WHERE vec_id IN ({ids})
+),
+assign AS (
+  SELECT vec_id, embedding, cid AS cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {c6} DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+probes AS (
+  SELECT query_id, q_emb, cid AS cluster_id FROM (
+    SELECT q.query_id, q.q_emb, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {q6} DESC, c.cid ASC) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, {p4} AS cosine
+  FROM probes p JOIN assign a ON p.cluster_id = a.cluster_id
+   AND p.query_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+ANN_IVF_ORACLE = _ann_ivf_oracle()
 
 
 def _ann_lsh_oracle() -> str:

@@ -532,6 +532,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- similarity search (analytics/similarity.py) ---
     "ann_bruteforce": (_sim.q_ann_bruteforce, _sim.ANN_BRUTEFORCE_ORACLE),
     "ann_lsh": (_sim.q_ann_lsh, _sim.ANN_LSH_ORACLE),
+    "ann_ivf": (_sim.q_ann_ivf, _sim.ANN_IVF_ORACLE),
     # --- multimodal (analytics/multimodal.py) ---
     "media_features": (_mm.q_media_features, _mm.MEDIA_FEATURES_ORACLE),
     "media_summary": (_mm.q_media_summary, _mm.MEDIA_SUMMARY_ORACLE),

@@ -72,6 +72,24 @@ def test_ann_bruteforce_topk_shape(spark, sf_dir):
         assert all(r["vec_id"] != q for r in rs)
 
 
+def test_ann_ivf_shape_and_recall_floor(spark, sf_dir):
+    """IVF returns a full top-k per query drawn from the probed lists, and
+    with nprobe=2/16 lists should recover a reasonable share of the true
+    top-k (clustered embeddings keep neighbors in nearby lists)."""
+    bf = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.q_ann_bruteforce(spark, sf_dir).collect()
+    }
+    ivf_rows = similarity.q_ann_ivf(spark, sf_dir).collect()
+    per_query = {}
+    for r in ivf_rows:
+        per_query.setdefault(r["query_id"], []).append(r)
+    assert set(per_query) == set(range(similarity.N_QUERIES))
+    hits = sum(1 for r in ivf_rows if (r["query_id"], r["vec_id"]) in bf)
+    recall = hits / len(bf)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall:.2f}"
+
+
 def test_ann_lsh_is_subset_of_bruteforce_candidates(spark, sf_dir):
     """LSH results are drawn from the same scored universe; any neighbor LSH
     returns must score <= the brute-force best at the same rank."""
