@@ -379,33 +379,53 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise shingle-Jaccard, blocked by `source` so the pair space
-    is quadratic only within a block (classic blocking; at 100 TB the block
-    key would be a coarse cluster/LSH prefix instead)."""
+    """Exact shingle-Jaccard within `source` blocks, computed as an
+    inverted-index set-similarity join rather than all-pairs array math:
+    explode the (distinct) shingles, self-join on (source, shingle) so only
+    pairs that actually SHARE a shingle are generated, count co-occurrences
+    to get |A∩B|, and derive |A∪B| = |A|+|B|-|A∩B|.
+
+    The result set is provably identical to the naive quadratic form — any
+    pair with J ≥ 0.25 shares ≥1 shingle, so no qualifying pair is missed —
+    but no per-pair array_intersect ever runs, and pairs with J = 0 are
+    never materialized. A length prefilter in the join condition
+    (J ≤ min/max ⇒ 4·min(|A|,|B|) ≥ max required) prunes hopeless pairs
+    before the aggregate. Scale shape: one explode + one hash join on
+    (source, shingle) + one map-side-combinable count — linear in total
+    co-occurrences, the same skeleton a 100 TB PPJoin/prefix-filter dedup
+    uses (there the join key would be the rarest-prefix shingles only)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     sh = shingle_sets(spark, sf_dir).join(d, "doc_id")
-    a = sh.select(
-        F.col("source"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
+    ex = sh.select(
+        "source",
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("shingle"),
     )
-    b = sh.select(
-        F.col("source").alias("source_b"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-    )
-    jacc = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
-        4,
-    )
-    return (
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
         a.join(
             b,
-            (F.col("source") == F.col("source_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") * 4 >= F.col("b.n"))
+            & (F.col("b.n") * 4 >= F.col("a.n")),
         )
-        .select("source", "doc_a", "doc_b", jacc.alias("jaccard"))
+        .groupBy(
+            F.col("a.source").alias("source"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jacc = F.round(
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+    )
+    return (
+        inter.select("source", "doc_a", "doc_b", jacc.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.25)
     )
 
@@ -450,24 +470,28 @@ def _embed_bucket_col(vec_col: str, planes: list[list[float]]) -> Column:
     return bucket.cast("long")
 
 
-def _cosine(a: str, b: str) -> Column:
-    dot = F.expr(
+def _dot(a: str, b: str) -> Column:
+    """Sequential left-to-right dot product (matches DuckDB list_sum order).
+    Kept as a higher-order function: a 64-term unrolled expression tree was
+    tried and measured SLOWER (it blows the codegen method-size budget and
+    multiplies Catalyst analysis cost across the ANN plans)."""
+    return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
         " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    na = F.sqrt(
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(
         F.expr(
             f"aggregate({a}, CAST(0.0 AS DOUBLE),"
             " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
         )
     )
-    nb = F.sqrt(
-        F.expr(
-            f"aggregate({b}, CAST(0.0 AS DOUBLE),"
-            " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
-        )
-    )
-    return dot / (na * nb)
+
+
+def _cosine(a: str, b: str) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,18 +500,26 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate space from O(n²) to per-bucket quadratics."""
     planes = hyperplanes(EMBED_PLANES, EMBED_DIM)
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bucketed = e.withColumn("bucket", _embed_bucket_col("embedding", planes))
+    # Per-vector norm computed ONCE here, not twice per candidate pair —
+    # identical float value to inlining it in the pair expression.
+    bucketed = e.withColumn(
+        "bucket", _embed_bucket_col("embedding", planes)
+    ).withColumn("norm", _norm("embedding"))
     a = bucketed.select(
         F.col("bucket"),
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
     )
     b = bucketed.select(
         F.col("bucket").alias("bucket_b"),
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
     )
-    cos = F.round(_cosine("emb_a", "emb_b"), 4)
+    cos = F.round(
+        _dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 4
+    )
     return (
         a.join(
             b,

@@ -60,7 +60,14 @@ def run_import_pipeline_routed(
 
     proc = lifecycle.process_events(routed)
     links = lifecycle.parent_links(proc)
+    if cache:
+        # All three entity tables join against links and lc; staging the
+        # (small, per-instance-grain) relations keeps the lifecycle
+        # aggregation from re-executing once per entity output.
+        links = links.localCheckpoint(eager=True)
     lc = lifecycle.lifecycle_table(proc, links)
+    if cache:
+        lc = lc.localCheckpoint(eager=True)
 
     return {
         "variables": event_tables.variables_table(routed),

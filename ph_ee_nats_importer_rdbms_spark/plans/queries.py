@@ -41,14 +41,19 @@ _ROUTED_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The routed event stream, staged once per (session, sf_dir) — shared
-    by the routing/tenant queries so they don't re-derive the corpus."""
+    by the routing/tenant queries so they don't re-derive the corpus.
+
+    The raw event corpus is staged BEFORE routing: with_routing's C5
+    resolution references the event relation twice (the defs dimension
+    aggregate and the main stream), and without a barrier Catalyst
+    duplicates the whole 14-branch derivation union into both subtrees —
+    28 source scans and double string-building for 1.16M rows at sf0.1."""
     from ph_ee_nats_importer_rdbms_spark.operators.classify import with_routing
 
     key = (id(spark), sf_dir)
     if key not in _ROUTED_CACHE:
-        _ROUTED_CACHE[key] = with_routing(
-            zeebe_events_df(spark, sf_dir)
-        ).localCheckpoint(eager=True)
+        events = zeebe_events_df(spark, sf_dir).localCheckpoint(eager=True)
+        _ROUTED_CACHE[key] = with_routing(events).localCheckpoint(eager=True)
     return _ROUTED_CACHE[key]
 
 
@@ -71,6 +76,24 @@ def _pipeline(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return _PIPELINE_CACHE[key]
 
 
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """A pipeline output table, materialized once on first touch (eager
+    ``localCheckpoint``) and served from the staged copy afterwards — the
+    batch analogue of the deployed system's JDBC/parquet table store, where
+    the importer writes each business table once and every read-path query
+    scans the stored relation instead of re-running the import. Keeps e.g.
+    the 46-spec transfers pivot from re-executing per read-path query."""
+    key = (id(spark), sf_dir, name)
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = _pipeline(spark, sf_dir)[name].localCheckpoint(
+            eager=True
+        )
+    return _TABLE_CACHE[key]
+
+
 def _ms_cols(df: DataFrame) -> DataFrame:
     """Timestamps -> epoch-ms bigints named *_ms (portable value compare)."""
     for c in _MS:
@@ -81,7 +104,7 @@ def _ms_cols(df: DataFrame) -> DataFrame:
 
 
 def _q_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _pipeline(spark, sf_dir)["transfers"]
+    df = _table(spark, sf_dir, "transfers")
     return df.select(
         "workflow_instance_key",
         "transaction_id",
@@ -110,7 +133,7 @@ def _q_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_transaction_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _pipeline(spark, sf_dir)["transaction_requests"]
+    df = _table(spark, sf_dir, "transaction_requests")
     return df.select(
         "workflow_instance_key",
         "transaction_id",
@@ -137,7 +160,7 @@ def _q_transaction_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _pipeline(spark, sf_dir)["batches"]
+    df = _table(spark, sf_dir, "batches")
     return df.select(
         "workflow_instance_key",
         "workflow_key",
@@ -157,11 +180,11 @@ def _q_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _pipeline(spark, sf_dir)["variables"]
+    return _table(spark, sf_dir, "variables")
 
 
 def _q_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _pipeline(spark, sf_dir)["tasks"]
+    return _table(spark, sf_dir, "tasks")
 
 
 def _q_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,7 +201,7 @@ def _q_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_transfers_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1/Q2/Q3: BETWEEN + >= + equality (TransferSpecs.java:10-29)."""
-    t = _pipeline(spark, sf_dir)["transfers"]
+    t = _table(spark, sf_dir, "transfers")
     return t.filter(
         F.col("amount").between(50_000, 200_000)
         & (F.col("status") == "COMPLETED")
@@ -207,12 +230,13 @@ def _q_transfer_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 TransferDetail: transfer ⋈ tasks ⋈ variables on the instance key
     (entity/transfer/TransferDetail.java:9-12), aggregated to one row per
     transfer so the result is order-insensitive."""
-    out = _pipeline(spark, sf_dir)
-    t = out["transfers"].select("workflow_instance_key", "transaction_id", "status")
-    tasks = out["tasks"].groupBy("workflow_instance_key").agg(
+    t = _table(spark, sf_dir, "transfers").select(
+        "workflow_instance_key", "transaction_id", "status"
+    )
+    tasks = _table(spark, sf_dir, "tasks").groupBy("workflow_instance_key").agg(
         F.count(F.lit(1)).alias("n_tasks")
     )
-    vars_ = out["variables"].groupBy("workflow_instance_key").agg(
+    vars_ = _table(spark, sf_dir, "variables").groupBy("workflow_instance_key").agg(
         F.count(F.lit(1)).alias("n_variables")
     )
     return (
@@ -233,9 +257,10 @@ def _q_instance_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     TransferRepository.java:8 et al.): point-reads by the natural key. At
     scale this is a partition-pruned / min-max-skipped parquet read — the
     predicate reaches the scan (PushedFilters)."""
-    out = _pipeline(spark, sf_dir)
     keys = [2040, 4690, 10000]
-    v = out["variables"].filter(F.col("workflow_instance_key").isin(keys))
+    v = _table(spark, sf_dir, "variables").filter(
+        F.col("workflow_instance_key").isin(keys)
+    )
     return v.groupBy("workflow_instance_key").agg(
         F.count(F.lit(1)).alias("n_variables"),
         F.min("timestamp").alias("first_ts"),
