@@ -112,10 +112,20 @@ WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= {SHINGLE_K}
 # ---------------------------------------------------------------------------
 
 
+_SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sig_0..sig_11). One explode + one groupBy; `min` is
     map-side combinable so the shuffle carries only n_docs × 12 longs —
-    this is the stage that must (and does) stay linear at 100 TB."""
+    this is the stage that must (and does) stay linear at 100 TB.
+
+    Staged per (session, sf_dir): the LSH band self-join references the
+    signature relation on BOTH sides, and without a barrier the explode +
+    aggregate executes twice."""
+    key = (id(spark), sf_dir)
+    if key in _SIG_CACHE:
+        return _SIG_CACHE[key]
     sh = shingle_sets(spark, sf_dir)
     h = F.expr(spark_h32("shingle")) % MINHASH_PRIME
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle")).withColumn(
@@ -125,7 +135,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"sig_{j}")
         for j, (a, b) in enumerate(MINHASH_PERMS)
     ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    out = exploded.groupBy("doc_id").agg(*aggs).localCheckpoint(eager=False)
+    _SIG_CACHE[key] = out
+    return out
 
 
 def _duck_minhash() -> str:
@@ -259,9 +271,16 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
 # ---------------------------------------------------------------------------
 
 
+_SIMHASH_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) — 60-bit sign-sum sketch over distinct tokens.
-    One explode + one groupBy with 60 map-side-combinable sums."""
+    One explode + one groupBy with 60 map-side-combinable sums. Staged per
+    (session, sf_dir): the Hamming band self-join reads it on both sides."""
+    key = (id(spark), sf_dir)
+    if key in _SIMHASH_CACHE:
+        return _SIMHASH_CACHE[key]
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -280,7 +299,11 @@ def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for bit in range(SIMHASH_BITS):
         term = F.when(F.col(f"b_{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    return summed.select("doc_id", simhash.cast("long").alias("simhash"))
+    out = summed.select(
+        "doc_id", simhash.cast("long").alias("simhash")
+    ).localCheckpoint(eager=False)
+    _SIMHASH_CACHE[key] = out
+    return out
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,9 +525,11 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # Per-vector norm computed ONCE here, not twice per candidate pair —
     # identical float value to inlining it in the pair expression.
-    bucketed = e.withColumn(
-        "bucket", _embed_bucket_col("embedding", planes)
-    ).withColumn("norm", _norm("embedding"))
+    bucketed = (
+        e.withColumn("bucket", _embed_bucket_col("embedding", planes))
+        .withColumn("norm", _norm("embedding"))
+        .localCheckpoint(eager=False)
+    )
     a = bucketed.select(
         F.col("bucket"),
         F.col("vec_id").alias("vec_a"),

@@ -279,6 +279,49 @@ GROUP BY 1
 )
 
 
+def _q_businesskey_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 findByBusinessKeyAndBusinessKeyType (BusinessKeyRepository.java:9).
+
+    The reference defines ph_businesskeys but the importer never writes it
+    (SURVEY §1.4) — the ops app populates it from business variables. The
+    engine derives the same relation from the variable log (the domain's
+    business keys are the transactionId / batchId variables, quote-stripped
+    per OperatorUtils.java:7-9) and serves the two-column conjunctive
+    lookup over it. At scale: the derived relation is written bucketed by
+    business_key, so the lookup is a pruned scan, not a shuffle."""
+    from ph_ee_nats_importer_rdbms_spark.functions.scalars import strip_quotes
+
+    v = _table(spark, sf_dir, "variables")
+    bk = v.filter(F.col("name").isin("transactionId", "batchId")).select(
+        strip_quotes("value").alias("business_key"),
+        F.col("name").alias("business_key_type"),
+        "workflow_instance_key",
+        "timestamp",
+    )
+    return bk.filter(
+        (
+            (F.col("business_key_type") == "transactionId")
+            & (F.col("business_key") == "tx-204")
+        )
+        | (
+            (F.col("business_key_type") == "batchId")
+            & (F.col("business_key") == "b-469")
+        )
+    )
+
+
+_BUSINESSKEY_LOOKUP_ORACLE = (
+    "WITH v AS (" + synthetic.VARIABLES_ORACLE + ") "
+    + """
+SELECT trim(value, '"') AS business_key, name AS business_key_type,
+       workflow_instance_key, timestamp
+FROM v
+WHERE (name = 'transactionId' AND trim(value, '"') = 'tx-204')
+   OR (name = 'batchId' AND trim(value, '"') = 'b-469')
+"""
+)
+
+
 def _q_tenant_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6 tenant config lookup (findOneBySchemaName,
     TenantServerConnectionRepository.java:27) driven through the routed
@@ -534,6 +577,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "transfers_range_filter": (_q_transfers_range, _TRANSFERS_RANGE_ORACLE),
     "transfer_detail_join": (_q_transfer_detail, _TRANSFER_DETAIL_ORACLE),
     "instance_lookup": (_q_instance_lookup, _INSTANCE_LOOKUP_ORACLE),
+    "businesskey_lookup": (_q_businesskey_lookup, _BUSINESSKEY_LOOKUP_ORACLE),
     "tenant_lookup": (_q_tenant_lookup, _TENANT_LOOKUP_ORACLE),
     "pricing_summary": (_q_pricing_summary, _PRICING_SUMMARY_ORACLE),
     "revenue_by_nation": (_q_revenue_by_nation, _REVENUE_BY_NATION_ORACLE),
