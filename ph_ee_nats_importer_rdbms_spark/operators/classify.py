@@ -97,24 +97,38 @@ def with_routing(
     empty_bpmn = F.col("bpmn_process_id").isNull() | (F.col("bpmn_process_id") == "")
 
     if resolve_definitions:
-        # C5 (batch form): definition-key -> bpmnProcessId dimension derived
-        # from the records that carry both, joined back to resolve the ones
-        # that don't. The reference replays buffered records once the mapping
-        # is learned (NatsConsumer.java:60-70,82-87); over a bounded batch the
-        # fixed point of that replay is exactly this join.
-        defs = (
-            ev.filter(~empty_bpmn & F.col("process_definition_key").isNotNull())
-            .groupBy("process_definition_key")
-            .agg(F.max_by("bpmn_process_id", F.struct("timestamp", "position")).alias(
-                "resolved_bpmn_process_id"
-            ))
+        # C5 (batch form): resolve a missing bpmnProcessId from the latest
+        # record sharing the same processDefinitionKey that carries one. The
+        # reference replays buffered records once the mapping is learned
+        # (NatsConsumer.java:60-70,82-87); over a bounded batch the fixed
+        # point of that replay is exactly this per-definition-key maximum.
+        #
+        # Expressed as ONE window over the event stream rather than a
+        # dimension aggregate + equi-join: the join form shuffles the corpus
+        # twice (agg build + probe) and forces the caller to stage the input
+        # against double execution; the window shuffles it once and reads it
+        # once. `max` over a (timestamp, position, bpmn) struct is the
+        # deterministic form of max_by(bpmn, (ts, pos)) — positions are
+        # unique, and null candidates (empty-bpmn or null-def rows, incl.
+        # the whole null-def partition) are ignored by `max`.
+        from pyspark.sql.window import Window
+
+        has_def = F.col("process_definition_key").isNotNull()
+        cand = F.when(
+            ~empty_bpmn & has_def,
+            F.struct(
+                F.col("timestamp"), F.col("position"), F.col("bpmn_process_id")
+            ),
         )
-        ev = ev.join(defs, on="process_definition_key", how="left").withColumn(
+        resolved = F.max(cand).over(
+            Window.partitionBy("process_definition_key")
+        )["bpmn_process_id"]
+        ev = ev.withColumn(
             "bpmn_process_id",
-            F.when(empty_bpmn, F.col("resolved_bpmn_process_id")).otherwise(
+            F.when(empty_bpmn & has_def, resolved).otherwise(
                 F.col("bpmn_process_id")
             ),
-        ).drop("resolved_bpmn_process_id")
+        )
 
     # F3: still unroutable after resolution -> drop.
     ev = ev.filter(

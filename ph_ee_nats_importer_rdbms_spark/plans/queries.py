@@ -32,8 +32,21 @@ _MS = ("started_at", "completed_at", "result_generated_at")
 
 
 def zeebe_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic corpus with the shared ``base`` projection staged once —
+    the 14 union branches then scan ~10 narrow columns from memory instead
+    of re-running the parquet scan + casts + string builds per branch."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(synthetic.spark_events_sql())
+    # orders at bench SF is one small parquet file -> a 1-partition scan;
+    # without the repartition every union branch (and everything downstream
+    # of the staged base) runs single-threaded.
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        spark.sql(synthetic.spark_base_sql())
+        .repartition(par)
+        .localCheckpoint(eager=True)
+    )
+    base.createOrReplaceTempView("base")
+    return spark.sql(synthetic.spark_events_from_base_sql())
 
 
 _ROUTED_CACHE: dict[tuple[int, str], DataFrame] = {}
@@ -43,16 +56,14 @@ def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The routed event stream, staged once per (session, sf_dir) — shared
     by the routing/tenant queries so they don't re-derive the corpus.
 
-    The raw event corpus is staged BEFORE routing: with_routing's C5
-    resolution references the event relation twice (the defs dimension
-    aggregate and the main stream), and without a barrier Catalyst
-    duplicates the whole 14-branch derivation union into both subtrees —
-    28 source scans and double string-building for 1.16M rows at sf0.1."""
+    No pre-routing checkpoint of the raw corpus: C5 resolution is a single
+    window over the stream (classify.with_routing), so the derivation union
+    is referenced exactly once and derive→route→stage is one pass."""
     from ph_ee_nats_importer_rdbms_spark.operators.classify import with_routing
 
     key = (id(spark), sf_dir)
     if key not in _ROUTED_CACHE:
-        events = zeebe_events_df(spark, sf_dir).localCheckpoint(eager=True)
+        events = zeebe_events_df(spark, sf_dir)
         _ROUTED_CACHE[key] = with_routing(events).localCheckpoint(eager=True)
     return _ROUTED_CACHE[key]
 

@@ -155,6 +155,21 @@ def spark_events_sql() -> str:
     return "WITH " + derivation_sql("spark") + " SELECT * FROM zeebe_events"
 
 
+def spark_base_sql() -> str:
+    """Just the ``base`` CTE — callers stage it once so the 14 union
+    branches scan the staged relation instead of recomputing the shared
+    projection (decimal casts, string builds, epoch-ms) 14× over the
+    parquet scan."""
+    return (
+        "WITH " + _BASE.replace("{EPOCH_MS}", SPARK_EPOCH_MS) + " SELECT * FROM base"
+    )
+
+
+def spark_events_from_base_sql() -> str:
+    """The zeebe_events CTE over an existing ``base`` view."""
+    return "WITH " + _EVENTS + " SELECT * FROM zeebe_events"
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle CTEs re-computing the pipeline semantics in portable SQL.
 # These encode the SAME rules the operators implement (citations in the
