@@ -37,7 +37,7 @@ from ph_ee_nats_importer_rdbms_spark.analytics.hashing import (
     spark_h32,
     spark_h60,
 )
-from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
+from ph_ee_nats_importer_rdbms_spark.sources.files import load_table, spread
 
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.4
@@ -76,7 +76,7 @@ def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key in _SHINGLE_CACHE:
         return _SHINGLE_CACHE[key]
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks")
     ).localCheckpoint(eager=False)
@@ -281,7 +281,7 @@ def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key in _SIMHASH_CACHE:
         return _SIMHASH_CACHE[key]
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id",
         F.explode(
@@ -522,7 +522,7 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine on candidates, threshold filter. The bucket key collapses
     the candidate space from O(n²) to per-bucket quadratics."""
     planes = hyperplanes(EMBED_PLANES, EMBED_DIM)
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     # Per-vector norm computed ONCE here, not twice per candidate pair —
     # identical float value to inlining it in the pair expression.
     bucketed = (

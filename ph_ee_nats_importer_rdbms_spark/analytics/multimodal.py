@@ -29,7 +29,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
+from ph_ee_nats_importer_rdbms_spark.sources.files import load_table, spread
 
 MEDIA_TYPES = ("image", "audio", "video")
 
@@ -61,6 +61,10 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize the opaque-binary media relation from ``documents``:
     payload = utf-8 bytes of the text, media_type round-robins, declared
     dimensions derive from doc_id (all JVM-side)."""
+    # NOT spread: the payload chain feeds mapInPandas, and fanning a
+    # bench-SF-sized scan out to 32 partitions costs 32 Python worker
+    # launches + per-partition Arrow streams for ~5k rows. At real scale
+    # the scan arrives pre-split and parallelism comes for free.
     d = load_table(spark, sf_dir, "documents")
     media_type = F.element_at(
         F.array(*[F.lit(t) for t in MEDIA_TYPES]),

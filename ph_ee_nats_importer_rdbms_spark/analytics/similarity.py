@@ -27,7 +27,7 @@ from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
     _embed_bucket_col,
 )
 from ph_ee_nats_importer_rdbms_spark.analytics.hashing import hyperplanes
-from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
+from ph_ee_nats_importer_rdbms_spark.sources.files import load_table, spread
 
 N_QUERIES = 10
 TOP_K = 10
@@ -57,7 +57,7 @@ def _ranked(pairs: DataFrame) -> DataFrame:
 
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -92,7 +92,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket column is precomputed at ingest and the table is partitioned by
     it, making each query a partition-pruned scan."""
     planes = hyperplanes(ANN_PLANES, EMBED_DIM, salt="ann")
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     bucketed = e.withColumn("bucket", _embed_bucket_col("embedding", planes))
     queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -119,7 +119,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cluster_id`` so a query reads only its probed partitions. Centroids
     here are a fixed deterministic subset so the DuckDB oracle can replay
     them; swap in offline k-means without touching the plan shape."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     cent = F.broadcast(
         e.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ph_ee_nats_importer_rdbms_spark.analytics.hashing import duck_h32, spark_h32
-from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
+from ph_ee_nats_importer_rdbms_spark.sources.files import load_table, spread
 
 #: BPE-ish primitive token pattern: a word run, a digit run, or a single
 #: non-alphanumeric symbol. Same regex semantics in Java (Spark) and
@@ -233,7 +233,7 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct sampled k-gram fingerprints per document. The per-row
     explode is JVM-side (`sequence` + `transform`); sampling keeps ~1/W of
     hashes so output stays bounded at scale."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     # checkpoint = optimizer barrier: without it CollapseProject inlines the
     # regexp_replace into every per-gram substring (O(len²) per doc)

@@ -33,6 +33,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism.
+
+    The bench-SF tables are single parquet files, so their scans come back
+    as ONE partition — and every narrow chain downstream (explode + hash,
+    per-gram substring, vector arithmetic) inherits that and runs on one
+    core until the first shuffle. Callers with such a chain spread the
+    scan first; a no-op (plan-wise cheap) when the scan already has enough
+    splits, so on a real multi-file cluster layout this never *reduces*
+    parallelism."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
 ) -> None:
