@@ -1,0 +1,203 @@
+"""Training-data pipeline operators over ``documents``.
+
+The four stages every large-scale pretraining data pipeline runs after
+cleaning/dedup (complementing analytics/dedup.py and analytics/text.py):
+
+* Deterministic split   — hash-bucket each doc into train/valid/test. No
+  shuffle, no RNG state: the assignment is a pure function of doc_id, so
+  it is stable across re-runs, cluster sizes, and partitionings (the
+  property that matters when the corpus is re-materialized at 100 TB).
+* Decontamination       — find test-split documents sharing enough word
+  shingles with any train-split document (benchmark-leakage check). Same
+  inverted-index shape as the n-gram Jaccard join: explode shingles, join
+  test→train ON shingle, count per pair — never a doc×doc product; the
+  shuffle key is the shingle, so skew is bounded by stop-shingle frequency
+  (a production run would drop top-frequency shingles first).
+* Length percentiles    — exact interpolated quantiles of doc length per
+  language (the stats that drive truncation/packing decisions). Built-in
+  ``percentile`` = one pass, map-side partial aggregation.
+* Balanced sampling     — top-k docs per language by a deterministic hash
+  order: reproducible class-balanced subsample. Window row_number per
+  language; at scale the partial top-k is pushed map-side by the rank
+  filter (no full sort, only a k-row heap per partition per key).
+
+All values are oracle-checked against DuckDB re-computations (portable
+md5-prefix hashes from hashing.py on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
+    _DUCK_SHINGLES,
+    shingle_sets,
+)
+from ph_ee_nats_importer_rdbms_spark.analytics.hashing import duck_h32, spark_h32
+from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
+
+#: train/valid/test ≈ 80/10/10 by hash bucket.
+SPLIT_TRAIN_PCT = 80
+SPLIT_VALID_PCT = 90
+SPLIT_SALT = "split:"
+#: test↔train shingle-overlap threshold flagged as contamination.
+DECONTAMINATION_MIN_OVERLAP = 5
+#: per-language sample size.
+BALANCED_SAMPLE_K = 20
+SAMPLE_SALT = "sample:"
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/valid/test split
+# ---------------------------------------------------------------------------
+
+
+_SPARK_SALTED = f"concat('{SPLIT_SALT}', CAST(doc_id AS STRING))"
+_DUCK_SALTED = f"'{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)"
+
+
+def _split_bucket_spark() -> str:
+    return f"{spark_h32(_SPARK_SALTED)} % 100"
+
+
+def _split_bucket_duck() -> str:
+    return f"{duck_h32(_DUCK_SALTED)} % 100"
+
+
+def split_column() -> F.Column:
+    """train/valid/test label as a pure function of doc_id."""
+    bucket = F.expr(_split_bucket_spark())
+    return (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VALID_PCT, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split) assignment for the whole corpus — narrow projection,
+    zero shuffle, embarrassingly parallel at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", split_column().alias("split"))
+
+
+TRAIN_TEST_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN {_split_bucket_duck()} < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN {_split_bucket_duck()} < {SPLIT_VALID_PCT} THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Test-set decontamination (shingle overlap against the train split)
+# ---------------------------------------------------------------------------
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(test_doc_id, train_doc_id, overlap) pairs where a test doc shares
+    ≥ DECONTAMINATION_MIN_OVERLAP distinct word shingles with a train doc.
+
+    Inverted-index join: explode the (already staged) distinct-shingle
+    sets, split-label each side from doc_id, join test→train on the
+    shingle itself, then count shingles per (test, train) pair. Work is
+    Σ_shingle |test_docs(s)|·|train_docs(s)| — linear in true overlap, not
+    corpus² (the web-scale decontamination shape, e.g. GPT-3 App. C)."""
+    sh = shingle_sets(spark, sf_dir)
+    labeled = sh.select(
+        "doc_id", split_column().alias("split"), F.explode("shingles").alias("shingle")
+    )
+    test = labeled.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc_id"), "shingle"
+    )
+    train = labeled.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    pairs = test.join(train, on="shingle").groupBy("test_doc_id", "train_doc_id").agg(
+        F.count("*").alias("overlap")
+    )
+    return pairs.filter(F.col("overlap") >= DECONTAMINATION_MIN_OVERLAP)
+
+
+DECONTAMINATION_ORACLE = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+labeled AS (
+  SELECT doc_id,
+         CASE WHEN {_split_bucket_duck()} < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {_split_bucket_duck()} < {SPLIT_VALID_PCT} THEN 'valid'
+              ELSE 'test' END AS split,
+         unnest(shingles) AS shingle
+  FROM sh
+)
+SELECT t.doc_id AS test_doc_id, tr.doc_id AS train_doc_id,
+       CAST(count(*) AS BIGINT) AS overlap
+FROM labeled t JOIN labeled tr USING (shingle)
+WHERE t.split = 'test' AND tr.split = 'train'
+GROUP BY 1, 2
+HAVING count(*) >= {DECONTAMINATION_MIN_OVERLAP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-language exact length percentiles
+# ---------------------------------------------------------------------------
+
+
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p90/p99 of n_chars per language. Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the linear-
+    interpolation definition; rounding absorbs float formatting."""
+    d = load_table(spark, sf_dir, "documents")
+    pct = F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))")
+    return (
+        d.groupBy("lang")
+        .agg(pct.alias("p"))
+        .select(
+            "lang",
+            F.round(F.col("p")[0], 2).alias("p50"),
+            F.round(F.col("p")[1], 2).alias("p90"),
+            F.round(F.col("p")[2], 2).alias("p99"),
+        )
+    )
+
+
+LENGTH_PERCENTILES_ORACLE = """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.5), 2) AS p50,
+       round(quantile_cont(n_chars, 0.9), 2) AS p90,
+       round(quantile_cont(n_chars, 0.99), 2) AS p99
+FROM documents
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic language-balanced sample
+# ---------------------------------------------------------------------------
+
+
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-BALANCED_SAMPLE_K docs per language in deterministic hash order
+    (reproducible 'random' subsample, equal quota per class)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.expr(spark_h32(f"concat('{SAMPLE_SALT}', CAST(doc_id AS STRING))"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= BALANCED_SAMPLE_K)
+    )
+
+
+BALANCED_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, rank FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {duck_h32(f"'{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS INT) AS rank
+  FROM documents
+)
+WHERE rank <= {BALANCED_SAMPLE_K}
+"""

@@ -573,6 +573,7 @@ from ph_ee_nats_importer_rdbms_spark.analytics import (  # noqa: E402
     multimodal as _mm,
     similarity as _sim,
     text as _tx,
+    training as _tr,
 )
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
@@ -613,6 +614,11 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "ann_bruteforce": (_sim.q_ann_bruteforce, _sim.ANN_BRUTEFORCE_ORACLE),
     "ann_lsh": (_sim.q_ann_lsh, _sim.ANN_LSH_ORACLE),
     "ann_ivf": (_sim.q_ann_ivf, _sim.ANN_IVF_ORACLE),
+    # --- training-data pipeline (analytics/training.py) ---
+    "train_test_split": (_tr.q_train_test_split, _tr.TRAIN_TEST_SPLIT_ORACLE),
+    "decontamination": (_tr.q_decontamination, _tr.DECONTAMINATION_ORACLE),
+    "length_percentiles": (_tr.q_length_percentiles, _tr.LENGTH_PERCENTILES_ORACLE),
+    "balanced_sample": (_tr.q_balanced_sample, _tr.BALANCED_SAMPLE_ORACLE),
     # --- multimodal (analytics/multimodal.py) ---
     "media_features": (_mm.q_media_features, _mm.MEDIA_FEATURES_ORACLE),
     "media_summary": (_mm.q_media_summary, _mm.MEDIA_SUMMARY_ORACLE),

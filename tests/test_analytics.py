@@ -130,3 +130,47 @@ def test_media_features_deterministic_fake_decode(spark, sf_dir, n_docs):
         assert r["n_bytes"] > 0 and len(r["content_md5"]) == 32
         for i in range(4):
             assert 0.0 <= r[f"feat_{i}"] <= 1.0
+
+
+def test_split_is_deterministic_partition_of_corpus(spark, sf_dir, n_docs):
+    """Every doc gets exactly one split label; assignment is stable across
+    evaluations (pure function of doc_id, no RNG state)."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import training
+
+    a = training.q_train_test_split(spark, sf_dir)
+    assert a.count() == n_docs
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "valid", "test"}
+    assert counts["train"] > counts.get("test", 0)  # ~80/10/10
+    b = {r["doc_id"]: r["split"] for r in training.q_train_test_split(spark, sf_dir).collect()}
+    assert {r["doc_id"]: r["split"] for r in a.collect()} == b
+
+
+def test_decontamination_pairs_cross_splits_and_meet_threshold(spark, sf_dir):
+    from ph_ee_nats_importer_rdbms_spark.analytics import training
+
+    split = {
+        r["doc_id"]: r["split"]
+        for r in training.q_train_test_split(spark, sf_dir).collect()
+    }
+    for r in training.q_decontamination(spark, sf_dir).collect():
+        assert split[r["test_doc_id"]] == "test"
+        assert split[r["train_doc_id"]] == "train"
+        assert r["overlap"] >= training.DECONTAMINATION_MIN_OVERLAP
+
+
+def test_length_percentiles_ordered(spark, sf_dir):
+    from ph_ee_nats_importer_rdbms_spark.analytics import training
+
+    for r in training.q_length_percentiles(spark, sf_dir).collect():
+        assert r["p50"] <= r["p90"] <= r["p99"]
+
+
+def test_balanced_sample_quota_and_determinism(spark, sf_dir):
+    from ph_ee_nats_importer_rdbms_spark.analytics import training
+
+    s = training.q_balanced_sample(spark, sf_dir)
+    per_lang = {r["lang"]: r["n"] for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= training.BALANCED_SAMPLE_K for n in per_lang.values())
+    again = {(r["lang"], r["rank"]): r["doc_id"] for r in s.collect()}
+    assert {(r["lang"], r["rank"]): r["doc_id"] for r in training.q_balanced_sample(spark, sf_dir).collect()} == again
