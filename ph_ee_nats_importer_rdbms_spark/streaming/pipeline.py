@@ -227,6 +227,34 @@ def entity_stage(rekeyed: DataFrame, state_ttl_minutes: int | None = None) -> Da
 # ---------------------------------------------------------------------------
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def configure_state_store(spark: SparkSession, provider: str = "rocksdb") -> None:
+    """Select the state-store backend for subsequently started queries.
+
+    ``rocksdb`` is the at-scale choice: state lives off-heap/on-disk per
+    executor instead of in the JVM heap (the reference's unbounded in-heap
+    maps are exactly what this replaces), and changelog checkpointing
+    uploads per-batch deltas rather than full snapshots, so checkpoint cost
+    is O(changed keys) — the difference between a 10-minute and a
+    sub-second commit once entity state reaches 100 TB-scale cardinality.
+    ``hdfs`` (Spark's default in-memory provider) suits tests/small state.
+    """
+    if provider == "rocksdb":
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
+    elif provider == "hdfs":
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    else:
+        raise ValueError(f"unknown state store provider: {provider}")
+
+
 def read_raw_stream(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int = 64
 ) -> DataFrame:
@@ -249,6 +277,7 @@ def run_multi_hop(
     registry: DataFrame | None = None,
     available_now: bool = True,
     max_files_per_trigger: int = 64,
+    state_store: str | None = None,
 ) -> dict[str, str]:
     """Run the 3-hop pipeline over ``source_dir``; returns output paths.
 
@@ -256,7 +285,13 @@ def run_multi_hop(
       resolved/  flat events after F1-F3 + C5
       rekeyed/   + routing (F5/F6) + effective_key (C4)
       changes/   typed change rows (variable/task inserts, entity upserts)
+
+    ``state_store='rocksdb'`` switches the three stateful hops onto the
+    RocksDB provider (see :func:`configure_state_store`); None keeps the
+    session's current setting.
     """
+    if state_store is not None:
+        configure_state_store(spark, state_store)
     paths = {
         n: os.path.join(work_dir, n) for n in ("resolved", "rekeyed", "changes")
     }

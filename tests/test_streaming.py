@@ -272,3 +272,38 @@ def test_multi_hop_matches_batch(spark, tmp_path):
         wv = {tuple(r) for r in want[name].collect()}
         gv = {tuple(r) for r in got[name].select(*want[name].columns).collect()}
         assert gv == wv, f"{name} mismatch"
+
+
+def test_multi_hop_rocksdb_state_store(spark, tmp_path):
+    """Same 3-hop topology on the RocksDB state-store provider (the
+    at-scale backend): cross-batch C4/C5 state must survive in RocksDB and
+    produce the identical change log."""
+    from ph_ee_nats_importer_rdbms_spark.streaming import pipeline as sp
+
+    corpus = _corpus()
+    src = tmp_path / "events"
+    src.mkdir()
+    chunks = [corpus[0:6], corpus[6:12], corpus[12:]]
+    for i, chunk in enumerate(chunks):
+        (src / f"drop_{i}.jsonl").write_text(
+            "\n".join(_raw_json(e) for e in chunk) + "\n"
+        )
+    try:
+        paths = sp.run_multi_hop(
+            spark,
+            str(src),
+            str(tmp_path / "work"),
+            max_files_per_trigger=1,
+            state_store="rocksdb",
+        )
+        got = sp.materialize_tables(spark, paths["changes"])
+        t = {
+            r["workflow_instance_key"]: json.loads(r["payload"])
+            for r in got["transfers"].collect()
+        }
+        assert set(t) == {100}
+        assert t[100]["status"] == "COMPLETED"
+        assert float(t[100]["amount"]) == 77.70
+        assert t[100]["completed_at"] == 4_000
+    finally:
+        sp.configure_state_store(spark, "hdfs")  # don't leak into other tests
