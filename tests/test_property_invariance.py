@@ -1,0 +1,140 @@
+"""Property-based invariance tests (SURVEY §5 plan item 3).
+
+The reference applies events in NATS arrival order; the batch pipeline
+canonicalizes on Zeebe log order ``(timestamp, position)``. Two properties
+must therefore hold for ANY input:
+
+1. **Row-order invariance** — the five output tables are identical no
+   matter how the input relation's rows are permuted (a Spark relation has
+   no row order; all dedup/lifecycle rules are aggregation-based, never
+   "first row seen wins").
+2. **Redelivery invariance** — exact duplicate deliveries of any subset of
+   events (same position, the NATS at-least-once case) leave every table
+   unchanged: D1/D2 collapse duplicates, D3/D4 lifecycle updates are
+   idempotent (InflightTransferManager.java:26-47 semantics).
+
+Scenarios are drawn by hypothesis: random mixes of transfer /
+transaction-request / batch / unknown processes, call-activity children,
+variable rewrites with colliding timestamps, jobs, and lifecycle subsets.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ph_ee_nats_importer_rdbms_spark.operators.pipeline import run_import_pipeline
+from tests import zeebe_fixtures as zf
+
+_BPMN = [
+    "PayeeQuoteTransfer-tn01",
+    "PayerFundTransfer-tn01",
+    "PayerTransactionRequest-tn02",
+    "bulk_processor-tn01",
+    "SomethingUnknown-tn01",
+]
+_VAR_NAMES = ["transactionId", "amount", "currency", "partyId", "note"]
+_JOB_ELEMENTS = ["validate", "quote", "settle"]
+_JOB_INTENTS = ["CREATED", "COMPLETED"]
+
+
+@st.composite
+def scenario(draw):
+    """A list of flat event dicts with unique positions, plus exact
+    duplicates of a drawn subset."""
+    events: list[dict] = []
+    pos = [0]
+
+    def nxt() -> int:
+        pos[0] += 100
+        return pos[0]
+
+    n_instances = draw(st.integers(min_value=1, max_value=3))
+    for i in range(n_instances):
+        inst = 1000 + i * 10
+        bpmn = draw(st.sampled_from(_BPMN))
+        definition = 5000 + _BPMN.index(bpmn)
+        if draw(st.booleans()):
+            events.append(
+                zf.process_event(
+                    inst, "ELEMENT_ACTIVATING",
+                    ts=draw(st.integers(1_000, 1_005)),
+                    bpmn=bpmn, definition=definition, position=nxt(),
+                )
+            )
+        if draw(st.booleans()):
+            events.append(
+                zf.process_event(
+                    inst, "ELEMENT_COMPLETED",
+                    ts=draw(st.integers(1_006, 1_010)),
+                    bpmn=bpmn, definition=definition, position=nxt(),
+                )
+            )
+        # optional call-activity child re-keyed onto this instance (C4)
+        if draw(st.booleans()):
+            child = inst + 1
+            events.append(
+                zf.process_event(
+                    child, "ELEMENT_ACTIVATING", ts=draw(st.integers(1_001, 1_005)),
+                    parent=inst, bpmn="PayeeQuoteTransfer-tn01", definition=5000,
+                    position=nxt(),
+                )
+            )
+            events.append(
+                zf.variable_event(
+                    child, "transactionId", '"child-tx"',
+                    ts=draw(st.integers(1_001, 1_006)),
+                    bpmn="PayeeQuoteTransfer-tn01", definition=5000, position=nxt(),
+                )
+            )
+        for _ in range(draw(st.integers(0, 4))):
+            # colliding timestamps on purpose: D1 tie-break is by position
+            events.append(
+                zf.variable_event(
+                    inst,
+                    draw(st.sampled_from(_VAR_NAMES)),
+                    f'"{draw(st.integers(0, 99))}"',
+                    ts=draw(st.integers(1_000, 1_004)),
+                    bpmn=bpmn, definition=definition, position=nxt(),
+                )
+            )
+        for _ in range(draw(st.integers(0, 2))):
+            events.append(
+                zf.job_event(
+                    inst,
+                    "job-type",
+                    draw(st.sampled_from(_JOB_ELEMENTS)),
+                    draw(st.sampled_from(_JOB_INTENTS)),
+                    ts=draw(st.integers(1_000, 1_008)),
+                    bpmn=bpmn, definition=definition, position=nxt(),
+                )
+            )
+    dup_idx = draw(
+        st.lists(st.integers(0, len(events) - 1), max_size=4)
+        if events else st.just([])
+    )
+    duplicates = [dict(events[i]) for i in dup_idx]
+    perm = draw(st.permutations(list(range(len(events)))))
+    return events, duplicates, perm
+
+
+def _snapshot(tables: dict) -> dict[str, list[tuple]]:
+    out = {}
+    for name, df in tables.items():
+        rows = [tuple(str(v) for v in r) for r in df.collect()]
+        out[name] = sorted(rows)
+    return out
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=scenario())
+def test_order_and_redelivery_invariance(spark, data):
+    events, duplicates, perm = data
+    baseline = _snapshot(run_import_pipeline(zf.to_df(spark, events)))
+    shuffled = [events[i] for i in perm] + duplicates
+    attacked = _snapshot(run_import_pipeline(zf.to_df(spark, shuffled)))
+    assert attacked == baseline
