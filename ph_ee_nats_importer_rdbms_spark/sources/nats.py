@@ -1,14 +1,19 @@
-"""NATS ingestion (SURVEY §2.1 S1): the ``zeebe-export`` subject bridged
-into Structured Streaming.
+"""NATS ingestion, bridge flavor (SURVEY §2.1 S1): the ``zeebe-export``
+subject bridged into Structured Streaming through a file drop.
 
-Spark has no built-in NATS source, and writing a custom DataSourceV2 for an
-at-most-once pub/sub feed buys nothing over the battle-tested pattern used
-here: a tiny bridge process appends every NATS message to rotating
-JSON-lines files in a drop directory, and the pipeline tails that directory
-with the file stream source (streaming/pipeline.read_raw_stream). The file
-hop adds a durable replayable log in front of the pipeline — strictly more
-reliable than the reference's direct in-process subscription, which loses
-messages on crash (NatsConsumer.java:34-35 has no ack/replay).
+Two S1 implementations exist; pick per deployment:
+
+- ``sources/nats_source.py`` — native ``spark.readStream.format("nats")``
+  (Python Data Source API) against NATS **JetStream**, offsets = stream
+  sequences, replayable/exactly-once-capable. Preferred when the subject is
+  on a JetStream-enabled server.
+- this module — a tiny bridge process appends every core-NATS message to
+  rotating JSON-lines files, and the pipeline tails the directory with the
+  file stream source (streaming/pipeline.read_raw_stream). The file hop
+  adds a durable replayable log in front of an otherwise at-most-once feed
+  — strictly more reliable than the reference's direct in-process
+  subscription, which loses messages on crash (NatsConsumer.java:34-35 has
+  no ack/replay).
 
 The NATS client library is not installed in this container, so connecting
 is gated behind an import-try; everything else (rotation, flush cadence,

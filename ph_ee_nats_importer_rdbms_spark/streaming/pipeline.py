@@ -270,6 +270,24 @@ def read_raw_stream(
     )
 
 
+def read_raw_nats_stream(spark: SparkSession, **options: str) -> DataFrame:
+    """Raw Zeebe envelope stream straight off NATS JetStream via the native
+    ``format("nats")`` source (sources/nats_source.py) — no file bridge.
+    Options pass through (``servers``, ``subject``, ``stream``,
+    ``max_rows_per_trigger``, or ``transport=file``+``path`` for captured
+    replays). Interchangeable with read_raw_stream: both yield the parsed
+    flat event relation."""
+    from ph_ee_nats_importer_rdbms_spark.sources.nats_source import (
+        register_nats_source,
+    )
+
+    register_nats_source(spark)
+    reader = spark.readStream.format("nats")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load().transform(parse_envelope)
+
+
 def run_multi_hop(
     spark: SparkSession,
     source_dir: str,
