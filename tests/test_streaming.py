@@ -307,3 +307,70 @@ def test_multi_hop_rocksdb_state_store(spark, tmp_path):
         assert t[100]["completed_at"] == 4_000
     finally:
         sp.configure_state_store(spark, "hdfs")  # don't leak into other tests
+
+
+def test_multi_hop_restart_resumes_state(spark, tmp_path):
+    """Process restart between event arrivals (checkpoint resume): a second
+    run_multi_hop over the SAME work_dir must (a) not re-emit run-1 changes
+    (exactly-once), (b) restore keyed state so run-2 events complete run-1
+    instances (C3/D4), dedup against run-1 history (D1), and re-key through
+    a parent link learned in run 1 (C4)."""
+    from ph_ee_nats_importer_rdbms_spark.operators.classify import parse_envelope
+    from ph_ee_nats_importer_rdbms_spark.operators.pipeline import run_import_pipeline
+    from ph_ee_nats_importer_rdbms_spark.streaming import pipeline as sp
+
+    batch_a = [
+        process_event(100, "ELEMENT_ACTIVATING", 1_000),
+        variable_event(100, "transactionId", '"tx-A"', 2_000),
+        # child activates in run 1 -> parent link must survive the restart
+        process_event(101, "ELEMENT_ACTIVATING", 3_000, parent=100, definition=5002),
+    ]
+    batch_b = [
+        # child variable in run 2 re-keys to parent via the run-1 link (C4)
+        variable_event(101, "amount", '"12.34"', 3_500, definition=5002),
+        # D1: same (instance, name, ts) as run 1 -> must be suppressed
+        variable_event(100, "transactionId", '"tx-DUP"', 2_000, position=888_888),
+        # completion in run 2 for the instance started in run 1 (C3)
+        process_event(100, "ELEMENT_COMPLETED", 5_000),
+    ]
+
+    src = tmp_path / "events"
+    src.mkdir()
+    work = str(tmp_path / "work")
+    (src / "drop_0.jsonl").write_text(
+        "\n".join(_raw_json(e) for e in batch_a) + "\n"
+    )
+    sp.run_multi_hop(spark, str(src), work)
+
+    (src / "drop_1.jsonl").write_text(
+        "\n".join(_raw_json(e) for e in batch_b) + "\n"
+    )
+    paths = sp.run_multi_hop(spark, str(src), work)  # restart, same checkpoints
+    got = sp.materialize_tables(spark, paths["changes"])
+
+    t = {
+        r["workflow_instance_key"]: json.loads(r["payload"])
+        for r in got["transfers"].collect()
+    }
+    assert set(t) == {100}
+    assert t[100]["transaction_id"] == "tx-A"  # D1 held across restart
+    assert float(t[100]["amount"]) == 12.34  # C4 link held across restart
+    assert t[100]["status"] == "COMPLETED" and t[100]["completed_at"] == 5_000
+
+    # exactly-once: the variables log has no duplicate rows after two runs
+    vrows = got["variables"].collect()
+    assert len(vrows) == len({tuple(r) for r in vrows})
+    names = sorted(
+        (r["workflow_instance_key"], r["name"]) for r in vrows
+    )
+    assert names == [(100, "transactionId"), (101, "amount")]
+
+    # batch replay of A+B agrees with the restarted streaming run
+    raw_df = spark.createDataFrame(
+        [(_raw_json(e),) for e in batch_a + batch_b], "value string"
+    )
+    want = run_import_pipeline(parse_envelope(raw_df))
+    w = want["transfers"].collect()[0]
+    assert w["transaction_id"] == t[100]["transaction_id"]
+    assert float(w["amount"]) == float(t[100]["amount"])
+    assert w["status"] == t[100]["status"]
