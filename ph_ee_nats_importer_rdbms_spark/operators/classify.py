@@ -114,20 +114,27 @@ def with_routing(
         # ignores null candidates.
         has_def = F.col("process_definition_key").isNotNull()
         needs = empty_bpmn & has_def
-        need_keys = ev.filter(needs).select("process_definition_key").distinct()
+        # ONE corpus pass builds both "which definitions have a gap" and
+        # "what each definition resolves to"; keeping only gapped rows with
+        # a known resolution leaves the broadcastable repair dimension.
         dim = (
-            ev.filter(~empty_bpmn & has_def)
+            ev.filter(has_def)
             .groupBy("process_definition_key")
             .agg(
                 F.max(
-                    F.struct(
-                        F.col("timestamp"),
-                        F.col("position"),
-                        F.col("bpmn_process_id"),
+                    F.when(
+                        ~empty_bpmn,
+                        F.struct(
+                            F.col("timestamp"),
+                            F.col("position"),
+                            F.col("bpmn_process_id"),
+                        ),
                     )
-                )["bpmn_process_id"].alias("_c5_resolved")
+                )["bpmn_process_id"].alias("_c5_resolved"),
+                F.max(empty_bpmn).alias("_c5_needed"),
             )
-            .join(need_keys, on="process_definition_key", how="leftsemi")
+            .filter(F.col("_c5_needed") & F.col("_c5_resolved").isNotNull())
+            .drop("_c5_needed")
         )
         ev = (
             ev.join(F.broadcast(dim), on="process_definition_key", how="left")
