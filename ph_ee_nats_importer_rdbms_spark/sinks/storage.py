@@ -1,0 +1,76 @@
+"""Analytical table store: bucketed parquet tables for shuffle-free reads
+(the Delta/warehouse mirror of the JDBC sink, SURVEY §7 step 5).
+
+The read path's hottest join is TransferDetail
+(entity/transfer/TransferDetail.java:9-12): transfers ⋈ tasks ⋈ variables
+on ``workflow_instance_key``. At 100 TB the three tables are all large, so
+broadcasting is out and a plain join shuffles all of them on every query.
+Writing them **bucketed by the join key** (``bucketBy(N,
+"workflow_instance_key")`` + ``sortBy``) pays that shuffle once at write
+time; every later key-join and per-instance aggregation over the stored
+tables is exchange-free (Catalyst sees the bucketing and drops the
+Exchange; with sorted buckets SortMergeJoin also skips the sort).
+
+Bucket count guidance: ``total_table_bytes / 128MB`` rounded to a power of
+two, identical across the co-bucketed tables — equal counts are required
+for the exchange-free join.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+JOIN_KEY = "workflow_instance_key"
+
+# tables co-bucketed on the instance key; tenant config stays unbucketed
+BUCKETED = ("transfers", "transaction_requests", "batches", "tasks", "variables")
+
+
+def save_bucketed_tables(
+    tables: dict[str, DataFrame],
+    num_buckets: int = 8,
+    prefix: str = "ph_",
+) -> list[str]:
+    """Persist pipeline output tables to the session catalog, bucketed and
+    sorted by ``workflow_instance_key``. Returns the created table names.
+
+    Equivalent DDL: ``CREATE TABLE ph_transfers ... USING parquet
+    CLUSTERED BY (workflow_instance_key) SORTED BY (workflow_instance_key)
+    INTO <n> BUCKETS``.
+    """
+    created = []
+    for name, df in tables.items():
+        table = f"{prefix}{name}"
+        # a fresh session's in-memory catalog does not know about a previous
+        # run's managed-table directory, so DROP alone cannot clear it and
+        # CREATE fails with LOCATION_ALREADY_EXISTS; with a persistent
+        # metastore the DROP is sufficient and the rmtree never fires
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        stale = os.path.join(wh, table.lower())
+        if wh and os.path.isdir(stale):
+            shutil.rmtree(stale)
+        writer = df.write.mode("overwrite").format("parquet")
+        if name in BUCKETED and JOIN_KEY in df.columns:
+            writer = writer.bucketBy(num_buckets, JOIN_KEY).sortBy(JOIN_KEY)
+        writer.saveAsTable(table)
+        created.append(table)
+    return created
+
+
+def transfer_detail(spark: SparkSession, prefix: str = "ph_") -> DataFrame:
+    """TransferDetail over the stored tables: transfer + its tasks + its
+    variables (SURVEY §2.6 Q7). On bucketed tables this plans with zero
+    Exchange operators — verify with ``detail.explain()``."""
+    t = spark.table(f"{prefix}transfers")
+    k = spark.table(f"{prefix}tasks").withColumnRenamed("type", "task_type")
+    v = spark.table(f"{prefix}variables")
+    return (
+        t.join(k.select(JOIN_KEY, "element_id", "intent", "task_type"), JOIN_KEY, "left")
+        .join(v.select(JOIN_KEY, "name", "value"), JOIN_KEY, "left")
+    )

@@ -75,3 +75,54 @@ def test_bridge_run_raises_without_client(tmp_path):
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError:
         pass
+
+
+def test_bucketed_tables_make_detail_join_shuffle_free(spark, tmp_path):
+    """save_bucketed_tables co-buckets the three detail tables on the join
+    key, so TransferDetail (Q7) plans with NO Exchange (the shuffle was paid
+    once at write time) — the 100 TB shape promised in SCALE.md."""
+    from pyspark.sql import functions as F
+
+    from ph_ee_nats_importer_rdbms_spark.sinks import storage
+    from tests import zeebe_fixtures as zf
+    from ph_ee_nats_importer_rdbms_spark.operators.pipeline import (
+        run_import_pipeline,
+    )
+
+    rows = [
+        zf.process_event(100, "ELEMENT_ACTIVATING", ts=1_000),
+        zf.variable_event(100, "transactionId", '"tx-1"', ts=1_100),
+        zf.job_event(100, "svc", "T1", "CREATED", ts=1_200),
+        zf.process_event(100, "ELEMENT_COMPLETED", ts=2_000),
+        zf.process_event(110, "ELEMENT_ACTIVATING", ts=3_000),
+        zf.variable_event(110, "amount", '"5.00"', ts=3_100),
+    ]
+    out = run_import_pipeline(zf.to_df(spark, rows))
+    names = storage.save_bucketed_tables(out, num_buckets=4, prefix="t_")
+    assert set(names) >= {"t_transfers", "t_tasks", "t_variables"}
+
+    # force the large-table plan (SMJ): at real scale none of the three
+    # sides broadcasts, which is exactly when bucketing pays off
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        detail = storage.transfer_detail(spark, prefix="t_")
+        plan = detail._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+
+        got = {
+            (r["workflow_instance_key"], r["name"], r["task_type"])
+            for r in detail.collect()
+        }
+        assert (100, "transactionId", "svc") in got
+        assert (110, "amount", None) in got
+        # per-instance aggregation over a bucketed table: also shuffle-free
+        agg = (
+            spark.table("t_variables")
+            .groupBy("workflow_instance_key")
+            .agg(F.count("*").alias("n"))
+        )
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in agg_plan, agg_plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
