@@ -72,9 +72,9 @@ def run_import_pipeline_routed(
     return {
         "variables": event_tables.variables_table(routed),
         "tasks": event_tables.tasks_table(routed),
-        "transfers": entities.transfers_table(lc, routed_vars, links),
+        "transfers": entities.transfers_table(lc, routed_vars, links, stage=cache),
         "transaction_requests": entities.transaction_requests_table(
-            lc, routed_vars, links
+            lc, routed_vars, links, stage=cache
         ),
-        "batches": entities.batches_table(lc, routed_vars, links),
+        "batches": entities.batches_table(lc, routed_vars, links, stage=cache),
     }
