@@ -45,6 +45,28 @@ def windowed_event_stats(
     )
 
 
+def deduped_task_stream(
+    events: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """D2 task dedup as a pure built-in streaming stage:
+    ``dropDuplicatesWithinWatermark`` on the reference's task identity
+    (instance, elementId, intent) (RecordParser.java:233-245).
+
+    This is the watermark-bounded alternative to the keyed-state dedup in
+    the entity processor: state for a task key is dropped once the
+    watermark passes, so memory is bounded by the late-data horizon instead
+    of growing with all-time task count (the reference's DB-read dedup is
+    effectively unbounded). Use when at-scale retention matters more than
+    exact parity for arbitrarily-late duplicates."""
+    jobs = events.filter(
+        (F.col("value_type") == "JOB") & F.col("job_type").isNotNull()
+    ).withColumn("event_ts", F.timestamp_millis(F.col("timestamp")))
+    return jobs.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
+        ["process_instance_key", "element_id", "intent"]
+    )
+
+
 def transfer_throughput(
     changes: DataFrame,
     window: str = "10 minutes",
