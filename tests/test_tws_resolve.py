@@ -1,0 +1,154 @@
+"""transformWithStateInPandas resolve stage (streaming/tws.py).
+
+The processor logic is unit-tested against stub ValueState/ListState (no
+broker, no protobuf needed); the full streaming parity run against the
+applyInPandasWithState stage requires the ``protobuf`` package (the TWS
+worker's state protocol) and skips where it is absent.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tests.test_streaming import _raw_json
+from tests.zeebe_fixtures import process_event, variable_event
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class _StubValueState:
+    def __init__(self):
+        self.v = None
+
+    def exists(self):
+        return self.v is not None
+
+    def get(self):
+        return self.v
+
+    def update(self, v):
+        self.v = v
+
+
+class _StubListState:
+    def __init__(self):
+        self.rows: list[tuple] = []
+
+    def exists(self):
+        return bool(self.rows)
+
+    def get(self):
+        return iter(list(self.rows))
+
+    def appendList(self, rows):
+        self.rows.extend(rows)
+
+    def clear(self):
+        self.rows = []
+
+
+def _processor():
+    from ph_ee_nats_importer_rdbms_spark.streaming.tws import ResolveProcessor
+
+    p = ResolveProcessor()
+    p._resolved = _StubValueState()
+    p._buffered = _StubListState()
+    return p
+
+
+def _pdf(events):
+    from ph_ee_nats_importer_rdbms_spark.streaming.tws import _COLS
+
+    rows = [tuple(e.get(c) for c in _COLS) for e in events]
+    return pd.DataFrame(rows, columns=_COLS)
+
+
+def _emit(p, events):
+    out = list(p.handleInputRows(None, iter([_pdf(events)]), None))
+    return pd.concat(out) if out else pd.DataFrame()
+
+
+def test_processor_buffers_then_replays_across_batches():
+    p = _processor()
+    # batch 1: two gapped rows -> nothing emitted, buffered in list state
+    got = _emit(p, [
+        variable_event(200, "batchId", '"B"', 1_000, bpmn="", definition=6001),
+        variable_event(200, "note", '"n"', 1_500, bpmn="", definition=6001),
+    ])
+    assert got.empty and len(p._buffered.rows) == 2
+    # batch 2: carrier arrives -> buffer replays resolved, then the carrier
+    got = _emit(p, [
+        process_event(200, "ELEMENT_ACTIVATING", 2_000,
+                      bpmn="bulk_processor-tn02", definition=6001),
+    ])
+    assert list(got["bpmn_process_id"]) == ["bulk_processor-tn02"] * 3
+    assert list(got["timestamp"]) == [1_000, 1_500, 2_000]
+    assert not p._buffered.rows and p._resolved.get() == ("bulk_processor-tn02",)
+    # batch 3: later gapped row flows straight through off value state
+    got = _emit(p, [
+        variable_event(200, "x", '"y"', 3_000, bpmn="", definition=6001),
+    ])
+    assert list(got["bpmn_process_id"]) == ["bulk_processor-tn02"]
+
+
+def test_processor_same_batch_replay_order():
+    p = _processor()
+    got = _emit(p, [
+        variable_event(1, "a", '"1"', 1_000, bpmn="", definition=5),
+        process_event(1, "ELEMENT_ACTIVATING", 2_000, bpmn="P-t", definition=5),
+        variable_event(1, "b", '"2"', 3_000, bpmn="", definition=5),
+    ])
+    # buffered row replays when the carrier lands, then carrier, then tail
+    assert list(got["timestamp"]) == [1_000, 2_000, 3_000]
+    assert set(got["bpmn_process_id"]) == {"P-t"}
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas worker needs the protobuf package",
+)
+def test_tws_resolve_matches_applyinpandas_stage(spark, tmp_path):
+    from ph_ee_nats_importer_rdbms_spark.streaming.pipeline import (
+        read_raw_stream,
+        resolve_stage,
+    )
+    from ph_ee_nats_importer_rdbms_spark.streaming.tws import resolve_stage_tws
+
+    events = [
+        variable_event(200, "batchId", '"B-9"', 1_000, bpmn="", definition=6001),
+        process_event(200, "ELEMENT_ACTIVATING", 2_000,
+                      bpmn="bulk_processor-tn02", definition=6001),
+        variable_event(300, "x", '"1"', 2_500, bpmn="", definition=7001),
+        process_event(100, "ELEMENT_ACTIVATING", 3_000),
+    ]
+
+    def run(stage_fn, name):
+        src = tmp_path / f"src_{name}"
+        src.mkdir()
+        for i, e in enumerate(events):
+            (src / f"d{i}.jsonl").write_text(_raw_json(e) + "\n")
+        q = (
+            stage_fn(read_raw_stream(spark, str(src), max_files_per_trigger=1))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.sql(
+            f"SELECT process_instance_key, name, bpmn_process_id, timestamp "
+            f"FROM {name}"
+        ).collect()
+        return sorted(tuple(r) for r in rows)
+
+    assert run(resolve_stage_tws, "tws_out") == run(resolve_stage, "aip_out")
