@@ -22,14 +22,22 @@ TABLE_NAMES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is TIMESTAMP(NANOS) parquet, read as long nanos under
-    # spark.sql.legacy.parquet.nanosAsLong — convert to a microsecond
-    # timestamp (integer division, no float round-trip)
+    # Normalize events.ts across driver testdata vintages to TIMESTAMP_LTZ:
+    # - TIMESTAMP(NANOS) parquet arrives as long nanos under
+    #   spark.sql.legacy.parquet.nanosAsLong -> integer-divide to micros
+    # - timestamp[us] without timezone arrives as TIMESTAMP_NTZ -> cast;
+    #   session TZ is UTC so the wall clock is preserved, matching how
+    #   DuckDB's epoch_ms() treats the same naive value
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+        if field.name != "ts":
+            continue
+        kind = field.dataType.simpleString()
+        if kind == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
             )
+        elif kind == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
