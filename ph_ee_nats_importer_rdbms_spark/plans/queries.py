@@ -467,6 +467,143 @@ LIMIT 10
 """
 
 
+def _q_order_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): orders with at least one late-shipped line,
+    counted per priority bucket (TPC-H Q4 shape). The probe side is
+    pre-filtered and deduped per key before the semi join, so the shuffle
+    carries distinct orderkeys, not all matching lineitems."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") > "1997-06-30").select("l_orderkey")
+    return (
+        o.join(late, o["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_ORDER_PRIORITY_LATE_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+)
+GROUP BY o_orderpriority
+"""
+
+
+def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no order since the
+    cutoff. The build side is filtered before the join, so the anti-join
+    hash table holds only recent orderkeys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    recent = o.filter(F.col("o_orderdate") >= "1997-06-01").select("o_custkey")
+    return (
+        c.join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+_CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+)
+"""
+
+
+def _q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals with ROLLUP(region, nation): one aggregation
+    pass produces leaf rows, per-region subtotals, and the grand total
+    (grouped columns NULL on subtotal rows, exactly as in ANSI ROLLUP)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+_REVENUE_ROLLUP_ORACLE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def _q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click attributed to the user's most recent STRICTLY
+    earlier purchase (DuckDB expresses this as ``ASOF LEFT JOIN``; Spark has
+    no as-of operator). Implemented as a single event-time window pass —
+    ``max(purchase_ts) over (user, range < current ts)`` — one shuffle on
+    user_id, no range-join row explosion: at 100 TB the cost is a sort
+    within each user partition, versus an O(clicks × purchases) expansion
+    for the naive inequality join."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    both = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "event_type", us.alias("ts_us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    attributed = both.withColumn(
+        "last_purchase_ts_us",
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+        ).over(w),
+    )
+    return attributed.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("click_ts_us"),
+        "last_purchase_ts_us",
+    )
+
+
+_PURCHASE_ATTRIBUTION_ORACLE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id,
+       epoch_us(c.ts) AS click_ts_us,
+       epoch_us(p.ts) AS last_purchase_ts_us
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts > p.ts
+"""
+
+
 def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
@@ -594,6 +731,16 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "pricing_summary": (_q_pricing_summary, _PRICING_SUMMARY_ORACLE),
     "revenue_by_nation": (_q_revenue_by_nation, _REVENUE_BY_NATION_ORACLE),
     "top_parts": (_q_top_parts, _TOP_PARTS_ORACLE),
+    "order_priority_late": (_q_order_priority_late, _ORDER_PRIORITY_LATE_ORACLE),
+    "customers_without_orders": (
+        _q_customers_without_orders,
+        _CUSTOMERS_WITHOUT_ORDERS_ORACLE,
+    ),
+    "revenue_rollup": (_q_revenue_rollup, _REVENUE_ROLLUP_ORACLE),
+    "purchase_attribution": (
+        _q_purchase_attribution,
+        _PURCHASE_ATTRIBUTION_ORACLE,
+    ),
     "events_daily": (_q_events_daily, _EVENTS_DAILY_ORACLE),
     "user_sessions": (_q_user_sessions, _USER_SESSIONS_ORACLE),
     "doc_stats": (_q_doc_stats, _DOC_STATS_ORACLE),

@@ -174,3 +174,37 @@ def test_balanced_sample_quota_and_determinism(spark, sf_dir):
     assert all(n <= training.BALANCED_SAMPLE_K for n in per_lang.values())
     again = {(r["lang"], r["rank"]): r["doc_id"] for r in s.collect()}
     assert {(r["lang"], r["rank"]): r["doc_id"] for r in training.q_balanced_sample(spark, sf_dir).collect()} == again
+
+
+def test_purchase_attribution_matches_bruteforce_asof(spark, sf_dir):
+    """The windowed as-of join must equal the naive inequality join +
+    per-click argmax (strictly-earlier purchase, per user)."""
+    from ph_ee_nats_importer_rdbms_spark.plans.queries import (
+        _q_purchase_attribution,
+    )
+
+    got = {
+        (r["event_id"]): (r["click_ts_us"], r["last_purchase_ts_us"])
+        for r in _q_purchase_attribution(spark, sf_dir).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("c_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), us.alias("p_us")
+    )
+    brute = (
+        clicks.join(
+            purchases,
+            (clicks["user_id"] == purchases["p_user"])
+            & (purchases["p_us"] < clicks["c_us"]),
+            "left",
+        )
+        .groupBy("event_id", "c_us")
+        .agg(F.max("p_us").alias("p_us"))
+    )
+    want = {r["event_id"]: (r["c_us"], r["p_us"]) for r in brute.collect()}
+    assert got == want and len(got) > 0
