@@ -275,3 +275,138 @@ SELECT DISTINCT doc_id, {duck_h32("gram")} AS fingerprint
 FROM g
 WHERE {duck_h32("gram")} % {FINGERPRINT_MOD} = 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Repetition filters (Gopher-style per-doc, FineWeb-style cross-doc)
+# ---------------------------------------------------------------------------
+
+#: Word n-gram order for the cross-document duplicated-n-gram fraction.
+DUP_NGRAM_N = 5
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (the Gopher repetition filters):
+    distinct-token ratio, most-frequent-token fraction, duplicate-bigram
+    fraction. All higher-order array functions over the token array — per
+    row, JVM-side, no shuffle, so the operator is a map over the corpus at
+    any scale. Ratios floor-truncated to 4dp (engine-stable, see q_quality).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", _tokens().alias("toks")
+    ).localCheckpoint(eager=False)
+    n = F.size(F.col("toks"))
+    n_distinct = F.size(F.array_distinct(F.col("toks")))
+    top_count = F.expr(
+        "array_max(transform(array_distinct(toks),"
+        " x -> size(filter(toks, y -> y = x))))"
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    n_bigrams = F.size(bigrams)
+    dup_bigram = F.when(
+        n >= 2,
+        1.0 - F.size(F.array_distinct(bigrams)) / n_bigrams,
+    ).otherwise(F.lit(0.0))
+    trunc = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    return staged.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        trunc(n_distinct / n).alias("distinct_ratio"),
+        trunc(top_count / n).alias("top_token_frac"),
+        trunc(dup_bigram).alias("dup_bigram_frac"),
+    )
+
+
+REPETITION_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, {_duck_tokens()} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         len(list_distinct(toks)) AS n_distinct,
+         list_max(list_transform(list_distinct(toks),
+             x -> len(list_filter(toks, y -> y = x)))) AS top_count,
+         list_transform(range(1, len(toks)),
+             i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]) AS bigrams
+  FROM t
+)
+SELECT doc_id,
+       n AS n_tokens,
+       floor(CAST(n_distinct AS DOUBLE) / n * 10000) / 10000 AS distinct_ratio,
+       floor(CAST(top_count AS DOUBLE) / n * 10000) / 10000 AS top_token_frac,
+       floor(CASE WHEN n >= 2
+             THEN (1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams))
+             ELSE 0.0 END * 10000) / 10000 AS dup_bigram_frac
+FROM m
+"""
+
+
+def q_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-n-gram fraction (the FineWeb/RefinedWeb
+    quality signal): per doc, the fraction of its word {DUP_NGRAM_N}-gram
+    occurrences whose gram also appears in at least one OTHER document.
+
+    Shape at scale: explode grams (map-side, hashes not strings on the
+    wire) -> one hash-agg per gram computing distinct-doc count -> rejoin
+    -> one hash-agg per doc. Two shuffles on the 32-bit gram hash, both
+    map-side combinable; no pairwise document comparison anywhere."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    staged = d.select(
+        "doc_id", _tokens().alias("toks")
+    ).filter(F.size("toks") >= DUP_NGRAM_N).localCheckpoint(eager=False)
+    grams = staged.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {DUP_NGRAM_N - 1}),"
+                f" i -> array_join(slice(toks, i, {DUP_NGRAM_N}), ' '))"
+            )
+        ).alias("gram"),
+    ).select("doc_id", F.expr(spark_h32("gram")).alias("gram_h"))
+    shared = grams.groupBy("gram_h").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return (
+        grams.join(shared, "gram_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            (
+                F.floor(
+                    F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+                    / F.count(F.lit(1))
+                    * 10000
+                )
+                / 10000
+            ).alias("dup_frac"),
+        )
+    )
+
+
+DUP_NGRAM_FRAC_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, {_duck_tokens()} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - {DUP_NGRAM_N - 2}),
+             i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + {DUP_NGRAM_N - 1}], ' '))) AS gram
+  FROM t WHERE len(toks) >= {DUP_NGRAM_N}
+),
+h AS (
+  SELECT doc_id, {duck_h32("gram")} AS gram_h FROM g
+),
+s AS (
+  SELECT gram_h, count(DISTINCT doc_id) AS n_docs FROM h GROUP BY gram_h
+)
+SELECT doc_id, count(*) AS n_grams,
+       floor(CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 10000) / 10000 AS dup_frac
+FROM h JOIN s USING (gram_h)
+GROUP BY doc_id
+"""

@@ -750,6 +750,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "lang_id": (_tx.q_lang_id, _tx.LANG_ID_ORACLE),
     "doc_quality": (_tx.q_quality, _tx.QUALITY_ORACLE),
     "doc_fingerprints": (_tx.q_fingerprints, _tx.FINGERPRINTS_ORACLE),
+    "doc_repetition": (_tx.q_repetition, _tx.REPETITION_ORACLE),
+    "dup_ngram_frac": (_tx.q_dup_ngram_frac, _tx.DUP_NGRAM_FRAC_ORACLE),
     # --- dedup (analytics/dedup.py) ---
     "minhash_signatures": (_dd.q_minhash_signatures, _dd.MINHASH_SIGNATURES_ORACLE),
     "minhash_dups": (_dd.q_minhash_dups, _dd.MINHASH_DUPS_ORACLE),

@@ -208,3 +208,33 @@ def test_purchase_attribution_matches_bruteforce_asof(spark, sf_dir):
     )
     want = {r["event_id"]: (r["c_us"], r["p_us"]) for r in brute.collect()}
     assert got == want and len(got) > 0
+
+
+def test_repetition_ratios_bounded_and_consistent(spark, sf_dir):
+    rep = {r["doc_id"]: r for r in text.q_repetition(spark, sf_dir).collect()}
+    assert rep
+    for r in rep.values():
+        assert 0 < r["distinct_ratio"] <= 1.0
+        # ratios are floor-truncated to 4dp, so allow 1e-4 under the bound
+        assert 1.0 / r["n_tokens"] - 1e-4 <= r["top_token_frac"] <= 1.0
+        assert 0 <= r["dup_bigram_frac"] < 1.0
+        # a doc where every token is unique has no repeated bigrams
+        if r["distinct_ratio"] == 1.0:
+            assert r["dup_bigram_frac"] == 0.0
+
+
+def test_dup_ngram_frac_is_one_for_exact_copies(spark, sf_dir):
+    """Exact duplicate documents share every n-gram, so both members of a
+    copy-group must score dup_frac == 1.0."""
+    from ph_ee_nats_importer_rdbms_spark.plans.queries import _q_doc_exact_dedup
+
+    groups = _q_doc_exact_dedup(spark, sf_dir).filter(F.col("n_copies") > 1)
+    keepers = {r["keeper_doc_id"] for r in groups.collect()}
+    frac = {
+        r["doc_id"]: r["dup_frac"]
+        for r in text.q_dup_ngram_frac(spark, sf_dir).collect()
+    }
+    assert frac and all(0 <= v <= 1.0 for v in frac.values())
+    # sf0.001 has no exact copies; sf0.01+ does — assert where present
+    for doc_id in keepers:
+        assert frac[doc_id] == 1.0
