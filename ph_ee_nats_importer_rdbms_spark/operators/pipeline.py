@@ -51,30 +51,70 @@ def run_import_pipeline_routed(
     routed: DataFrame, cache: bool = True
 ) -> dict[str, DataFrame]:
     """The pipeline from an already-routed (and ideally staged) event
-    relation — lets callers that keep their own staged copy share it."""
-    # D1-deduped variable stream — the reference drops duplicates before the
-    # entity mappers ever see them (RecordParser.java:137-145)
-    routed_vars = event_tables.variables_deduped(routed)
-    if cache:
-        routed_vars = routed_vars.localCheckpoint(eager=True)
+    relation — lets callers that keep their own staged copy share it.
 
+    With ``cache`` the two independent staging chains — the D1 variable
+    dedup and the lifecycle chain (parent links -> lifecycle agg) — run as
+    CONCURRENT Spark jobs (thread-submitted; the scheduler interleaves
+    their stages), then the three entity assemblies (each staging its own
+    known-variable relation) run concurrently too. Serially these five
+    materializations leave the cluster idle during each job's driver-side
+    planning and shuffle tails; overlapping them fills those gaps — the
+    standard multi-job pattern on a shared cluster."""
     proc = lifecycle.process_events(routed)
-    links = lifecycle.parent_links(proc)
-    if cache:
+
+    if not cache:
+        routed_vars = event_tables.variables_deduped(routed)
+        links = lifecycle.parent_links(proc)
+        lc = lifecycle.lifecycle_table(proc, links)
+        return {
+            "variables": event_tables.variables_table(routed),
+            "tasks": event_tables.tasks_table(routed),
+            "transfers": entities.transfers_table(lc, routed_vars, links, stage=False),
+            "transaction_requests": entities.transaction_requests_table(
+                lc, routed_vars, links, stage=False
+            ),
+            "batches": entities.batches_table(lc, routed_vars, links, stage=False),
+        }
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _stage_vars() -> DataFrame:
+        # D1-deduped variable stream — the reference drops duplicates before
+        # the entity mappers ever see them (RecordParser.java:137-145)
+        return event_tables.variables_deduped(routed).localCheckpoint(eager=True)
+
+    def _stage_lifecycle() -> tuple[DataFrame, DataFrame]:
         # All three entity tables join against links and lc; staging the
         # (small, per-instance-grain) relations keeps the lifecycle
         # aggregation from re-executing once per entity output.
-        links = links.localCheckpoint(eager=True)
-    lc = lifecycle.lifecycle_table(proc, links)
-    if cache:
-        lc = lc.localCheckpoint(eager=True)
+        links = lifecycle.parent_links(proc).localCheckpoint(eager=True)
+        lc = lifecycle.lifecycle_table(proc, links).localCheckpoint(eager=True)
+        return links, lc
+
+    with ThreadPoolExecutor(2) as ex:
+        f_vars = ex.submit(_stage_vars)
+        f_lc = ex.submit(_stage_lifecycle)
+        routed_vars = f_vars.result()
+        links, lc = f_lc.result()
+
+    builders = {
+        "transfers": lambda: entities.transfers_table(
+            lc, routed_vars, links, stage=True
+        ),
+        "transaction_requests": lambda: entities.transaction_requests_table(
+            lc, routed_vars, links, stage=True
+        ),
+        "batches": lambda: entities.batches_table(
+            lc, routed_vars, links, stage=True
+        ),
+    }
+    with ThreadPoolExecutor(len(builders)) as ex:
+        futures = {name: ex.submit(fn) for name, fn in builders.items()}
+        built = {name: f.result() for name, f in futures.items()}
 
     return {
         "variables": event_tables.variables_table(routed),
         "tasks": event_tables.tasks_table(routed),
-        "transfers": entities.transfers_table(lc, routed_vars, links, stage=cache),
-        "transaction_requests": entities.transaction_requests_table(
-            lc, routed_vars, links, stage=cache
-        ),
-        "batches": entities.batches_table(lc, routed_vars, links, stage=cache),
+        **built,
     }

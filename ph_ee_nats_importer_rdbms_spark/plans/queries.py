@@ -83,26 +83,31 @@ def _pipeline(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
     key = (id(spark), sf_dir)
     if key not in _PIPELINE_CACHE:
-        _PIPELINE_CACHE[key] = run_import_pipeline_routed(_routed(spark, sf_dir))
+        tables = run_import_pipeline_routed(_routed(spark, sf_dir))
+        # Materialize all five outputs as concurrent jobs: the first zeebe
+        # query pays the whole import once (exactly like the deployed
+        # importer writing its table store), and the scheduler overlaps the
+        # five table builds instead of paying each tail serially.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(len(tables)) as ex:
+            futures = {
+                name: ex.submit(
+                    lambda df=df: df.localCheckpoint(eager=True)
+                )
+                for name, df in tables.items()
+            }
+            _PIPELINE_CACHE[key] = {n: f.result() for n, f in futures.items()}
     return _PIPELINE_CACHE[key]
 
 
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
-
-
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """A pipeline output table, materialized once on first touch (eager
-    ``localCheckpoint``) and served from the staged copy afterwards — the
-    batch analogue of the deployed system's JDBC/parquet table store, where
-    the importer writes each business table once and every read-path query
-    scans the stored relation instead of re-running the import. Keeps e.g.
-    the 46-spec transfers pivot from re-executing per read-path query."""
-    key = (id(spark), sf_dir, name)
-    if key not in _TABLE_CACHE:
-        _TABLE_CACHE[key] = _pipeline(spark, sf_dir)[name].localCheckpoint(
-            eager=True
-        )
-    return _TABLE_CACHE[key]
+    """A pipeline output table — ``_pipeline`` materializes all five on
+    first touch (the batch analogue of the deployed system's JDBC/parquet
+    table store: the importer writes each business table once, every
+    read-path query scans the stored relation instead of re-running the
+    import)."""
+    return _pipeline(spark, sf_dir)[name]
 
 
 def _ms_cols(df: DataFrame) -> DataFrame:
