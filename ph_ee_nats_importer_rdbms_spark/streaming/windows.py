@@ -95,3 +95,33 @@ def transfer_throughput(
             "n_upserts",
         )
     )
+
+
+def session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "event_ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming sessionization with ``session_window``: per-key sessions
+    that close after ``gap`` of event-time inactivity — the streaming twin
+    of the batch ``user_sessions`` registry query (which needs a full sort
+    + running sum per key; here the state store merges windows
+    incrementally). In append mode a session's single row emits once the
+    watermark passes ``session_end``, so downstream sinks see each session
+    exactly once."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col(key_col),
+            "n_events",
+        )
+    )

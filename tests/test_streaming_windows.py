@@ -83,3 +83,57 @@ def test_watermark_drops_too_late_events(spark, tmp_path):
     # hour-2 'a': late but within watermark -> counted
     assert got[(2, "a")] == 1
     assert got[(3, "b")] == 1
+
+
+def test_session_windows_split_on_gap_and_close_via_watermark(spark, tmp_path):
+    from ph_ee_nats_importer_rdbms_spark.streaming.windows import session_stats
+
+    src = tmp_path / "ssrc"
+    src.mkdir()
+    out = str(tmp_path / "sout")
+    ck = str(tmp_path / "sck")
+
+    def _drop(i, rows):
+        with open(os.path.join(str(src), f"s{i:03d}.jsonl"), "w") as f:
+            for ts_s, user in rows:
+                f.write(json.dumps({"event_ts": ts_s * 1000, "event_type": user, "v": 1}) + "\n")
+
+    def run():
+        stream = (
+            spark.readStream.format("json")
+            .schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+            .withColumn("event_ts", F.timestamp_millis(F.col("event_ts").cast("long")))
+        )
+        q = (
+            session_stats(stream, gap="30 minutes", watermark="1 hour",
+                          key_col="event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # user u1: two events 10 min apart (one session), then one event 2h
+    # later (a NEW session: the 30-min gap expired in between)
+    _drop(0, [(0, "u1"), (600, "u1"), (2 * H, "u1")])
+    run()
+    # far-future event pushes the watermark past every session's end
+    _drop(1, [(10 * H, "u2")])
+    run()
+
+    rows = spark.read.parquet(out).collect()
+    sessions = {
+        (r["event_type"], r["session_start"].hour * 3600 + r["session_start"].minute * 60): r
+        for r in rows
+    }
+    first = sessions[("u1", 0)]
+    assert first["n_events"] == 2
+    # session end = last event + gap (00:10 + 30 min)
+    assert (first["session_end"].hour, first["session_end"].minute) == (0, 40)
+    second = sessions[("u1", 2 * 3600)]
+    assert second["n_events"] == 1
