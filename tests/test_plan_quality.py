@@ -1,0 +1,66 @@
+"""Physical-plan regression tests: the scale properties the design rules
+promise must be visible in the optimized plan — filter pushdown to the
+parquet scan, column pruning, broadcast dimension joins, no cartesian
+products, no Python evaluation outside the sanctioned multimodal decode.
+These lock tools/explain_audit.py's checks into CI.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ph_ee_nats_importer_rdbms_spark.plans.queries import QUERIES
+from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    ).select("l_returnflag", "l_quantity")
+    plan = _plan(li)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_narrows_read_schema(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(li)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "l_extendedprice" not in read[0]
+    assert "l_orderkey" in read[0] and "l_quantity" in read[0]
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(QUERIES["revenue_by_nation"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "pricing_summary",
+        "order_priority_late",
+        "customers_without_orders",
+        "revenue_rollup",
+        "purchase_attribution",
+        "user_sessions",
+        "doc_repetition",
+        "dup_ngram_frac",
+        "minhash_dups",
+        "transfers_range_filter",
+        "transfer_detail_join",
+    ],
+)
+def test_no_cartesian_or_stray_python(spark, sf_dir, name):
+    plan = _plan(QUERIES[name][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"{name} has Python in the hot path"
