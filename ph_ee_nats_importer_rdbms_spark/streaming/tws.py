@@ -114,3 +114,147 @@ def resolve_stage_tws(
         outputMode="append",
         timeMode="none",
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity fold (C1-C3/C6/D1-D4) on transformWithStateInPandas
+# ---------------------------------------------------------------------------
+
+#: Typed state layout — modeled the way the reference holds it:
+#: - meta ValueState     = the inflight entity row + lifecycle flags
+#:   (InflightTransferManager.java:19 map entry + started/completed guards)
+#: - var_ts MapState     = per-name max timestamp (the D1 dedup lookup the
+#:   reference does against ph_variables, RecordParser.java:133-145) —
+#:   updates cost O(names touched this batch), not O(all names ever seen)
+#: - tasks ListState     = (element_id, intent) pairs already inserted
+#:   (the D2 existence check, RecordParser.java:233-245)
+_META_SCHEMA = (
+    "entity_type string, started boolean, completed boolean, seq long,"
+    " entity_json string"
+)
+_VAR_TS_KEY_SCHEMA = "name string"
+_VAR_TS_VALUE_SCHEMA = "max_ts long"
+_TASK_SIG_SCHEMA = "element_id string, intent string"
+
+_CHANGES_COLS = ["kind", "workflow_instance_key", "tenant", "payload"]
+
+
+class EntityProcessor(StatefulProcessor):
+    """Per-effective-key entity state machine on the typed-state API.
+
+    A thin adapter around the SAME pure-Python reducer the
+    applyInPandasWithState stage uses (streaming/state.entity_step), so the
+    two implementations cannot drift; only the state plumbing differs.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._meta = handle.getValueState("meta", _META_SCHEMA)
+        self._var_ts = handle.getMapState(
+            "var_ts", _VAR_TS_KEY_SCHEMA, _VAR_TS_VALUE_SCHEMA
+        )
+        self._tasks = handle.getListState("tasks", _TASK_SIG_SCHEMA)
+
+    def _load(self):
+        import json as _json
+
+        from ph_ee_nats_importer_rdbms_spark.streaming import state as sm
+
+        st = sm.EntityState()
+        if self._meta.exists():
+            etype, started, completed, seq, entity_json = self._meta.get()
+            st.entity_type = etype
+            st.started = bool(started)
+            st.completed = bool(completed)
+            st.seq = int(seq)
+            st.entity = _json.loads(entity_json) if entity_json else {}
+        if self._var_ts.exists():
+            for (name,), (ts,) in self._var_ts.iterator():
+                st.var_max_ts[name] = ts
+        if self._tasks.exists():
+            st.tasks_seen = [list(sig) for sig in self._tasks.get()]
+        return st
+
+    def _store(self, st, prior_var_ts, prior_n_tasks) -> None:
+        import json as _json
+
+        self._meta.update(
+            (
+                st.entity_type,
+                st.started,
+                st.completed,
+                st.seq,
+                _json.dumps(st.entity),
+            )
+        )
+        for name, ts in st.var_max_ts.items():
+            if prior_var_ts.get(name) != ts:
+                self._var_ts.updateValue((name,), (ts,))
+        new_sigs = st.tasks_seen[prior_n_tasks:]
+        if new_sigs:
+            self._tasks.appendList([tuple(sig) for sig in new_sigs])
+
+    def handleInputRows(
+        self, key, rows, timerValues
+    ) -> Iterator[pd.DataFrame]:
+        import json as _json
+
+        from ph_ee_nats_importer_rdbms_spark.streaming import state as sm
+
+        st = self._load()
+        prior_var_ts = dict(st.var_max_ts)
+        prior_n_tasks = len(st.tasks_seen)
+
+        events: list[dict] = []
+        tenant = None
+        for pdf in rows:
+            pdf = pdf.sort_values(["timestamp", "position"], kind="mergesort")
+            for rec in pdf.to_dict("records"):
+                clean = {
+                    k: (None if v is None or (isinstance(v, float) and pd.isna(v)) else (v.item() if hasattr(v, "item") else v))
+                    for k, v in rec.items()
+                }
+                if tenant is None and clean.get("tenant"):
+                    tenant = clean["tenant"]
+                events.append(clean)
+        events.sort(key=lambda e: (e["timestamp"], e["position"]))
+
+        st, out_rows = sm.entity_step(st, events)
+        st.seq += 1
+        out = [
+            {
+                "kind": r.pop("kind"),
+                "workflow_instance_key": r.get("workflow_instance_key"),
+                "tenant": tenant,
+                "payload": _json.dumps(r),
+            }
+            for r in out_rows
+        ]
+        snap = sm.entity_snapshot(int(key[0]), st)
+        if snap is not None:
+            out.append(
+                {
+                    "kind": snap.pop("kind"),
+                    "workflow_instance_key": snap["workflow_instance_key"],
+                    "tenant": tenant,
+                    "payload": _json.dumps(snap),
+                }
+            )
+        self._store(st, prior_var_ts, prior_n_tasks)
+        if out:
+            yield pd.DataFrame(out, columns=_CHANGES_COLS)
+
+    def close(self) -> None:
+        pass
+
+
+def entity_stage_tws(rekeyed: DataFrame) -> DataFrame:
+    """Drop-in replacement for streaming/pipeline.entity_stage on
+    transformWithStateInPandas (same input, same CHANGES_SCHEMA output)."""
+    from ph_ee_nats_importer_rdbms_spark.streaming.pipeline import CHANGES_SCHEMA
+
+    return rekeyed.groupBy("effective_key").transformWithStateInPandas(
+        statefulProcessor=EntityProcessor(),
+        outputStructType=CHANGES_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

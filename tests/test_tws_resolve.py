@@ -152,3 +152,121 @@ def test_tws_resolve_matches_applyinpandas_stage(spark, tmp_path):
         return sorted(tuple(r) for r in rows)
 
     assert run(resolve_stage_tws, "tws_out") == run(resolve_stage, "aip_out")
+
+
+class _StubMapState:
+    def __init__(self):
+        self.m: dict[tuple, tuple] = {}
+
+    def exists(self):
+        return bool(self.m)
+
+    def iterator(self):
+        return iter(list(self.m.items()))
+
+    def updateValue(self, k, v):
+        self.m[tuple(k)] = tuple(v)
+
+    def containsKey(self, k):
+        return tuple(k) in self.m
+
+    def getValue(self, k):
+        return self.m[tuple(k)]
+
+
+def _entity_processor():
+    from ph_ee_nats_importer_rdbms_spark.streaming.tws import EntityProcessor
+
+    p = EntityProcessor()
+    p._meta = _StubValueState()
+    p._var_ts = _StubMapState()
+    p._tasks = _StubListState()
+    return p
+
+
+def _entity_events():
+    base = dict(
+        process_type="TRANSFER",
+        process_direction="INCOMING",
+        tenant="tn1",
+        process_definition_key=500,
+        process_instance_key=42,
+        child_start=False,
+    )
+    return [
+        dict(base, value_type="PROCESS_INSTANCE", bpmn_element_type="PROCESS",
+             intent="ELEMENT_ACTIVATING", timestamp=1_000, position=1,
+             name=None, value=None, job_type=None, element_id=None,
+             record_type="EVENT"),
+        dict(base, value_type="VARIABLE", bpmn_element_type=None,
+             intent="CREATED", timestamp=2_000, position=2,
+             name="amount", value='"12.5"', job_type=None, element_id=None,
+             record_type="EVENT"),
+        # D1 duplicate: same name, same ts -> dropped
+        dict(base, value_type="VARIABLE", bpmn_element_type=None,
+             intent="CREATED", timestamp=2_000, position=3,
+             name="amount", value='"99.9"', job_type=None, element_id=None,
+             record_type="EVENT"),
+        dict(base, value_type="JOB", bpmn_element_type=None,
+             intent="CREATED", timestamp=3_000, position=4,
+             name=None, value=None, job_type="svc", element_id="T1",
+             record_type="EVENT"),
+        # D2 duplicate task
+        dict(base, value_type="JOB", bpmn_element_type=None,
+             intent="CREATED", timestamp=3_500, position=5,
+             name=None, value=None, job_type="svc", element_id="T1",
+             record_type="EVENT"),
+        dict(base, value_type="PROCESS_INSTANCE", bpmn_element_type="PROCESS",
+             intent="ELEMENT_COMPLETED", timestamp=9_000, position=6,
+             name=None, value=None, job_type=None, element_id=None,
+             record_type="EVENT"),
+    ]
+
+
+def _run_entity(p, events):
+    import pandas as pd
+
+    cols = sorted({k for e in events for k in e})
+    pdf = pd.DataFrame([{c: e.get(c) for c in cols} for e in events])
+    out = list(p.handleInputRows((42,), iter([pdf]), None))
+    return pd.concat(out) if out else pd.DataFrame(columns=["kind"])
+
+
+def test_tws_entity_fold_matches_pure_reducer_across_batch_splits():
+    """Splitting the same event sequence across micro-batches must produce
+    the same final snapshot as one pass of the pure reducer — i.e. the
+    typed-state round-trip (ValueState + MapState + ListState) is lossless."""
+    import json
+
+    from ph_ee_nats_importer_rdbms_spark.streaming import state as sm
+
+    events = _entity_events()
+
+    # reference: one pass of the pure reducer
+    st_ref, rows_ref = sm.entity_step(sm.EntityState(), events)
+    snap_ref = sm.entity_snapshot(42, st_ref)
+
+    # TWS processor fed the same events split into three batches
+    p = _entity_processor()
+    outs = []
+    for chunk in (events[:2], events[2:4], events[4:]):
+        outs.append(_run_entity(p, chunk))
+
+    import pandas as pd
+
+    all_out = pd.concat(outs, ignore_index=True)
+    inserts = all_out[all_out["kind"].isin(["variable", "task"])]
+    # D1 dropped the duplicate amount, D2 the duplicate task
+    assert list(inserts["kind"]) == ["variable", "task"]
+    assert len(rows_ref) == 2
+
+    # final snapshot emitted in the last batch == pure-reducer snapshot
+    last_snap = json.loads(outs[-1][outs[-1]["kind"] == "transfer"].iloc[-1]["payload"])
+    snap_ref = {k: v for k, v in snap_ref.items() if k != "kind"}
+    for k in ("workflow_instance_key", "amount", "status", "direction"):
+        assert last_snap[k] == snap_ref[k], k
+    assert last_snap["status"] == "COMPLETED"
+    assert last_snap["amount"] == 12.5
+    # state persisted through the typed handles
+    assert p._var_ts.m == {("amount",): (2_000,)}
+    assert p._tasks.rows == [("T1", "CREATED")]
