@@ -125,3 +125,41 @@ def session_stats(
             "n_events",
         )
     )
+
+
+def stream_purchase_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each click to purchases by
+    the same user within ``max_lag`` BEFORE the click (the streaming twin
+    of the batch as-of query; emitting all in-window purchase candidates —
+    the as-of argmax is a downstream per-click aggregation).
+
+    Both sides carry watermarks, so join state is bounded: a buffered
+    purchase can be dropped once the watermark passes purchase_ts +
+    max_lag, which Spark derives from the interval condition — the
+    mechanism the reference's unbounded in-JVM maps never had. Inner join
+    => a click emits only when a qualifying purchase exists (left-outer
+    interval joins additionally need the watermark to close the window
+    before emitting the null row)."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("event_ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") < F.col("click_ts"))
+        & (F.col("purchase_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {max_lag}")),
+        "inner",
+    ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value")

@@ -137,3 +137,70 @@ def test_session_windows_split_on_gap_and_close_via_watermark(spark, tmp_path):
     assert (first["session_end"].hour, first["session_end"].minute) == (0, 40)
     second = sessions[("u1", 2 * 3600)]
     assert second["n_events"] == 1
+
+
+def test_stream_stream_interval_join_attribution(spark, tmp_path):
+    """Clicks join purchases of the same user within the 1h look-back; a
+    purchase outside the interval (too old) or from another user never
+    pairs. Runs as a real two-stream checkpointed join."""
+    from ph_ee_nats_importer_rdbms_spark.streaming.windows import (
+        stream_purchase_attribution,
+    )
+
+    src = tmp_path / "jsrc"
+    src.mkdir()
+    out = str(tmp_path / "jout")
+    ck = str(tmp_path / "jck")
+
+    ESCHEMA = StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("event_ts", LongType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", LongType(), True),
+        ]
+    )
+
+    rows = [
+        # user 7: purchase at t=600s, click at t=1800s -> attributed
+        dict(event_id=1, event_ts=600, user_id=7, event_type="purchase", value=50),
+        dict(event_id=2, event_ts=1800, user_id=7, event_type="click", value=0),
+        # user 7: ancient purchase 3h before the click -> outside interval
+        dict(event_id=3, event_ts=-9000, user_id=7, event_type="purchase", value=99),
+        # user 8's purchase must not pair with user 7's click
+        dict(event_id=4, event_ts=1700, user_id=8, event_type="purchase", value=1),
+        # purchase AFTER the click -> strictly-before condition excludes it
+        dict(event_id=5, event_ts=1900, user_id=7, event_type="purchase", value=2),
+    ]
+    with open(os.path.join(str(src), "j000.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.format("json")
+        .schema(ESCHEMA)
+        .load(str(src))
+        .withColumn("event_ts", F.timestamp_millis(F.col("event_ts") * 1000))
+    )
+    joined = stream_purchase_attribution(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        max_lag="1 hour",
+        watermark="1 hour",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = [
+        (r["click_id"], r["purchase_id"], r["purchase_value"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert got == [(2, 1, 50)]
