@@ -374,3 +374,93 @@ def test_multi_hop_restart_resumes_state(spark, tmp_path):
     assert w["transaction_id"] == t[100]["transaction_id"]
     assert float(w["amount"]) == float(t[100]["amount"])
     assert w["status"] == t[100]["status"]
+
+
+def test_multi_hop_matches_batch_at_corpus_scale(spark, tmp_path):
+    """The fixture-corpus parity test, scaled to the sf0.001 synthetic
+    corpus (~11k events, ~3.7k instances): every D1/D2/C2-C5 path at
+    corpus density, split across micro-batches so keyed state carries
+    thousands of in-flight instances between triggers. The batch fixed
+    point is the specification."""
+    from ph_ee_nats_importer_rdbms_spark.operators.pipeline import (
+        run_import_pipeline,
+    )
+    from ph_ee_nats_importer_rdbms_spark.plans.queries import zeebe_events_df
+    from ph_ee_nats_importer_rdbms_spark.streaming import pipeline as sp
+    import pyspark.sql.functions as F
+
+    corpus_df = zeebe_events_df(spark, "/root/testdata/sf0.001")
+    flat = [r.asDict() for r in corpus_df.collect()]
+    flat.sort(key=lambda e: (e["timestamp"], e["position"]))
+
+    src = tmp_path / "cs_events"
+    src.mkdir()
+    third = (len(flat) + 2) // 3
+    for i in range(3):
+        chunk = flat[i * third : (i + 1) * third]
+        (src / f"drop_{i}.jsonl").write_text(
+            "\n".join(_raw_json(e) for e in chunk) + "\n"
+        )
+
+    paths = sp.run_multi_hop(
+        spark, str(src), str(tmp_path / "cs_work"), max_files_per_trigger=1
+    )
+    got = sp.materialize_tables(spark, paths["changes"])
+    want = run_import_pipeline(corpus_df)
+
+    # event logs: exact set equality
+    for name in ("variables", "tasks"):
+        wv = {tuple(r) for r in want[name].collect()}
+        gv = {tuple(r) for r in got[name].select(*want[name].columns).collect()}
+        assert len(gv) == len(wv) and gv == wv, f"{name} mismatch"
+
+    # entity tables: compare the business fields per instance key
+    def batch_snap(df, fields):
+        out = {}
+        for r in df.collect():
+            d = r.asDict()
+            out[d["workflow_instance_key"]] = tuple(d.get(f) for f in fields)
+        return out
+
+    def stream_snap(rows, fields):
+        out = {}
+        for r in rows:
+            p = json.loads(r["payload"])
+            out[p["workflow_instance_key"]] = tuple(p.get(f) for f in fields)
+        return out
+
+    t_fields = ("transaction_id", "status", "direction", "batch_id")
+    w = batch_snap(want["transfers"], t_fields)
+    g = stream_snap(got["transfers"].collect(), t_fields)
+    assert set(w) == set(g)
+    mismatches = {k for k in w if w[k] != g[k]}
+    assert not mismatches, f"{len(mismatches)} transfer mismatches, e.g. {sorted(mismatches)[:3]}"
+    # money + lifecycle timestamps compared via epoch-ms
+    w_ms = {
+        r["workflow_instance_key"]: (
+            str(r["amount"]) if r["amount"] is not None else None,
+            r["started_ms"],
+            r["completed_ms"],
+        )
+        for r in want["transfers"].select(
+            "workflow_instance_key",
+            "amount",
+            F.unix_millis("started_at").alias("started_ms"),
+            F.unix_millis("completed_at").alias("completed_ms"),
+        ).collect()
+    }
+    for r in got["transfers"].collect():
+        p = json.loads(r["payload"])
+        k = p["workflow_instance_key"]
+        amt = p.get("amount")
+        amt = f"{amt:.4f}" if amt is not None else None
+        assert (amt, p.get("started_at"), p.get("completed_at")) == w_ms[k], k
+
+    tr_fields = ("transaction_id", "state", "direction", "auth_type")
+    assert batch_snap(want["transaction_requests"], tr_fields) == stream_snap(
+        got["transaction_requests"].collect(), tr_fields
+    )
+    b_fields = ("batch_id", "request_file", "request_id", "note")
+    assert batch_snap(want["batches"], b_fields) == stream_snap(
+        got["batches"].collect(), b_fields
+    )
