@@ -296,6 +296,7 @@ def run_multi_hop(
     available_now: bool = True,
     max_files_per_trigger: int = 64,
     state_store: str | None = None,
+    events: DataFrame | None = None,
 ) -> dict[str, str]:
     """Run the 3-hop pipeline over ``source_dir``; returns output paths.
 
@@ -306,7 +307,9 @@ def run_multi_hop(
 
     ``state_store='rocksdb'`` switches the three stateful hops onto the
     RocksDB provider (see :func:`configure_state_store`); None keeps the
-    session's current setting.
+    session's current setting. ``events`` overrides the hop-1 input with an
+    already-built flat event stream (e.g. read_raw_nats_stream) — then
+    ``source_dir`` is ignored.
     """
     if state_store is not None:
         configure_state_store(spark, state_store)
@@ -325,10 +328,12 @@ def run_multi_hop(
             w = w.trigger(availableNow=True)
         return w.start()
 
-    q1 = start(
-        resolve_stage(read_raw_stream(spark, source_dir, max_files_per_trigger)),
-        "resolved",
+    source = (
+        events
+        if events is not None
+        else read_raw_stream(spark, source_dir, max_files_per_trigger)
     )
+    q1 = start(resolve_stage(source), "resolved")
     q1.awaitTermination()
 
     resolved = spark.readStream.schema(FLAT_SCHEMA).parquet(paths["resolved"])
@@ -377,3 +382,61 @@ def materialize_tables(spark: SparkSession, changes_path: str) -> dict[str, Data
             F.from_json("payload", schema).alias("r")
         ).select("r.*")
     return out
+
+
+def run_deployment(
+    spark: SparkSession,
+    work_dir: str,
+    resolve_url,
+    executor,
+    source_dir: str | None = None,
+    nats_options: dict[str, str] | None = None,
+    registry: DataFrame | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 64,
+    state_store: str | None = None,
+) -> dict[str, str]:
+    """The full deployed topology in one call — what a user of the
+    reference runs instead of the Spring Boot importer:
+
+        NATS (native source, or file-drop bridge dir) -> resolve -> route/
+        rekey -> entity state machine -> change log -> per-tenant JDBC
+        MERGE/append (sinks/jdbc.changes_foreach_batch).
+
+    ``resolve_url`` maps tenant -> JDBC url (sinks/jdbc.tenant_url_resolver
+    over the master tenant_server_connections table); ``executor`` runs
+    (url, statements) batches (sinks/jdbc.jvm_executor in production, a
+    recording fake in tests). Every hop and the sink query are
+    independently checkpointed under ``work_dir`` — restart resumes with
+    exactly-once delivery into the idempotent MERGE."""
+    from ph_ee_nats_importer_rdbms_spark.sinks.jdbc import changes_foreach_batch
+
+    events = (
+        read_raw_nats_stream(spark, **nats_options)
+        if nats_options is not None
+        else None
+    )
+    paths = run_multi_hop(
+        spark,
+        source_dir or "",
+        work_dir,
+        registry=registry,
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
+        state_store=state_store,
+        events=events,
+    )
+
+    changes = spark.readStream.schema(CHANGES_SCHEMA).parquet(paths["changes"])
+    sink = (
+        changes.writeStream.foreachBatch(
+            changes_foreach_batch(resolve_url, executor)
+        )
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt_jdbc"))
+        .outputMode("append")
+    )
+    if available_now:
+        sink = sink.trigger(availableNow=True)
+    q = sink.start()
+    q.awaitTermination()
+    return paths

@@ -464,3 +464,51 @@ def test_multi_hop_matches_batch_at_corpus_scale(spark, tmp_path):
     assert batch_snap(want["batches"], b_fields) == stream_snap(
         got["batches"].collect(), b_fields
     )
+
+
+def test_run_deployment_end_to_end_jdbc(spark, tmp_path):
+    """The one-call deployed topology: file-bridge source -> 3 hops ->
+    per-tenant JDBC MERGE/append through a recording executor. Asserts the
+    statements a real MySQL would receive, and that a restart with no new
+    data replays nothing (checkpointed sink)."""
+    from ph_ee_nats_importer_rdbms_spark.streaming import pipeline as sp
+
+    corpus = _corpus()
+    src = tmp_path / "dep_events"
+    src.mkdir()
+    (src / "all.jsonl").write_text("\n".join(_raw_json(e) for e in corpus) + "\n")
+
+    writes: list[tuple[str, str]] = []  # (url, sql) pairs
+
+    def executor(url, statements):
+        for sql, batches in statements:
+            writes.append((url, sql))
+
+    def resolve_url(tenant):
+        return f"jdbc:mysql://db/{tenant}" if tenant else None
+
+    sp.run_deployment(
+        spark,
+        str(tmp_path / "dep_work"),
+        resolve_url,
+        executor,
+        source_dir=str(src),
+    )
+
+    urls = {u for u, _ in writes}
+    assert any("tn01" in u for u in urls)
+    merges = [s for _, s in writes if s.lstrip().upper().startswith("INSERT INTO PH_TRANSFERS")]
+    assert merges and all("ON DUPLICATE KEY UPDATE" in s.upper() for s in merges)
+    appends = [s for _, s in writes if "ph_variables" in s or "ph_tasks" in s]
+    assert appends
+
+    # restart with no new input: checkpoints replay nothing
+    n = len(writes)
+    sp.run_deployment(
+        spark,
+        str(tmp_path / "dep_work"),
+        resolve_url,
+        executor,
+        source_dir=str(src),
+    )
+    assert len(writes) == n
