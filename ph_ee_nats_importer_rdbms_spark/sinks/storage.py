@@ -74,3 +74,29 @@ def transfer_detail(spark: SparkSession, prefix: str = "ph_") -> DataFrame:
         t.join(k.select(JOIN_KEY, "element_id", "intent", "task_type"), JOIN_KEY, "left")
         .join(v.select(JOIN_KEY, "name", "value"), JOIN_KEY, "left")
     )
+
+
+def save_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "timestamp",
+) -> None:
+    """Write an event-log table (variables/tasks) partitioned by event day.
+
+    The append-only logs are naturally time-ordered; partitioning the lake
+    mirror by ``event_day`` makes every time-ranged read partition-pruned —
+    at 100 TB a dashboard's "last 24h" query opens 1/Nth of the files, and
+    the pruning shows up as PartitionFilters in the scan (asserted by
+    tests/test_sinks_sources.py). ``ts_col`` is epoch millis (the
+    reference's raw Zeebe timestamp)."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn(
+            "event_day",
+            F.date_format(F.timestamp_millis(F.col(ts_col)), "yyyy-MM-dd"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("event_day")
+        .parquet(path)
+    )

@@ -126,3 +126,33 @@ def test_bucketed_tables_make_detail_join_shuffle_free(spark, tmp_path):
         assert "Exchange hashpartitioning" not in agg_plan, agg_plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_time_partitioned_log_prunes_partitions(spark, tmp_path):
+    """A day-ranged read over the time-partitioned event log must prune at
+    the partition level (PartitionFilters in the scan, not a full-table
+    post-filter)."""
+    from pyspark.sql import functions as F
+
+    from ph_ee_nats_importer_rdbms_spark.sinks.storage import (
+        save_time_partitioned,
+    )
+
+    day_ms = 86_400_000
+    rows = [(i, 1_700_000_000_000 + (i % 5) * day_ms, f"n{i}", "v") for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "workflow_instance_key long, timestamp long, name string, value string"
+    )
+    path = str(tmp_path / "vars_by_day")
+    save_time_partitioned(df, path)
+
+    back = spark.read.parquet(path)
+    days = sorted(r["event_day"] for r in back.select("event_day").distinct().collect())
+    assert len(days) == 5
+
+    one_day = back.filter(F.col("event_day") == days[0])
+    plan = one_day._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        one_day._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(event_day" in plan
+    assert one_day.count() == 20
