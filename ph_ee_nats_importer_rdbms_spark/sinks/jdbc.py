@@ -227,23 +227,25 @@ def tenant_url_resolver(
 def changes_foreach_batch(
     resolve_url: Callable[[str | None], str | None],
     executor: Executor,
+    distributed: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink for the streaming change log (CHANGES_SCHEMA):
     split the micro-batch by tenant, convert to MERGE/append statements,
     write each tenant's slice to its database.
 
-    The collect is per micro-batch and bounded by trigger size; at scale the
-    same fan-out runs via ``foreachPartition`` with the rows already hash
-    partitioned by tenant — flip ``distributed=True`` in write_changes for
-    that path once a DBAPI/JDBC driver is provisioned on executors."""
+    Two delivery modes:
+    - ``distributed=False`` (default): collect to the driver, write through
+      one connection per tenant — the reference's topology (single writer,
+      pool per tenant). Bounded by trigger size; right for py4j-backed
+      executors (``jvm_executor``), which cannot run on workers.
+    - ``distributed=True``: repartition the batch by tenant and write from
+      ``foreachPartition`` on the EXECUTORS — connection fan-out is
+      (#tenants × partitions-per-tenant), rows never traverse the driver.
+      The 100 TB path; requires a picklable executor (a DBAPI-based one,
+      not ``jvm_executor``) plus the driver/package importable on workers.
+    """
 
-    def write(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = batch_df.collect()
-        by_tenant: dict[str | None, list[tuple[str, dict]]] = {}
-        for r in rows:
-            by_tenant.setdefault(r["tenant"], []).append(
-                (r["kind"], json.loads(r["payload"]))
-            )
+    def _write_groups(by_tenant: dict, ex: Executor) -> None:
         for tenant, kind_rows in sorted(
             by_tenant.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
         ):
@@ -252,9 +254,33 @@ def changes_foreach_batch(
                 continue
             stmts = rows_to_statements(kind_rows)
             if stmts:
-                executor(url, stmts)
+                ex(url, stmts)
 
-    return write
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.collect()
+        by_tenant: dict[str | None, list[tuple[str, dict]]] = {}
+        for r in rows:
+            by_tenant.setdefault(r["tenant"], []).append(
+                (r["kind"], json.loads(r["payload"]))
+            )
+        _write_groups(by_tenant, executor)
+
+    def write_distributed(batch_df: DataFrame, epoch_id: int) -> None:
+        ex = executor  # must be picklable — captured into the task closure
+
+        def per_partition(rows) -> None:
+            by_tenant: dict[str | None, list[tuple[str, dict]]] = {}
+            for r in rows:
+                by_tenant.setdefault(r["tenant"], []).append(
+                    (r["kind"], json.loads(r["payload"]))
+                )
+            _write_groups(by_tenant, ex)
+
+        # hash-partition on tenant so each task holds whole tenants: one
+        # connection per (tenant, task), no cross-task interleaving
+        batch_df.repartition("tenant").foreachPartition(per_partition)
+
+    return write_distributed if distributed else write
 
 
 def bootstrap_ddl(url: str, executor: Executor) -> None:

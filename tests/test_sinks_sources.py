@@ -156,3 +156,54 @@ def test_time_partitioned_log_prunes_partitions(spark, tmp_path):
     )
     assert "PartitionFilters: [isnotnull(event_day" in plan
     assert one_day.count() == 20
+
+
+class _FileRecordingExecutor:
+    """Picklable executor that appends (url, rowcount) records to files —
+    observable across the executor processes of the distributed sink."""
+
+    def __init__(self, record_dir: str):
+        self.record_dir = record_dir
+
+    def __call__(self, url, statements):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        rec = {
+            "url": url,
+            "n_rows": sum(len(b) for _, b in statements),
+            "tables": sorted({s.split()[2] for s, _ in statements}),
+        }
+        path = _os.path.join(self.record_dir, f"{_uuid.uuid4().hex}.json")
+        with open(path, "w") as f:
+            f.write(_json.dumps(rec))
+
+
+def test_foreach_batch_distributed_writes_from_executors(spark, tmp_path):
+    """distributed=True: rows repartition by tenant and write via
+    foreachPartition on the workers — same routing result as the driver
+    path, no driver collect."""
+    rec_dir = str(tmp_path / "rec")
+    os.makedirs(rec_dir)
+    resolve = jdbc.tenant_url_resolver(
+        {"tn01": "jdbc:mysql://db1/tn01", "tn02": "jdbc:mysql://db2/tn02"}
+    )
+    write = jdbc.changes_foreach_batch(
+        resolve, _FileRecordingExecutor(rec_dir), distributed=True
+    )
+
+    rows = [
+        ("transfer", 1, "tn01", json.dumps({"workflow_instance_key": 1, "amount": 5})),
+        ("variable", 1, "tn01", json.dumps({"workflow_instance_key": 1, "name": "a"})),
+        ("transfer", 2, "tn02", json.dumps({"workflow_instance_key": 2})),
+        ("transfer", 3, "ghost", json.dumps({"workflow_instance_key": 3})),
+    ]
+    write(spark.createDataFrame(rows, CHANGES_SCHEMA), 0)
+
+    recs = []
+    for f in os.listdir(rec_dir):
+        with open(os.path.join(rec_dir, f)) as fh:
+            recs.append(json.loads(fh.read()))
+    got = sorted((r["url"], r["n_rows"]) for r in recs)
+    assert got == [("jdbc:mysql://db1/tn01", 2), ("jdbc:mysql://db2/tn02", 1)]
