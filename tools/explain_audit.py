@@ -31,8 +31,13 @@ def audit(name: str, plan: str) -> list[str]:
     flags = []
     if "CartesianProduct" in plan:
         flags.append("CARTESIAN")
-    if "BroadcastNestedLoopJoin" in plan and name not in ("ann_bruteforce",):
-        # ann_bruteforce broadcasts a 10-row query set on purpose
+    if "BroadcastNestedLoopJoin" in plan and name not in (
+        "ann_bruteforce",
+        "ann_ivf",
+    ):
+        # sanctioned: ann_bruteforce broadcasts its tiny query set;
+        # ann_ivf cross-joins query/vector rows with the broadcast
+        # centroid set (config-sized) for the distance argmax
         flags.append("BNLJ")
     if ("BatchEvalPython" in plan or "ArrowEvalPython" in plan or
             "MapInPandas" in plan) and name not in PYTHON_OK:
