@@ -57,7 +57,13 @@ _SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 # ---------------------------------------------------------------------------
 
 
-_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    # applicationId is unique per live session; id(spark) could collide
+    # after a GC'd session's address is reused
+    return (spark.sparkContext.applicationId, sf_dir)
 
 
 def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,7 +79,7 @@ def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(tokens²) per document (measured 9.6s for 5k docs). The checkpoint on
     the token projection is an optimizer barrier that pins the split to one
     evaluation."""
-    key = (id(spark), sf_dir)
+    key = _session_key(spark, sf_dir)
     if key in _SHINGLE_CACHE:
         return _SHINGLE_CACHE[key]
     d = spread(load_table(spark, sf_dir, "documents"))
@@ -112,7 +118,7 @@ WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= {SHINGLE_K}
 # ---------------------------------------------------------------------------
 
 
-_SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,7 +129,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Staged per (session, sf_dir): the LSH band self-join references the
     signature relation on BOTH sides, and without a barrier the explode +
     aggregate executes twice."""
-    key = (id(spark), sf_dir)
+    key = _session_key(spark, sf_dir)
     if key in _SIG_CACHE:
         return _SIG_CACHE[key]
     sh = shingle_sets(spark, sf_dir)
@@ -271,14 +277,14 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
 # ---------------------------------------------------------------------------
 
 
-_SIMHASH_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SIMHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) — 60-bit sign-sum sketch over distinct tokens.
     One explode + one groupBy with 60 map-side-combinable sums. Staged per
     (session, sf_dir): the Hamming band self-join reads it on both sides."""
-    key = (id(spark), sf_dir)
+    key = _session_key(spark, sf_dir)
     if key in _SIMHASH_CACHE:
         return _SIMHASH_CACHE[key]
     d = spread(load_table(spark, sf_dir, "documents"))

@@ -298,9 +298,18 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     n = F.size(F.col("toks"))
     n_distinct = F.size(F.array_distinct(F.col("toks")))
+    # Most-frequent-token count = longest run in the sorted token array:
+    # O(n log n) per doc vs the O(distinct × n) distinct×filter form — a
+    # pathological 500k-token doc costs a sort, not a quadratic scan.
     top_count = F.expr(
-        "array_max(transform(array_distinct(toks),"
-        " x -> size(filter(toks, y -> y = x))))"
+        "aggregate(array_sort(toks),"
+        " named_struct('best', 0, 'run', 0, 'prev', CAST(NULL AS STRING)),"
+        " (acc, x) -> named_struct("
+        "   'best', greatest(acc.best,"
+        "     IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1)),"
+        "   'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1),"
+        "   'prev', x),"
+        " acc -> IF(acc.best = 0, NULL, acc.best))"
     )
     bigrams = F.expr(
         "transform(sequence(1, size(toks) - 1),"

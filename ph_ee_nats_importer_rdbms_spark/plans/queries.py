@@ -23,12 +23,26 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ph_ee_nats_importer_rdbms_spark.plans import synthetic
+from ph_ee_nats_importer_rdbms_spark.plans import staging, synthetic
 from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MS = ("started_at", "completed_at", "result_generated_at")
+
+_PIPELINE_TABLES = (
+    "variables",
+    "tasks",
+    "transfers",
+    "transaction_requests",
+    "batches",
+)
+
+
+def _session_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Memo key: applicationId is unique per live session, so a GC'd and
+    recreated session can never collide (unlike ``id(spark)``)."""
+    return (spark.sparkContext.applicationId, sf_dir)
 
 
 def zeebe_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,55 +63,63 @@ def zeebe_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(synthetic.spark_events_from_base_sql())
 
 
-_ROUTED_CACHE: dict[tuple[int, str], DataFrame] = {}
+_ROUTED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The routed event stream, staged once per (session, sf_dir) — shared
-    by the routing/tenant queries so they don't re-derive the corpus.
-
-    No pre-routing checkpoint of the raw corpus: C5 resolution is a single
-    window over the stream (classify.with_routing), so the derivation union
-    is referenced exactly once and derive→route→stage is one pass."""
+    """The routed event stream, staged once per DATASET (parquet stage,
+    plans/staging.py) and memoized per session — shared by the
+    routing/tenant queries so they don't re-derive the corpus."""
     from ph_ee_nats_importer_rdbms_spark.operators.classify import with_routing
 
-    key = (id(spark), sf_dir)
+    key = _session_key(spark, sf_dir)
     if key not in _ROUTED_CACHE:
-        events = zeebe_events_df(spark, sf_dir)
-        _ROUTED_CACHE[key] = with_routing(events).localCheckpoint(eager=True)
+        _ROUTED_CACHE[key] = staging.load_or_build(
+            spark,
+            sf_dir,
+            "routed_events",
+            lambda: with_routing(zeebe_events_df(spark, sf_dir)),
+        )
     return _ROUTED_CACHE[key]
 
 
-_PIPELINE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_PIPELINE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
 def _pipeline(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """One pipeline materialization per (session, sf_dir): the engine's
-    operating model is 'materialize the business tables once, query them
-    many times' — the first query pays the import, the rest read the
-    persisted relations (exactly what the JDBC/parquet sink gives a real
-    deployment)."""
+    """One pipeline materialization per dataset: the engine's operating
+    model is 'materialize the business tables once, query them many times'
+    — the first query against a fresh dataset pays the import and persists
+    the five tables to the parquet stage (exactly what the JDBC/parquet
+    sink gives a real deployment); every later query — same session or a
+    fresh one — reads the stored relations."""
+    key = _session_key(spark, sf_dir)
+    if key in _PIPELINE_CACHE:
+        return _PIPELINE_CACHE[key]
+
+    if all(staging.is_staged(sf_dir, n) for n in _PIPELINE_TABLES):
+        _PIPELINE_CACHE[key] = {
+            n: staging.read_staged(spark, sf_dir, n) for n in _PIPELINE_TABLES
+        }
+        return _PIPELINE_CACHE[key]
+
     from ph_ee_nats_importer_rdbms_spark.operators.pipeline import (
         run_import_pipeline_routed,
     )
 
-    key = (id(spark), sf_dir)
-    if key not in _PIPELINE_CACHE:
-        tables = run_import_pipeline_routed(_routed(spark, sf_dir))
-        # Materialize all five outputs as concurrent jobs: the first zeebe
-        # query pays the whole import once (exactly like the deployed
-        # importer writing its table store), and the scheduler overlaps the
-        # five table builds instead of paying each tail serially.
-        from concurrent.futures import ThreadPoolExecutor
+    tables = run_import_pipeline_routed(_routed(spark, sf_dir))
+    # Materialize all five outputs as concurrent jobs: the first zeebe
+    # query pays the whole import once (exactly like the deployed importer
+    # writing its table store), and the scheduler overlaps the five table
+    # writes instead of paying each tail serially.
+    from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(len(tables)) as ex:
-            futures = {
-                name: ex.submit(
-                    lambda df=df: df.localCheckpoint(eager=True)
-                )
-                for name, df in tables.items()
-            }
-            _PIPELINE_CACHE[key] = {n: f.result() for n, f in futures.items()}
+    with ThreadPoolExecutor(len(tables)) as ex:
+        futures = {
+            name: ex.submit(staging.load_or_build, spark, sf_dir, name, (lambda df=df: df))
+            for name, df in tables.items()
+        }
+        _PIPELINE_CACHE[key] = {n: f.result() for n, f in futures.items()}
     return _PIPELINE_CACHE[key]
 
 
@@ -266,6 +288,55 @@ def _q_transfer_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_variables", F.lit(0)).alias("n_variables"),
         )
     )
+
+
+_DETAIL_TABLES_SAVED: set[tuple[str, str]] = set()
+
+
+def _q_transfer_detail_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 at its TRUE row grain (TransferDetail.java:9-12: the transfer,
+    its task rows, its variable rows) served through the bucketed table
+    store (sinks/storage.py): the pipeline tables are saved CLUSTERED BY
+    workflow_instance_key once, then the 3-way join plans with zero
+    Exchange — the shuffle was paid at write time, which is the 100 TB
+    shape (all three tables too big to broadcast). The driver's comparator
+    is row-order-insensitive, so the row multiset is the contract."""
+    from ph_ee_nats_importer_rdbms_spark.sinks import storage
+
+    key = _session_key(spark, sf_dir)
+    if key not in _DETAIL_TABLES_SAVED:
+        tables = _pipeline(spark, sf_dir)
+        storage.save_bucketed_tables(
+            {n: tables[n] for n in ("transfers", "tasks", "variables")},
+            prefix="q7_",
+        )
+        _DETAIL_TABLES_SAVED.add(key)
+    detail = storage.transfer_detail(spark, prefix="q7_")
+    return detail.select(
+        "workflow_instance_key",
+        "transaction_id",
+        "status",
+        "element_id",
+        "intent",
+        "task_type",
+        "name",
+        "value",
+    )
+
+
+_TRANSFER_DETAIL_ROWS_ORACLE = (
+    "WITH t AS (" + synthetic.TRANSFERS_ORACLE + "), "
+    + "tk AS (" + synthetic.TASKS_ORACLE + "), "
+    + "vr AS (" + synthetic.VARIABLES_ORACLE + ") "
+    + """
+SELECT t.workflow_instance_key, t.transaction_id, t.status,
+       tk.element_id, tk.intent, tk.type AS task_type,
+       vr.name, vr.value
+FROM t
+LEFT JOIN tk ON t.workflow_instance_key = tk.workflow_instance_key
+LEFT JOIN vr ON t.workflow_instance_key = vr.workflow_instance_key
+"""
+)
 
 
 def _q_instance_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -730,6 +801,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "zeebe_routing": (_q_routing, synthetic.ROUTING_ORACLE),
     "transfers_range_filter": (_q_transfers_range, _TRANSFERS_RANGE_ORACLE),
     "transfer_detail_join": (_q_transfer_detail, _TRANSFER_DETAIL_ORACLE),
+    "transfer_detail_rows": (_q_transfer_detail_rows, _TRANSFER_DETAIL_ROWS_ORACLE),
     "instance_lookup": (_q_instance_lookup, _INSTANCE_LOOKUP_ORACLE),
     "businesskey_lookup": (_q_businesskey_lookup, _BUSINESSKEY_LOOKUP_ORACLE),
     "tenant_lookup": (_q_tenant_lookup, _TENANT_LOOKUP_ORACLE),

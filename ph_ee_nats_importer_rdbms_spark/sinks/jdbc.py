@@ -148,23 +148,38 @@ def _sql_literalize(v) -> object:
     return v
 
 
-def upsert_sql(table: str) -> str:
+def upsert_sql(table: str, dialect: str = "mysql") -> str:
+    """MERGE/append DML for one table. ``dialect``:
+
+    - ``mysql`` (the reference's target): ``INSERT ... ON DUPLICATE KEY
+      UPDATE c = VALUES(c)`` (AbstractPersistableCustom.java:34-52 save
+      semantics).
+    - ``sqlite`` / ``postgres``: standard ``INSERT ... ON CONFLICT(keys)
+      DO UPDATE SET c = excluded.c`` — used by DBAPI executors
+      (sinks/dbapi.py) and integration tests.
+    """
     cols, keys = TABLES[table]
     collist = ", ".join(cols)
     params = ", ".join(["?"] * len(cols))
     if not keys:
         return f"INSERT INTO {table} ({collist}) VALUES ({params})"
-    updates = ", ".join(
-        f"{c} = VALUES({c})" for c in cols if c not in keys
-    )
+    if dialect == "mysql":
+        updates = ", ".join(
+            f"{c} = VALUES({c})" for c in cols if c not in keys
+        )
+        return (
+            f"INSERT INTO {table} ({collist}) VALUES ({params}) "
+            f"ON DUPLICATE KEY UPDATE {updates}"
+        )
+    updates = ", ".join(f"{c} = excluded.{c}" for c in cols if c not in keys)
     return (
         f"INSERT INTO {table} ({collist}) VALUES ({params}) "
-        f"ON DUPLICATE KEY UPDATE {updates}"
+        f"ON CONFLICT({', '.join(keys)}) DO UPDATE SET {updates}"
     )
 
 
 def rows_to_statements(
-    kind_rows: Iterable[tuple[str, dict]]
+    kind_rows: Iterable[tuple[str, dict]], dialect: str = "mysql"
 ) -> list[tuple[str, list[tuple]]]:
     """(kind, payload-dict) pairs -> [(sql, [param tuples])], batched at
     BATCH_SIZE per statement group (S6)."""
@@ -179,7 +194,7 @@ def rows_to_statements(
         )
     statements: list[tuple[str, list[tuple]]] = []
     for table, rows in sorted(grouped.items()):
-        sql = upsert_sql(table)
+        sql = upsert_sql(table, dialect)
         for i in range(0, len(rows), BATCH_SIZE):
             statements.append((sql, rows[i : i + BATCH_SIZE]))
     return statements
@@ -218,9 +233,14 @@ def tenant_url_resolver(
     (TenantServerConnectionRepository.java:27). Unknown tenants are skipped
     with a warning, like the reference's unroutable records."""
 
-    def resolve(tenant: str | None) -> str | None:
-        return connections.get(tenant or "")
+    snapshot = dict(connections)
 
+    def resolve(tenant: str | None) -> str | None:
+        return snapshot.get(tenant or "")
+
+    # exposed so distributed sinks can ship a plain dict to executors
+    # instead of pickling the closure (see changes_foreach_batch)
+    resolve.connections = snapshot  # type: ignore[attr-defined]
     return resolve
 
 
@@ -228,6 +248,7 @@ def changes_foreach_batch(
     resolve_url: Callable[[str | None], str | None],
     executor: Executor,
     distributed: bool = False,
+    dialect: str = "mysql",
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink for the streaming change log (CHANGES_SCHEMA):
     split the micro-batch by tenant, convert to MERGE/append statements,
@@ -241,18 +262,23 @@ def changes_foreach_batch(
     - ``distributed=True``: repartition the batch by tenant and write from
       ``foreachPartition`` on the EXECUTORS — connection fan-out is
       (#tenants × partitions-per-tenant), rows never traverse the driver.
-      The 100 TB path; requires a picklable executor (a DBAPI-based one,
-      not ``jvm_executor``) plus the driver/package importable on workers.
+      The 100 TB path; BOTH ``executor`` AND ``resolve_url`` are captured
+      into the task closure, so both must be picklable (a DBAPI-based
+      executor, not ``jvm_executor``). Resolvers built by
+      :func:`tenant_url_resolver` are snapshotted to a plain tenant->url
+      dict automatically, so a non-picklable original (e.g. one holding a
+      live master-DB connection) still works if it exposes
+      ``.connections``.
     """
 
-    def _write_groups(by_tenant: dict, ex: Executor) -> None:
+    def _write_groups(by_tenant: dict, ex: Executor, resolve) -> None:
         for tenant, kind_rows in sorted(
             by_tenant.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
         ):
-            url = resolve_url(tenant)
+            url = resolve(tenant)
             if url is None:
                 continue
-            stmts = rows_to_statements(kind_rows)
+            stmts = rows_to_statements(kind_rows, dialect)
             if stmts:
                 ex(url, stmts)
 
@@ -263,10 +289,19 @@ def changes_foreach_batch(
             by_tenant.setdefault(r["tenant"], []).append(
                 (r["kind"], json.loads(r["payload"]))
             )
-        _write_groups(by_tenant, executor)
+        _write_groups(by_tenant, executor, resolve_url)
 
     def write_distributed(batch_df: DataFrame, epoch_id: int) -> None:
         ex = executor  # must be picklable — captured into the task closure
+        # snapshot dict-backed resolvers so the closure ships plain data
+        conns = getattr(resolve_url, "connections", None)
+        if conns is not None:
+            snapshot = dict(conns)
+
+            def resolve(tenant: str | None) -> str | None:
+                return snapshot.get(tenant or "")
+        else:
+            resolve = resolve_url  # must be picklable itself
 
         def per_partition(rows) -> None:
             by_tenant: dict[str | None, list[tuple[str, dict]]] = {}
@@ -274,7 +309,7 @@ def changes_foreach_batch(
                 by_tenant.setdefault(r["tenant"], []).append(
                     (r["kind"], json.loads(r["payload"]))
                 )
-            _write_groups(by_tenant, ex)
+            _write_groups(by_tenant, ex, resolve)
 
         # hash-partition on tenant so each task holds whole tenants: one
         # connection per (tenant, task), no cross-task interleaving
@@ -283,6 +318,18 @@ def changes_foreach_batch(
     return write_distributed if distributed else write
 
 
-def bootstrap_ddl(url: str, executor: Executor) -> None:
+def bootstrap_ddl(url: str, executor: Executor, dialect: str = "mysql") -> None:
     """CREATE TABLE IF NOT EXISTS for all five tables (DDL auto-create)."""
-    executor(url, [(ddl, [()]) for ddl in DDL.values()])
+    ddls = DDL.values()
+    if dialect != "mysql":
+        # portable surrogate-key spelling for the append-only logs
+        ddls = [
+            d.replace(
+                "BIGINT AUTO_INCREMENT PRIMARY KEY",
+                "INTEGER PRIMARY KEY AUTOINCREMENT"
+                if dialect == "sqlite"
+                else "BIGSERIAL PRIMARY KEY",
+            )
+            for d in ddls
+        ]
+    executor(url, [(ddl, [()]) for ddl in ddls])

@@ -80,6 +80,7 @@ def save_time_partitioned(
     df: DataFrame,
     path: str,
     ts_col: str = "timestamp",
+    mode: str = "overwrite",
 ) -> None:
     """Write an event-log table (variables/tasks) partitioned by event day.
 
@@ -88,15 +89,23 @@ def save_time_partitioned(
     at 100 TB a dashboard's "last 24h" query opens 1/Nth of the files, and
     the pruning shows up as PartitionFilters in the scan (asserted by
     tests/test_sinks_sources.py). ``ts_col`` is epoch millis (the
-    reference's raw Zeebe timestamp)."""
+    reference's raw Zeebe timestamp).
+
+    ``mode``: ``overwrite`` replaces the WHOLE path (full re-mirror);
+    incremental mirrors pass ``overwrite_dynamic`` (replace only the
+    event_day partitions present in ``df``, leaving earlier days intact) or
+    ``append``."""
     from pyspark.sql import functions as F
 
-    (
-        df.withColumn(
-            "event_day",
-            F.date_format(F.timestamp_millis(F.col(ts_col)), "yyyy-MM-dd"),
-        )
-        .write.mode("overwrite")
-        .partitionBy("event_day")
-        .parquet(path)
+    out = df.withColumn(
+        "event_day",
+        F.date_format(F.timestamp_millis(F.col(ts_col)), "yyyy-MM-dd"),
     )
+    writer = out.write
+    if mode == "overwrite_dynamic":
+        writer = writer.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        )
+    else:
+        writer = writer.mode(mode)
+    writer.partitionBy("event_day").parquet(path)

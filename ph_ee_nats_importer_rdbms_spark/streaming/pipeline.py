@@ -125,14 +125,49 @@ def _columns(schema: StructType) -> list[str]:
 # ---------------------------------------------------------------------------
 
 
-def resolve_stage(events: DataFrame) -> DataFrame:
-    """C5: resolve empty bpmnProcessIds through per-definition-key state."""
+def _ttl(state_ttl_minutes: float | None) -> tuple[int | None, GroupStateTimeout]:
+    ttl_ms = int(state_ttl_minutes * 60_000) if state_ttl_minutes else None
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return ttl_ms, timeout
+
+
+def resolve_stage(
+    events: DataFrame, state_ttl_minutes: float | None = None
+) -> DataFrame:
+    """C5: resolve empty bpmnProcessIds through per-definition-key state.
+
+    ``state_ttl_minutes`` is a documented IMPROVEMENT over the reference,
+    whose definition map and buffer never evict (TempDocumentStore.java:16-17
+    — an unresolvable definition key accumulates buffered rows forever).
+    With a TTL, a definition key idle longer than the window is dropped:
+    its resolved mapping re-learns from the next carrier event (get-or-
+    create, NatsConsumer.java:60-70), and any still-unresolved buffered rows
+    are discarded — the same loss the reference suffers on restart, but at
+    a bounded, chosen horizon instead of OOM. Default None = parity.
+
+    Operational note (all TTL'd stages): with ``availableNow`` triggers,
+    set ``spark.sql.streaming.noDataMicroBatches.enabled=false`` — a
+    pending processing-time timer otherwise keeps scheduling no-data
+    batches whose batch timestamp never crosses the timer, spinning the
+    run; eviction then happens lazily on the next data-carrying batch.
+    Continuous triggers (production) need no special handling."""
     cols = _columns(FLAT_SCHEMA)
+    ttl_ms, timeout = _ttl(state_ttl_minutes)
 
     def fn(key, pdf_iter, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
         st = sm.ResolveState(**json.loads(state.get[0])) if state.exists else sm.ResolveState()
         st, out = sm.resolve_step(st, _sorted_events(pdf_iter))
         state.update((json.dumps({"resolved_bpmn": st.resolved_bpmn, "buffered": st.buffered}),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out, columns=cols)
 
     filtered = events.filter(
@@ -144,26 +179,42 @@ def resolve_stage(events: DataFrame) -> DataFrame:
         )
     )
     return filtered.groupBy("process_definition_key").applyInPandasWithState(
-        fn, FLAT_SCHEMA, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        fn, FLAT_SCHEMA, _STATE_SCHEMA, "append", timeout
     )
 
 
-def rekey_stage(routed: DataFrame) -> DataFrame:
-    """C4: add effective_key via per-instance call-activity link state."""
+def rekey_stage(
+    routed: DataFrame, state_ttl_minutes: float | None = None
+) -> DataFrame:
+    """C4: add effective_key via per-instance call-activity link state.
+
+    ``state_ttl_minutes``: optional eviction for idle call-activity links
+    (the reference's inflightCallActivities map is unbounded,
+    RecordParser.java:75). An evicted link means a later child event keys
+    to itself instead of the parent — identical to the reference after a
+    restart; a fresh ELEMENT_ACTIVATING re-creates the link (get-or-create,
+    InflightTransferManager.java:56-70). Default None = parity."""
     cols = _columns(REKEYED_SCHEMA)
+    ttl_ms, timeout = _ttl(state_ttl_minutes)
 
     def fn(key, pdf_iter, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
         st = sm.RekeyState(parent_key=json.loads(state.get[0])["parent_key"]) if state.exists else sm.RekeyState()
         st, out = sm.rekey_step(st, _sorted_events(pdf_iter))
         state.update((json.dumps({"parent_key": st.parent_key}),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out, columns=cols)
 
     return routed.groupBy("process_instance_key").applyInPandasWithState(
-        fn, REKEYED_SCHEMA, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        fn, REKEYED_SCHEMA, _STATE_SCHEMA, "append", timeout
     )
 
 
-def entity_stage(rekeyed: DataFrame, state_ttl_minutes: int | None = None) -> DataFrame:
+def entity_stage(rekeyed: DataFrame, state_ttl_minutes: float | None = None) -> DataFrame:
     """C1-C3/C6/D1-D4: per-effective-key entity state machine emitting
     variable/task inserts + entity upsert snapshots.
 
@@ -176,7 +227,7 @@ def entity_stage(rekeyed: DataFrame, state_ttl_minutes: int | None = None) -> Da
     (InflightTransferManager.java:56-70). Default None = reference parity.
     """
     cols = _columns(CHANGES_SCHEMA)
-    ttl_ms = state_ttl_minutes * 60_000 if state_ttl_minutes else None
+    ttl_ms, timeout = _ttl(state_ttl_minutes)
 
     def fn(key, pdf_iter, state: GroupState):
         if ttl_ms is not None and state.hasTimedOut:
@@ -185,7 +236,12 @@ def entity_stage(rekeyed: DataFrame, state_ttl_minutes: int | None = None) -> Da
             return
         st = sm.EntityState.from_json(state.get[0]) if state.exists else sm.EntityState()
         events = _sorted_events(pdf_iter)
-        tenant = next((e.get("tenant") for e in events if e.get("tenant")), None)
+        # first tenant in time order, sticky across batches: a later batch
+        # with only null-tenant events keeps routing to the instance's DB
+        st.tenant = st.tenant or next(
+            (e.get("tenant") for e in events if e.get("tenant")), None
+        )
+        tenant = st.tenant
         st, rows = sm.entity_step(st, events)
         st.seq += 1
         out = [
@@ -212,11 +268,6 @@ def entity_stage(rekeyed: DataFrame, state_ttl_minutes: int | None = None) -> Da
             state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out, columns=cols)
 
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if ttl_ms is not None
-        else GroupStateTimeout.NoTimeout
-    )
     return rekeyed.groupBy("effective_key").applyInPandasWithState(
         fn, CHANGES_SCHEMA, _STATE_SCHEMA, "append", timeout
     )
@@ -297,6 +348,7 @@ def run_multi_hop(
     max_files_per_trigger: int = 64,
     state_store: str | None = None,
     events: DataFrame | None = None,
+    state_ttl_minutes: float | None = None,
 ) -> dict[str, str]:
     """Run the 3-hop pipeline over ``source_dir``; returns output paths.
 
@@ -309,7 +361,9 @@ def run_multi_hop(
     RocksDB provider (see :func:`configure_state_store`); None keeps the
     session's current setting. ``events`` overrides the hop-1 input with an
     already-built flat event stream (e.g. read_raw_nats_stream) — then
-    ``source_dir`` is ignored.
+    ``source_dir`` is ignored. ``state_ttl_minutes`` applies the documented
+    eviction improvement to all three stateful hops (see each stage's
+    docstring); None = reference parity (unbounded state).
     """
     if state_store is not None:
         configure_state_store(spark, state_store)
@@ -333,18 +387,21 @@ def run_multi_hop(
         if events is not None
         else read_raw_stream(spark, source_dir, max_files_per_trigger)
     )
-    q1 = start(resolve_stage(source), "resolved")
+    q1 = start(resolve_stage(source, state_ttl_minutes), "resolved")
     q1.awaitTermination()
 
     resolved = spark.readStream.schema(FLAT_SCHEMA).parquet(paths["resolved"])
     q2 = start(
-        rekey_stage(with_routing(resolved, registry, resolve_definitions=False)),
+        rekey_stage(
+            with_routing(resolved, registry, resolve_definitions=False),
+            state_ttl_minutes,
+        ),
         "rekeyed",
     )
     q2.awaitTermination()
 
     rekeyed = spark.readStream.schema(REKEYED_SCHEMA).parquet(paths["rekeyed"])
-    q3 = start(entity_stage(rekeyed), "changes")
+    q3 = start(entity_stage(rekeyed, state_ttl_minutes), "changes")
     q3.awaitTermination()
     return paths
 
@@ -395,6 +452,8 @@ def run_deployment(
     available_now: bool = True,
     max_files_per_trigger: int = 64,
     state_store: str | None = None,
+    distributed: bool = False,
+    dialect: str = "mysql",
 ) -> dict[str, str]:
     """The full deployed topology in one call — what a user of the
     reference runs instead of the Spring Boot importer:
@@ -411,6 +470,11 @@ def run_deployment(
     exactly-once delivery into the idempotent MERGE."""
     from ph_ee_nats_importer_rdbms_spark.sinks.jdbc import changes_foreach_batch
 
+    if source_dir is None and nats_options is None:
+        raise ValueError(
+            "run_deployment needs an ingestion source: pass source_dir "
+            "(file-drop bridge directory) or nats_options (native NATS source)"
+        )
     events = (
         read_raw_nats_stream(spark, **nats_options)
         if nats_options is not None
@@ -430,7 +494,9 @@ def run_deployment(
     changes = spark.readStream.schema(CHANGES_SCHEMA).parquet(paths["changes"])
     sink = (
         changes.writeStream.foreachBatch(
-            changes_foreach_batch(resolve_url, executor)
+            changes_foreach_batch(
+                resolve_url, executor, distributed=distributed, dialect=dialect
+            )
         )
         .option("checkpointLocation", os.path.join(work_dir, "ckpt_jdbc"))
         .outputMode("append")

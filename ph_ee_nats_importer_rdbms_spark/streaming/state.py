@@ -271,6 +271,13 @@ class EntityState:
     var_max_ts: dict = field(default_factory=dict)  # D1: name -> max ts seen
     tasks_seen: list = field(default_factory=list)  # D2: [element_id, intent]
     seq: int = 0  # micro-batches processed; orders snapshots in the change log
+    #: first tenant observed for this instance (time order). Persisted so a
+    #: later micro-batch carrying only null-tenant events still routes its
+    #: change rows to the instance's tenant DB instead of the default.
+    tenant: str | None = None
+    # transient O(1) membership index over tasks_seen (rebuilt lazily; NOT
+    # serialized — tasks_seen stays the ordered source of truth)
+    _tasks_idx: set | None = field(default=None, repr=False, compare=False)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -282,6 +289,7 @@ class EntityState:
                 "var_max_ts": self.var_max_ts,
                 "tasks_seen": self.tasks_seen,
                 "seq": self.seq,
+                "tenant": self.tenant,
             }
         )
 
@@ -298,6 +306,7 @@ class EntityState:
             var_max_ts=d["var_max_ts"],
             tasks_seen=d["tasks_seen"],
             seq=d.get("seq", 0),
+            tenant=d.get("tenant"),
         )
 
 
@@ -375,10 +384,13 @@ def entity_step(
             # D2 (RecordParser.java:223-256); null type guard :224-227
             if ev.get("job_type") is None:
                 continue
-            sig = [ev.get("element_id"), ev.get("intent")]
-            if sig in state.tasks_seen:
+            sig = (ev.get("element_id"), ev.get("intent"))
+            if state._tasks_idx is None:
+                state._tasks_idx = {tuple(s) for s in state.tasks_seen}
+            if sig in state._tasks_idx:
                 continue
-            state.tasks_seen.append(sig)
+            state._tasks_idx.add(sig)
+            state.tasks_seen.append(list(sig))
             out.append(
                 {
                     "kind": "task",

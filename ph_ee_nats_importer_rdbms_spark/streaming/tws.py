@@ -130,7 +130,7 @@ def resolve_stage_tws(
 #:   (the D2 existence check, RecordParser.java:233-245)
 _META_SCHEMA = (
     "entity_type string, started boolean, completed boolean, seq long,"
-    " entity_json string"
+    " entity_json string, tenant string"
 )
 _VAR_TS_KEY_SCHEMA = "name string"
 _VAR_TS_VALUE_SCHEMA = "max_ts long"
@@ -161,12 +161,13 @@ class EntityProcessor(StatefulProcessor):
 
         st = sm.EntityState()
         if self._meta.exists():
-            etype, started, completed, seq, entity_json = self._meta.get()
+            etype, started, completed, seq, entity_json, tenant = self._meta.get()
             st.entity_type = etype
             st.started = bool(started)
             st.completed = bool(completed)
             st.seq = int(seq)
             st.entity = _json.loads(entity_json) if entity_json else {}
+            st.tenant = tenant
         if self._var_ts.exists():
             for (name,), (ts,) in self._var_ts.iterator():
                 st.var_max_ts[name] = ts
@@ -184,6 +185,7 @@ class EntityProcessor(StatefulProcessor):
                 st.completed,
                 st.seq,
                 _json.dumps(st.entity),
+                st.tenant,
             )
         )
         for name, ts in st.var_max_ts.items():
@@ -205,18 +207,21 @@ class EntityProcessor(StatefulProcessor):
         prior_n_tasks = len(st.tasks_seen)
 
         events: list[dict] = []
-        tenant = None
         for pdf in rows:
-            pdf = pdf.sort_values(["timestamp", "position"], kind="mergesort")
             for rec in pdf.to_dict("records"):
                 clean = {
                     k: (None if v is None or (isinstance(v, float) and pd.isna(v)) else (v.item() if hasattr(v, "item") else v))
                     for k, v in rec.items()
                 }
-                if tenant is None and clean.get("tenant"):
-                    tenant = clean["tenant"]
                 events.append(clean)
         events.sort(key=lambda e: (e["timestamp"], e["position"]))
+        # tenant: first non-empty in GLOBAL time order (mirrors entity_stage
+        # exactly), sticky in state so a later batch with only null-tenant
+        # events keeps routing to the instance's tenant DB
+        st.tenant = st.tenant or next(
+            (e.get("tenant") for e in events if e.get("tenant")), None
+        )
+        tenant = st.tenant
 
         st, out_rows = sm.entity_step(st, events)
         st.seq += 1

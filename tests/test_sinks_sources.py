@@ -157,6 +157,22 @@ def test_time_partitioned_log_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(event_day" in plan
     assert one_day.count() == 20
 
+    # incremental mirror: overwrite_dynamic replaces ONLY the day
+    # partitions present in the new frame — earlier days stay intact
+    # (mode='overwrite' would silently delete all previously mirrored days)
+    newer = spark.createDataFrame(
+        [(999, 1_700_000_000_000 + 4 * day_ms, "n999", "v2")],
+        "workflow_instance_key long, timestamp long, name string, value string",
+    )
+    save_time_partitioned(newer, path, mode="overwrite_dynamic")
+    back2 = spark.read.parquet(path)
+    days2 = sorted(
+        r["event_day"] for r in back2.select("event_day").distinct().collect()
+    )
+    assert days2 == days  # earlier days survived
+    assert back2.filter(F.col("event_day") == days[4]).count() == 1  # replaced
+    assert back2.filter(F.col("event_day") == days[0]).count() == 20
+
 
 class _FileRecordingExecutor:
     """Picklable executor that appends (url, rowcount) records to files —

@@ -466,6 +466,82 @@ def test_multi_hop_matches_batch_at_corpus_scale(spark, tmp_path):
     )
 
 
+def test_resolve_state_ttl_evicts_buffer_and_recreates(spark, tmp_path):
+    """C5 buffer eviction (the documented TTL improvement over the
+    reference's unbounded TempDocumentStore): a definition key idle past
+    the TTL is dropped — its buffered rows are discarded — and a late
+    carrier re-creates state from scratch (get-or-create), after which
+    resolution works normally again."""
+    import time
+
+    from ph_ee_nats_importer_rdbms_spark.streaming import pipeline as sp
+
+    src = tmp_path / "ttl_events"
+    src.mkdir()
+    work = str(tmp_path / "ttl_work")
+    ttl_minutes = 1 / 60  # 1 second
+
+    # availableNow runs must not spin no-data batches waiting on pending
+    # timers (see resolve_stage docstring); timers then fire lazily on the
+    # next data-carrying batch — the shape this test asserts.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+
+    def run():
+        return sp.run_multi_hop(
+            spark, str(src), work, state_ttl_minutes=ttl_minutes
+        )
+
+    # run 1: gapped row (empty bpmn) for def 6001 -> buffered, not emitted
+    (src / "d0.jsonl").write_text(
+        _raw_json(variable_event(200, "batchId", '"B-9"', 1_000, bpmn="", definition=6001)) + "\n"
+    )
+    paths = run()
+    resolved = spark.read.schema(sp.FLAT_SCHEMA).parquet(paths["resolved"])
+    assert resolved.filter("process_definition_key = 6001").count() == 0
+
+    # run 2 after the TTL: an unrelated key's batch triggers timeout
+    # processing -> def 6001's state (with the buffered row) is evicted
+    time.sleep(1.5)
+    (src / "d1.jsonl").write_text(
+        _raw_json(process_event(300, "ELEMENT_ACTIVATING", 2_000, bpmn="mpesa_flow-tn03", definition=7001)) + "\n"
+    )
+    run()
+
+    # run 3: a carrier for def 6001 re-creates state; a following gapped
+    # row resolves off the re-created mapping. The evicted B-9 row must
+    # NOT replay.
+    (src / "d2.jsonl").write_text(
+        _raw_json(process_event(200, "ELEMENT_ACTIVATING", 3_000, bpmn="bulk_processor-tn02", definition=6001))
+        + "\n"
+        + _raw_json(variable_event(200, "note", '"late"', 3_500, bpmn="", definition=6001))
+        + "\n"
+    )
+    try:
+        paths = run()
+    finally:
+        spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    resolved = spark.read.schema(sp.FLAT_SCHEMA).parquet(paths["resolved"])
+    rows = sorted(
+        (r["timestamp"], r["bpmn_process_id"])
+        for r in resolved.filter("process_definition_key = 6001").collect()
+    )
+    assert rows == [
+        (3_000, "bulk_processor-tn02"),
+        (3_500, "bulk_processor-tn02"),
+    ]
+
+
+def test_run_deployment_requires_a_source(spark, tmp_path):
+    """Misuse guard: neither source_dir nor nats_options is a clear error,
+    not an obscure failure deep inside the file source."""
+    from ph_ee_nats_importer_rdbms_spark.streaming import pipeline as sp
+
+    with pytest.raises(ValueError, match="ingestion source"):
+        sp.run_deployment(
+            spark, str(tmp_path / "w"), lambda t: None, lambda u, s: None
+        )
+
+
 def test_run_deployment_end_to_end_jdbc(spark, tmp_path):
     """The one-call deployed topology: file-bridge source -> 3 hops ->
     per-tenant JDBC MERGE/append through a recording executor. Asserts the

@@ -16,12 +16,9 @@ from tests.zeebe_fixtures import process_event, variable_event
 
 
 def _protobuf_available() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    from tests.protobuf_compat import ensure_protobuf
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf()
 
 
 class _StubValueState:
@@ -117,10 +114,15 @@ def test_processor_same_batch_replay_order():
 )
 def test_tws_resolve_matches_applyinpandas_stage(spark, tmp_path):
     from ph_ee_nats_importer_rdbms_spark.streaming.pipeline import (
+        configure_state_store,
         read_raw_stream,
         resolve_stage,
     )
     from ph_ee_nats_importer_rdbms_spark.streaming.tws import resolve_stage_tws
+
+    # transformWithStateInPandas needs multiple column families (one per
+    # typed state), which only the RocksDB provider supports
+    configure_state_store(spark, "rocksdb")
 
     events = [
         variable_event(200, "batchId", '"B-9"', 1_000, bpmn="", definition=6001),
@@ -149,9 +151,97 @@ def test_tws_resolve_matches_applyinpandas_stage(spark, tmp_path):
             f"SELECT process_instance_key, name, bpmn_process_id, timestamp "
             f"FROM {name}"
         ).collect()
-        return sorted(tuple(r) for r in rows)
+        return sorted(
+            (tuple(r) for r in rows),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
 
-    assert run(resolve_stage_tws, "tws_out") == run(resolve_stage, "aip_out")
+    try:
+        assert run(resolve_stage_tws, "tws_out") == run(resolve_stage, "aip_out")
+    finally:
+        configure_state_store(spark, "hdfs")  # don't leak into other tests
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas worker needs the protobuf package",
+)
+def test_tws_entity_stage_matches_applyinpandas_stage(spark, tmp_path):
+    """EntityProcessor through a REAL transformWithStateInPandas query
+    (typed ValueState + MapState + ListState over RocksDB), split across
+    micro-batches, must emit exactly the change rows the
+    applyInPandasWithState entity_stage emits."""
+    from ph_ee_nats_importer_rdbms_spark.streaming.pipeline import (
+        REKEYED_SCHEMA,
+        configure_state_store,
+        entity_stage,
+    )
+    from ph_ee_nats_importer_rdbms_spark.streaming.tws import entity_stage_tws
+
+    configure_state_store(spark, "rocksdb")
+    cols = [f.name for f in REKEYED_SCHEMA.fields]
+    events = [
+        {c: e.get(c) for c in cols} | {"effective_key": 42}
+        for e in _entity_events()
+    ]
+    chunks = (events[:2], events[2:4], events[4:])
+
+    def run(stage_fn, name):
+        import os
+        import shutil
+
+        src = tmp_path / f"esrc_{name}"
+        src.mkdir()
+        for i, chunk in enumerate(chunks):
+            tmp = tmp_path / f"etmp_{name}_{i}"
+            spark.createDataFrame(chunk, REKEYED_SCHEMA).coalesce(1).write.parquet(str(tmp))
+            part = next(
+                p
+                for p in tmp.iterdir()
+                if p.name.endswith(".parquet") and not p.name.startswith(".")
+            )
+            dst = src / f"d{i}.parquet"
+            shutil.copy(part, dst)
+            # strictly increasing mtimes -> deterministic batch order
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        stream = (
+            spark.readStream.schema(REKEYED_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stage_fn(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"eck_{name}"))
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.sql(
+            f"SELECT kind, workflow_instance_key, tenant, payload FROM {name}"
+        ).collect()
+        return sorted(
+            (tuple(r) for r in rows),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    try:
+        got = run(entity_stage_tws, "tws_ent")
+        want = run(entity_stage, "aip_ent")
+    finally:
+        configure_state_store(spark, "hdfs")
+    assert got == want
+    # sanity: the parity set includes the D1/D2-filtered inserts and the
+    # final COMPLETED transfer snapshot with the instance's tenant
+    import json as _json
+
+    kinds = [t[0] for t in got]
+    assert kinds.count("variable") == 1 and kinds.count("task") == 1
+    snaps = [_json.loads(t[3]) for t in got if t[0] == "transfer"]
+    assert snaps and all(t[2] == "tn1" for t in got if t[0] == "transfer")
+    assert any(s.get("status") == "COMPLETED" for s in snaps)
 
 
 class _StubMapState:
