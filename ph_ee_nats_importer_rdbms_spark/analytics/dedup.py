@@ -273,6 +273,111 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-cluster assembly (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+#: Convergence cap for min-label propagation. Near-dup clusters have tiny
+#: graph diameter (pairs share shingle mass, so clusters are dense); the
+#: cap only guards pathological chains.
+CC_MAX_ITERS = 25
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """(node, label) connected components of an undirected edge list
+    ``(doc_a, doc_b)``: every node labeled with the MINIMUM doc id in its
+    component — deterministic, so the label doubles as the cluster id and
+    the keeper choice (min-id survivor, the standard fuzzy-dedup rule).
+
+    Shape: iterative min-label propagation — per round each node takes the
+    min of its own and its neighbors' labels; converges in O(component
+    diameter) rounds. Each round is ONE shuffle on the node key plus a
+    map-side-combinable min; the edge list is staged once and reused. At
+    100 TB this is the textbook Hash-Min CC (the large-star/small-star
+    variant halves rounds for star-shaped graphs; near-dup components are
+    small and dense, so plain Hash-Min converges in 2-3 rounds)."""
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CC_MAX_ITERS):
+        neigh = edges.join(
+            labels, edges["doc_b"] == labels["node"]
+        ).select(F.col("doc_a").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: the step a fuzzy-dedup pipeline runs AFTER pair
+    generation — assemble the MinHash-LSH near-dup pairs into connected
+    components and pick one keeper per cluster (min doc id). Output is one
+    row per document that appears in any verified pair."""
+    pairs = q_minhash_dups(spark, sf_dir)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )
+
+
+DUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+sig AS ({_duck_minhash()}),
+bands AS ({_duck_bands()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+  WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / len(list_distinct(sa.shingles || sb.shingles)), 4) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id,
+       (node = min(label)) AS is_keeper
+FROM reach GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

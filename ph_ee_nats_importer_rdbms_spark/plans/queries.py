@@ -305,11 +305,17 @@ def _q_transfer_detail_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = _session_key(spark, sf_dir)
     if key not in _DETAIL_TABLES_SAVED:
-        tables = _pipeline(spark, sf_dir)
-        storage.save_bucketed_tables(
-            {n: tables[n] for n in ("transfers", "tasks", "variables")},
-            prefix="q7_",
-        )
+        names = ("transfers", "tasks", "variables")
+        broot = staging.bucketed_dir(sf_dir)
+        # bucketed files persist with the dataset stage: a fresh session
+        # re-attaches them with catalog DDL instead of rewriting the data
+        if broot is None or not storage.register_bucketed_tables(
+            spark, names, broot, prefix="q7_"
+        ):
+            tables = _pipeline(spark, sf_dir)
+            storage.save_bucketed_tables(
+                {n: tables[n] for n in names}, prefix="q7_", path_root=broot
+            )
         _DETAIL_TABLES_SAVED.add(key)
     detail = storage.transfer_detail(spark, prefix="q7_")
     return detail.select(
@@ -832,6 +838,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- dedup (analytics/dedup.py) ---
     "minhash_signatures": (_dd.q_minhash_signatures, _dd.MINHASH_SIGNATURES_ORACLE),
     "minhash_dups": (_dd.q_minhash_dups, _dd.MINHASH_DUPS_ORACLE),
+    "dup_clusters": (_dd.q_dup_clusters, _dd.DUP_CLUSTERS_ORACLE),
     "simhash": (_dd.q_simhash, _dd.SIMHASH_ORACLE),
     "simhash_dups": (_dd.q_simhash_dups, _dd.SIMHASH_DUPS_ORACLE),
     "ngram_jaccard": (_dd.q_ngram_jaccard, _dd.NGRAM_JACCARD_ORACLE),

@@ -112,6 +112,16 @@ def is_staged(sf_dir: str, name: str) -> bool:
     )
 
 
+def bucketed_dir(sf_dir: str) -> str | None:
+    """Root for the dataset's co-bucketed table store (sinks/storage.py) —
+    lives under the same fingerprinted dir as the parquet stage, so code or
+    data changes invalidate the bucketed files too. None when disabled."""
+    root = cache_root()
+    if root is None:
+        return None
+    return os.path.join(_dataset_dir(root, sf_dir), "bucketed")
+
+
 def read_staged(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a relation known to be staged (``is_staged`` returned True)."""
     root = cache_root()

@@ -34,6 +34,7 @@ def save_bucketed_tables(
     tables: dict[str, DataFrame],
     num_buckets: int = 8,
     prefix: str = "ph_",
+    path_root: str | None = None,
 ) -> list[str]:
     """Persist pipeline output tables to the session catalog, bucketed and
     sorted by ``workflow_instance_key``. Returns the created table names.
@@ -41,6 +42,12 @@ def save_bucketed_tables(
     Equivalent DDL: ``CREATE TABLE ph_transfers ... USING parquet
     CLUSTERED BY (workflow_instance_key) SORTED BY (workflow_instance_key)
     INTO <n> BUCKETS``.
+
+    ``path_root``: write each table as an EXTERNAL table at
+    ``<path_root>/<name>`` instead of a managed warehouse table — the
+    files outlive the session and :func:`register_bucketed_tables` can
+    re-attach them in a fresh session without rewriting a row (the
+    warehouse pattern: bucketed data is durable, catalogs are cheap).
     """
     created = []
     for name, df in tables.items():
@@ -51,16 +58,58 @@ def save_bucketed_tables(
         # metastore the DROP is sufficient and the rmtree never fires
         spark = df.sparkSession
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        stale = os.path.join(wh, table.lower())
-        if wh and os.path.isdir(stale):
-            shutil.rmtree(stale)
+        if path_root is None:
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            stale = os.path.join(wh, table.lower())
+            if wh and os.path.isdir(stale):
+                shutil.rmtree(stale)
         writer = df.write.mode("overwrite").format("parquet")
+        if path_root is not None:
+            writer = writer.option("path", os.path.join(path_root, name))
         if name in BUCKETED and JOIN_KEY in df.columns:
             writer = writer.bucketBy(num_buckets, JOIN_KEY).sortBy(JOIN_KEY)
         writer.saveAsTable(table)
         created.append(table)
     return created
+
+
+def register_bucketed_tables(
+    spark: SparkSession,
+    names: tuple[str, ...],
+    path_root: str,
+    num_buckets: int = 8,
+    prefix: str = "ph_",
+) -> bool:
+    """Re-attach existing bucketed parquet directories (written by
+    :func:`save_bucketed_tables` with ``path_root``) as external bucketed
+    tables in THIS session's catalog — pure DDL, no data rewrite. The
+    bucket spec in the DDL must match the writer's (bucket ids live in the
+    file names); ``num_buckets``/``prefix`` therefore mirror the save call.
+    Returns False (registering nothing) unless every directory has its
+    ``_SUCCESS`` marker."""
+    paths = {n: os.path.join(path_root, n) for n in names}
+    if not all(
+        os.path.exists(os.path.join(p, "_SUCCESS")) for p in paths.values()
+    ):
+        return False
+    for name, p in paths.items():
+        table = f"{prefix}{name}"
+        schema = spark.read.parquet(p).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        bucket_clause = (
+            f"CLUSTERED BY ({JOIN_KEY}) SORTED BY ({JOIN_KEY}) "
+            f"INTO {num_buckets} BUCKETS"
+            if name in BUCKETED and any(f.name == JOIN_KEY for f in schema.fields)
+            else ""
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING parquet {bucket_clause} "
+            f"LOCATION '{p}'"
+        )
+    return True
 
 
 def transfer_detail(spark: SparkSession, prefix: str = "ph_") -> DataFrame:

@@ -40,6 +40,56 @@ def test_minhash_dups_are_symmetric_free_and_above_threshold(spark, sf_dir):
         assert r["jaccard"] >= dedup.JACCARD_THRESHOLD
 
 
+def test_connected_components_chain_and_islands(spark):
+    """Hash-Min CC over a worst-case shape: a 6-node chain (diameter 5,
+    forcing multiple propagation rounds), one triangle, one isolated pair.
+    Every node must end with its component's MIN id as the label."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        # chain 10-11-12-13-14-15 listed in reverse so min-label has to
+        # travel the full diameter
+        [(15, 14), (14, 13), (13, 12), (12, 11), (11, 10),
+         # triangle 20-21-22
+         (20, 21), (21, 22), (20, 22),
+         # isolated pair
+         (30, 31)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["node"]: r["label"] for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
+
+
+def test_dup_clusters_keeper_per_cluster(spark, sf_dir):
+    """Every cluster has exactly one keeper = its min doc id, and the
+    member set equals the docs appearing in any verified near-dup pair."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
+        q_dup_clusters,
+        q_minhash_dups,
+    )
+
+    clusters = q_dup_clusters(spark, sf_dir).collect()
+    by_cluster: dict = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        keepers = [m for m in members if m["is_keeper"]]
+        assert len(keepers) == 1 and keepers[0]["doc_id"] == cid
+        assert cid == min(m["doc_id"] for m in members)
+    paired = set()
+    for r in q_minhash_dups(spark, sf_dir).collect():
+        paired.update((r["doc_a"], r["doc_b"]))
+    assert {r["doc_id"] for r in clusters} == paired
+
+
 def test_simhash_near_dup_recall_vs_bruteforce(spark, sf_dir):
     """The band join must find EVERY pair within the Hamming radius
     (pigeonhole guarantee) — verify against a driver-side brute force."""

@@ -128,6 +128,64 @@ def test_bucketed_tables_make_detail_join_shuffle_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_register_bucketed_tables_reattaches_without_rewrite(spark, tmp_path):
+    """External bucketed tables: the bucketed files persist across
+    sessions; a fresh catalog re-attaches them with DDL only — no data
+    rewrite — and the re-attached tables still plan the detail join with
+    zero Exchange."""
+    import os
+
+    from ph_ee_nats_importer_rdbms_spark.operators.pipeline import (
+        run_import_pipeline,
+    )
+    from ph_ee_nats_importer_rdbms_spark.sinks import storage
+    from tests import zeebe_fixtures as zf
+
+    rows = [
+        zf.process_event(100, "ELEMENT_ACTIVATING", ts=1_000),
+        zf.variable_event(100, "transactionId", '"tx-1"', ts=1_100),
+        zf.job_event(100, "svc", "T1", "CREATED", ts=1_200),
+    ]
+    out = run_import_pipeline(zf.to_df(spark, rows))
+    names = ("transfers", "tasks", "variables")
+    broot = str(tmp_path / "bk")
+    storage.save_bucketed_tables(
+        {n: out[n] for n in names}, num_buckets=4, prefix="r_", path_root=broot
+    )
+
+    def snapshot():
+        return {
+            (n, f): os.path.getmtime(os.path.join(broot, n, f))
+            for n in names
+            for f in os.listdir(os.path.join(broot, n))
+        }
+
+    before = snapshot()
+    # simulate a fresh session's empty catalog
+    for n in names:
+        spark.sql(f"DROP TABLE IF EXISTS r_{n}")
+    assert storage.register_bucketed_tables(
+        spark, names, broot, num_buckets=4, prefix="r_"
+    )
+    assert snapshot() == before  # pure DDL, nothing rewritten
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        detail = storage.transfer_detail(spark, prefix="r_")
+        plan = detail._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        got = {(r["workflow_instance_key"], r["name"]) for r in detail.collect()}
+        assert (100, "transactionId") in got
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    # missing marker -> refuses to register rather than serving junk
+    os.remove(os.path.join(broot, "tasks", "_SUCCESS"))
+    assert not storage.register_bucketed_tables(
+        spark, names, broot, num_buckets=4, prefix="r_"
+    )
+
+
 def test_time_partitioned_log_prunes_partitions(spark, tmp_path):
     """A day-ranged read over the time-partitioned event log must prune at
     the partition level (PartitionFilters in the scan, not a full-table
