@@ -247,3 +247,66 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
 
 
 ANN_LSH_ORACLE = _ann_lsh_oracle()
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of both approximate paths against the exact brute-force
+    top-k — the metric an ANN deployment tunes (planes / nprobe) against.
+    One row per (method, query): hit count and floor-truncated recall.
+
+    Measured on the synthetic corpus (sf0.01): IVF/nprobe=4 ≈ 0.4 mean
+    recall@10, sign-LSH ≈ 0.01 — the honest picture for this corpus's
+    weakly-clustered embeddings (general top-k neighbors are not
+    angularly close, so 6-plane bucket collision is near-random; LSH's
+    recall claim holds for NEAR-DUPLICATE neighbors, which is what
+    embedding_dups uses it for). That gap being measurable is this
+    query's job.
+
+    Scale shape: the three top-k relations are tiny (n_queries × k rows)
+    regardless of corpus size — the joins here are trivia; the cost is the
+    underlying searches, which share the session-staged relations."""
+    bf = q_ann_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    queries = bf.select("query_id").distinct()
+    parts = []
+    for method, fn in (("lsh", q_ann_lsh), ("ivf", q_ann_ivf)):
+        ap = fn(spark, sf_dir).select("query_id", "vec_id")
+        hits = (
+            ap.join(bf, ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        n = F.coalesce("n_hits", F.lit(0))
+        parts.append(
+            queries.join(hits, "query_id", "left").select(
+                F.lit(method).alias("method"),
+                "query_id",
+                n.alias("n_hits"),
+                (F.floor(n * 10000 / TOP_K) / 10000).alias("recall_at_k"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+ANN_RECALL_ORACLE = f"""
+WITH bf AS ({ANN_BRUTEFORCE_ORACLE}),
+lsh AS ({ANN_LSH_ORACLE}),
+ivf AS ({ANN_IVF_ORACLE}),
+hits AS (
+  SELECT 'lsh' AS method, l.query_id, count(*) AS n_hits
+  FROM lsh l JOIN bf b ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT 'ivf', i.query_id, count(*)
+  FROM ivf i JOIN bf b ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+  GROUP BY 1, 2
+),
+methods(method) AS (VALUES ('lsh'), ('ivf')),
+grid AS (
+  SELECT m.method, q.query_id
+  FROM methods m CROSS JOIN (SELECT DISTINCT query_id FROM bf) q
+)
+SELECT g.method, g.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+       floor(COALESCE(h.n_hits, 0) * 10000.0 / {TOP_K}) / 10000 AS recall_at_k
+FROM grid g LEFT JOIN hits h
+  ON g.method = h.method AND g.query_id = h.query_id
+"""

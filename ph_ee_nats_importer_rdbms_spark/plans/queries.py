@@ -847,6 +847,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "ann_bruteforce": (_sim.q_ann_bruteforce, _sim.ANN_BRUTEFORCE_ORACLE),
     "ann_lsh": (_sim.q_ann_lsh, _sim.ANN_LSH_ORACLE),
     "ann_ivf": (_sim.q_ann_ivf, _sim.ANN_IVF_ORACLE),
+    "ann_recall": (_sim.q_ann_recall, _sim.ANN_RECALL_ORACLE),
     # --- training-data pipeline (analytics/training.py) ---
     "train_test_split": (_tr.q_train_test_split, _tr.TRAIN_TEST_SPLIT_ORACLE),
     "decontamination": (_tr.q_decontamination, _tr.DECONTAMINATION_ORACLE),

@@ -34,10 +34,13 @@ def audit(name: str, plan: str) -> list[str]:
     if "BroadcastNestedLoopJoin" in plan and name not in (
         "ann_bruteforce",
         "ann_ivf",
+        "ann_recall",
     ):
         # sanctioned: ann_bruteforce broadcasts its tiny query set;
         # ann_ivf cross-joins query/vector rows with the broadcast
-        # centroid set (config-sized) for the distance argmax
+        # centroid set (config-sized) for the distance argmax;
+        # ann_recall contains both as subplans (it compares the three
+        # top-k relations)
         flags.append("BNLJ")
     if ("BatchEvalPython" in plan or "ArrowEvalPython" in plan or
             "MapInPandas" in plan) and name not in PYTHON_OK:
