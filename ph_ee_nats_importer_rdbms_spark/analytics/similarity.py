@@ -112,7 +112,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: sign-LSH collision probability for angle θ is (1 - θ/π)^planes — low
 #: for general (non-near-dup) neighbors; L independent tables lift recall
 #: to 1-(1-p)^L at L× candidate cost. The standard recall/cost dial.
+#: Table 0 reuses the single-table plane set, so the multi-table
+#: candidate set is a strict superset of q_ann_lsh's — per-query recall
+#: dominance is an invariant, not a tendency (tested).
 ANN_LSH_TABLES = 8
+
+
+def _table_salt(t: int) -> str:
+    return "ann" if t == 0 else f"ann{t}"
 
 
 def q_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,7 +135,7 @@ def q_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit(t).alias("table_id"),
                 _embed_bucket_col(
-                    "embedding", hyperplanes(ANN_PLANES, EMBED_DIM, salt=f"ann{t}")
+                    "embedding", hyperplanes(ANN_PLANES, EMBED_DIM, salt=_table_salt(t))
                 ).alias("bucket"),
             )
             for t in range(ANN_LSH_TABLES)
@@ -159,7 +166,7 @@ def q_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_lsh_multi_oracle() -> str:
     buckets = ", ".join(
-        f"{_duck_bucket('embedding', hyperplanes(ANN_PLANES, EMBED_DIM, salt=f'ann{t}'))} AS b{t}"
+        f"{_duck_bucket('embedding', hyperplanes(ANN_PLANES, EMBED_DIM, salt=_table_salt(t)))} AS b{t}"
         for t in range(ANN_LSH_TABLES)
     )
     long_union = " UNION ALL ".join(

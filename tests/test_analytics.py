@@ -140,6 +140,23 @@ def test_ann_ivf_shape_and_recall_floor(spark, sf_dir):
     assert recall >= 0.3, f"IVF recall collapsed: {recall:.2f}"
 
 
+def test_ann_lsh_multi_recall_dominates_single_table(spark, sf_dir):
+    """Table 0 of the multi-table family IS the single-table plane set, so
+    the multi-table candidate pool is a superset — per-query recall
+    against brute force can never be lower than single-table's."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.similarity import (
+        q_ann_recall,
+    )
+
+    rows = q_ann_recall(spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["method"]] = r["n_hits"]
+    assert by_q, "no recall rows"
+    for q, methods in by_q.items():
+        assert methods["lsh_multi"] >= methods["lsh"], q
+
+
 def test_ann_lsh_is_subset_of_bruteforce_candidates(spark, sf_dir):
     """LSH results are drawn from the same scored universe; any neighbor LSH
     returns must score <= the brute-force best at the same rank."""
