@@ -585,13 +585,20 @@ SELECT source, doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.25
 
 
 def _dot_literal(vec_col: str, plane: list[float]) -> Column:
-    """JVM-side dot(embedding, literal plane) via aggregate over a zipped
-    product — no Python in the loop."""
-    terms = " + ".join(
-        f"CAST(element_at({vec_col}, {d + 1}) AS DOUBLE) * ({w!r})"
-        for d, w in enumerate(plane)
+    """JVM-side dot(embedding, literal plane): higher-order aggregate over
+    a zipped product with the plane as an ARRAY literal. A 64-term
+    unrolled sum was the original form and is algebraically identical
+    (left-to-right order preserved, so the sign — and every oracle hash —
+    is bit-equal), but at 6 planes × 8 LSH tables it put ~3k nodes in one
+    projection: whole-stage codegen blew its method-size budget and
+    Catalyst analysis went superlinear (measured 23s for ann_lsh_multi at
+    sf0.1; 2s with this form). The lambda keeps the tree O(1) per plane."""
+    arr = "array(" + ", ".join(repr(w) for w in plane) + ")"
+    return F.expr(
+        f"aggregate(zip_with({vec_col}, {arr},"
+        " (x, p) -> CAST(x AS DOUBLE) * p),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    return F.expr(terms)
 
 
 def _embed_bucket_col(vec_col: str, planes: list[list[float]]) -> Column:
