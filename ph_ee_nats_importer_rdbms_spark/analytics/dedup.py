@@ -674,6 +674,44 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space duplicate clusters: the same connected-components
+    fold as ``dup_clusters``, over the cosine near-dup pair graph instead
+    of the shingle one — one keeper (min vec id) per cluster. Composing
+    the two operators is the point: any pair generator feeds the same
+    cluster assembly."""
+    pairs = q_embedding_dups(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("vec_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )
+
+
+def _embedding_dup_clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({EMBEDDING_DUPS_ORACLE}) t
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS vec_id, min(label) AS cluster_id,
+       (node = min(label)) AS is_keeper
+FROM reach GROUP BY node
+"""
+
+
 def _duck_plane_dot(vec_col: str, plane: list[float]) -> str:
     return " + ".join(
         f"CAST({vec_col}[{d + 1}] AS DOUBLE) * ({w!r})" for d, w in enumerate(plane)
@@ -712,3 +750,5 @@ WHERE {_DUCK_COSINE} >= {EMBED_COSINE_THRESHOLD}
 
 
 EMBEDDING_DUPS_ORACLE = _embedding_dups_oracle()
+
+EMBEDDING_DUP_CLUSTERS_ORACLE = _embedding_dup_clusters_oracle()

@@ -704,6 +704,68 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user converts
+    at stage k when their FIRST event of each stage is strictly ordered
+    (min-timestamp semantics, so the result is replay-order-insensitive).
+    One hash aggregation per user then one global fold — at 100 TB both
+    are map-side-combinable; no window, no self-join, no sequence scan."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, us))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("v"),
+        first_ts("click").alias("c"),
+        first_ts("purchase").alias("p"),
+    )
+    one = F.lit(1)
+    zero = F.lit(0)
+    viewed = F.when(F.col("v").isNotNull(), one).otherwise(zero)
+    clicked = F.when(F.col("v") < F.col("c"), one).otherwise(zero)
+    purchased = F.when(
+        (F.col("v") < F.col("c")) & (F.col("c") < F.col("p")), one
+    ).otherwise(zero)
+    trunc = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    agg = per_user.agg(
+        F.sum(viewed).alias("n_view"),
+        F.sum(clicked).alias("n_view_click"),
+        F.sum(purchased).alias("n_view_click_purchase"),
+    )
+    return agg.select(
+        "n_view",
+        "n_view_click",
+        "n_view_click_purchase",
+        trunc(F.col("n_view_click") / F.col("n_view")).alias("click_rate"),
+        trunc(
+            F.col("n_view_click_purchase") / F.col("n_view_click")
+        ).alias("purchase_rate"),
+    )
+
+
+_CONVERSION_FUNNEL_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+  FROM events GROUP BY 1
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         CAST(sum(CASE WHEN v < c THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+         CAST(sum(CASE WHEN v < c AND c < p THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+  FROM per_user
+)
+SELECT n_view, n_view_click, n_view_click_purchase,
+       floor(CAST(n_view_click AS DOUBLE) / n_view * 10000) / 10000 AS click_rate,
+       floor(CAST(n_view_click_purchase AS DOUBLE) / n_view_click * 10000) / 10000 AS purchase_rate
+FROM agg
+"""
+
+
 def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a new session starts after a >30min gap — classic
     streaming-style correlation done with window functions in batch."""
@@ -826,6 +888,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "events_daily": (_q_events_daily, _EVENTS_DAILY_ORACLE),
     "user_sessions": (_q_user_sessions, _USER_SESSIONS_ORACLE),
+    "conversion_funnel": (_q_conversion_funnel, _CONVERSION_FUNNEL_ORACLE),
     "doc_stats": (_q_doc_stats, _DOC_STATS_ORACLE),
     "doc_exact_dedup": (_q_doc_exact_dedup, _DOC_EXACT_DEDUP_ORACLE),
     # --- text analysis (analytics/text.py) ---
@@ -843,6 +906,10 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "simhash_dups": (_dd.q_simhash_dups, _dd.SIMHASH_DUPS_ORACLE),
     "ngram_jaccard": (_dd.q_ngram_jaccard, _dd.NGRAM_JACCARD_ORACLE),
     "embedding_dups": (_dd.q_embedding_dups, _dd.EMBEDDING_DUPS_ORACLE),
+    "embedding_dup_clusters": (
+        _dd.q_embedding_dup_clusters,
+        _dd.EMBEDDING_DUP_CLUSTERS_ORACLE,
+    ),
     # --- similarity search (analytics/similarity.py) ---
     "ann_bruteforce": (_sim.q_ann_bruteforce, _sim.ANN_BRUTEFORCE_ORACLE),
     "ann_lsh": (_sim.q_ann_lsh, _sim.ANN_LSH_ORACLE),
