@@ -69,16 +69,29 @@ _ROUTED_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The routed event stream, staged once per DATASET (parquet stage,
     plans/staging.py) and memoized per session — shared by the
-    routing/tenant queries so they don't re-derive the corpus."""
+    routing/tenant queries so they don't re-derive the corpus.
+
+    The flat event union is itself staged first: ``with_routing``
+    references its input twice (the C5 definition-dimension aggregate and
+    the main pass), so routing straight off the derivation would compute
+    the 14-branch union twice; off the flat parquet both references are
+    column-pruned scans (the dim agg reads 3 of 16 columns)."""
     from ph_ee_nats_importer_rdbms_spark.operators.classify import with_routing
 
     key = _session_key(spark, sf_dir)
     if key not in _ROUTED_CACHE:
+
+        def build() -> DataFrame:
+            flat = staging.load_or_build(
+                spark,
+                sf_dir,
+                "flat_events",
+                lambda: zeebe_events_df(spark, sf_dir),
+            )
+            return with_routing(flat)
+
         _ROUTED_CACHE[key] = staging.load_or_build(
-            spark,
-            sf_dir,
-            "routed_events",
-            lambda: with_routing(zeebe_events_df(spark, sf_dir)),
+            spark, sf_dir, "routed_events", build
         )
     return _ROUTED_CACHE[key]
 
