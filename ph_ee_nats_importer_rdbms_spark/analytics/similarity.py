@@ -201,34 +201,37 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: every vector is assigned to its nearest
-    centroid's list; a query scores only the vectors in its ``nprobe``
-    nearest lists.
-
-    Scale path: the assignment is one broadcast join + map-side argmax
-    (linear, no shuffle of the big side beyond the final per-list
-    bucketing); at 100 TB the table is written partitioned by
-    ``cluster_id`` so a query reads only its probed partitions. Centroids
-    here are a fixed deterministic subset so the DuckDB oracle can replay
-    them; swap in offline k-means without touching the plan shape."""
-    e = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    cent = F.broadcast(
+def _ivf_centroids(e: DataFrame):
+    return F.broadcast(
         e.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
         )
     )
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, cluster_id): every vector assigned to its
+    nearest centroid's inverted list — one broadcast of the config-sized
+    centroid set + a map-side argmax, linear in corpus size."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    cent = _ivf_centroids(e)
     scored = e.crossJoin(cent).select(
         "vec_id",
         "embedding",
         "cid",
         F.round(_cosine("embedding", "cemb"), 6).alias("ccos"),
     )
-    assign = scored.groupBy("vec_id").agg(
+    return scored.groupBy("vec_id").agg(
         F.max_by("cid", F.struct(F.col("ccos"), -F.col("cid"))).alias("cluster_id"),
         F.first("embedding").alias("embedding"),
     )
 
+
+def _ivf_probes(spark: SparkSession, sf_dir: str, assign: DataFrame) -> DataFrame:
+    """(query_id, q_emb, cluster_id): each query's ``nprobe`` nearest
+    inverted lists, by centroid cosine (deterministic tie-break)."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    cent = _ivf_centroids(e)
     queries = assign.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -241,13 +244,62 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("qcos").desc(), F.col("cid").asc()
     )
-    probes = (
+    return (
         q_scored.withColumn("pr", F.row_number().over(probe_w))
         .filter(F.col("pr") <= IVF_NPROBE)
         .select("query_id", "q_emb", F.col("cid").alias("cluster_id"))
     )
 
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: every vector is assigned to its nearest
+    centroid's list; a query scores only the vectors in its ``nprobe``
+    nearest lists.
+
+    Scale path: the assignment is one broadcast join + map-side argmax
+    (linear, no shuffle of the big side beyond the final per-list
+    bucketing); at 100 TB the table is written partitioned by
+    ``cluster_id`` so a query reads only its probed partitions —
+    :func:`save_ivf_store` / :func:`ann_ivf_from_store` materialize
+    exactly that layout (partition pruning plan-asserted in tests).
+    Centroids here are a fixed deterministic subset so the DuckDB oracle
+    can replay them; swap in offline k-means without touching the plan
+    shape."""
+    assign = ivf_assignments(spark, sf_dir)
+    probes = _ivf_probes(spark, sf_dir, assign)
     pairs = F.broadcast(probes).join(assign, "cluster_id").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    cos = F.round(_cosine("q_emb", "embedding"), 4)
+    return _ranked(pairs.select("query_id", "vec_id", cos.alias("cosine")))
+
+
+def save_ivf_store(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the IVF index as parquet PARTITIONED BY cluster_id —
+    the serving layout: each inverted list is its own partition directory,
+    so a query's nprobe lists are a partition-pruned read (1/16th of the
+    files per probed list here; at 100 TB, 1/n_lists of the corpus)."""
+    ivf_assignments(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(path)
+
+
+def ann_ivf_from_store(
+    spark: SparkSession, sf_dir: str, store_path: str
+) -> DataFrame:
+    """IVF search served from the partitioned store: compute the probe
+    lists (centroid argmax over the broadcast centroid set), then read
+    ONLY those partitions. The probed cluster ids are collected to the
+    driver — a config-sized list (n_queries × nprobe), i.e. query
+    planning, not a data-path collect — so the ``isin`` reaches the scan
+    as PartitionFilters."""
+    store = spark.read.parquet(store_path)
+    probes = _ivf_probes(spark, sf_dir, store)
+    probed_ids = sorted(
+        {r["cluster_id"] for r in probes.select("cluster_id").distinct().collect()}
+    )
+    pruned = store.filter(F.col("cluster_id").isin(probed_ids))
+    pairs = F.broadcast(probes).join(pruned, "cluster_id").filter(
         F.col("query_id") != F.col("vec_id")
     )
     cos = F.round(_cosine("q_emb", "embedding"), 4)

@@ -157,6 +157,31 @@ def test_ann_lsh_multi_recall_dominates_single_table(spark, sf_dir):
         assert methods["lsh_multi"] >= methods["lsh"], q
 
 
+def test_ivf_store_prunes_partitions_and_matches_inline(spark, sf_dir, tmp_path):
+    """The materialized IVF layout: the index written partitioned by
+    cluster_id, probes served as a partition-pruned read (PartitionFilters
+    in the scan), results identical to the inline q_ann_ivf plan."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.similarity import (
+        ann_ivf_from_store,
+        q_ann_ivf,
+        save_ivf_store,
+    )
+
+    store = str(tmp_path / "ivf_store")
+    save_ivf_store(spark, sf_dir, store)
+
+    got_df = ann_ivf_from_store(spark, sf_dir, store)
+    plan = got_df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        got_df._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cluster_id" in ln for ln in pf), plan
+
+    got = sorted(tuple(r) for r in got_df.collect())
+    want = sorted(tuple(r) for r in q_ann_ivf(spark, sf_dir).collect())
+    assert got == want and got
+
+
 def test_ann_lsh_is_subset_of_bruteforce_candidates(spark, sf_dir):
     """LSH results are drawn from the same scored universe; any neighbor LSH
     returns must score <= the brute-force best at the same rank."""
