@@ -127,6 +127,64 @@ def session_stats(
     )
 
 
+def windowed_funnel(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "event_ts",
+    type_col: str = "event_type",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Ordered view→click→purchase funnel per tumbling window — the
+    streaming twin of the batch ``conversion_funnel`` registry query,
+    restricted to conversions that happen inside one window.
+
+    Shape: CHAINED streaming aggregations — per-(window, user)
+    min-stage-timestamps, then a per-window fold. Chaining two stateful
+    aggregations in append mode is legal because the second groups on the
+    first's time-window column, so Spark can propagate the watermark
+    through both state stores (the multiple-stateful-operators support
+    the multi-hop pipeline otherwise works around). Both aggregations are
+    map-side combinable; a window's single funnel row emits once the
+    watermark passes its end."""
+    ev = events.withWatermark(ts_col, watermark)
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col(type_col) == t, F.col(ts_col)))
+
+    per_user = ev.groupBy(
+        F.window(F.col(ts_col), window).alias("w"), F.col(key_col)
+    ).agg(
+        first_ts("view").alias("v"),
+        first_ts("click").alias("c"),
+        first_ts("purchase").alias("p"),
+    )
+    one, zero = F.lit(1), F.lit(0)
+    return (
+        per_user.groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("v").isNotNull(), one).otherwise(zero)).alias(
+                "n_view"
+            ),
+            F.sum(F.when(F.col("v") < F.col("c"), one).otherwise(zero)).alias(
+                "n_view_click"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("v") < F.col("c")) & (F.col("c") < F.col("p")), one
+                ).otherwise(zero)
+            ).alias("n_view_click_purchase"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_view",
+            "n_view_click",
+            "n_view_click_purchase",
+        )
+    )
+
+
 def stream_purchase_attribution(
     clicks: DataFrame,
     purchases: DataFrame,

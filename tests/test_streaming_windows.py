@@ -204,3 +204,80 @@ def test_stream_stream_interval_join_attribution(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     ]
     assert got == [(2, 1, 50)]
+
+
+def test_windowed_funnel_chained_aggregations(spark, tmp_path):
+    """Chained streaming aggregations (per-(window,user) stage minima →
+    per-window fold) in append mode: conversions ordered within the hour
+    count, out-of-order stages don't, and each window emits exactly one
+    funnel row once the watermark closes it."""
+    import json as _json
+
+    from pyspark.sql.types import IntegerType
+    from ph_ee_nats_importer_rdbms_spark.streaming.windows import windowed_funnel
+
+    schema = StructType(
+        [
+            StructField("event_ts", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("user_id", IntegerType(), True),
+        ]
+    )
+    src = tmp_path / "fsrc"
+    src.mkdir()
+    out = str(tmp_path / "fout")
+    ck = str(tmp_path / "fck")
+
+    rows = [
+        # user 1: full ordered funnel inside hour 0
+        (100, "view", 1), (200, "click", 1), (300, "purchase", 1),
+        # user 2: click BEFORE view -> counts as view only
+        (150, "click", 2), (250, "view", 2),
+        # user 3: view then click, purchase missing
+        (400, "view", 3), (500, "click", 3),
+        # hour 3: watermark pusher so hour-0's window closes
+        (3 * H + 10, "view", 9),
+    ]
+    with open(src / "d0.jsonl", "w") as f:
+        for ts_s, typ, uid in rows:
+            f.write(_json.dumps({"event_ts": ts_s * 1000, "event_type": typ, "user_id": uid}) + "\n")
+
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .load(str(src))
+        .withColumn("event_ts", F.timestamp_millis(F.col("event_ts")))
+    )
+    q = (
+        windowed_funnel(stream, window="1 hour", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # push watermark far forward so hour 0 (and hour 3) emit
+    with open(src / "d1.jsonl", "w") as f:
+        f.write(_json.dumps({"event_ts": 10 * H * 1000, "event_type": "view", "user_id": 9}) + "\n")
+    q = (
+        windowed_funnel(stream, window="1 hour", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r["window_start"].hour: (
+            r["n_view"], r["n_view_click"], r["n_view_click_purchase"]
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    # hour 0: 3 viewers, 2 ordered view->click, 1 full funnel
+    assert got[0] == (3, 2, 1)
+    assert got[3] == (1, 0, 0)
