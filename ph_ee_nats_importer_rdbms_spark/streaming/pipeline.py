@@ -465,9 +465,13 @@ def run_deployment(
     ``resolve_url`` maps tenant -> JDBC url (sinks/jdbc.tenant_url_resolver
     over the master tenant_server_connections table); ``executor`` runs
     (url, statements) batches (sinks/jdbc.jvm_executor in production, a
-    recording fake in tests). Every hop and the sink query are
-    independently checkpointed under ``work_dir`` — restart resumes with
-    exactly-once delivery into the idempotent MERGE."""
+    recording fake in tests). ``distributed``/``dialect`` pass through to
+    the sink (see changes_foreach_batch): at scale, set
+    ``distributed=True`` with a picklable DBAPI executor
+    (sinks/dbapi.py) so writes run on the executors. Every hop and the
+    sink query are independently checkpointed under ``work_dir`` —
+    restart resumes with exactly-once delivery into the idempotent
+    MERGE."""
     from ph_ee_nats_importer_rdbms_spark.sinks.jdbc import changes_foreach_batch
 
     if source_dir is None and nats_options is None:
