@@ -400,7 +400,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     One row per (method, query): hit count and floor-truncated recall.
 
     Measured on the synthetic corpus (sf0.01): IVF/nprobe=4 ≈ 0.41 mean
-    recall@10, single-table sign-LSH ≈ 0.01, 8-table LSH ≈ 0.34 — the
+    recall@10, single-table sign-LSH ≈ 0.01, 8-table LSH ≈ 0.31 — the
     honest picture for this corpus's weakly-clustered embeddings
     (general top-k neighbors are not angularly close, so one 6-plane
     bucket collision is near-random; multi-table union recovers most of
