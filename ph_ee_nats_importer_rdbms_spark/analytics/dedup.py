@@ -276,9 +276,10 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
 # Duplicate-cluster assembly (connected components over the pair graph)
 # ---------------------------------------------------------------------------
 
-#: Convergence cap for min-label propagation. Near-dup clusters have tiny
-#: graph diameter (pairs share shingle mass, so clusters are dense); the
-#: cap only guards pathological chains.
+#: Convergence cap for min-label propagation WITH label shortcutting:
+#: each round halves the remaining pointer depth, so 25 rounds cover any
+#: component of diameter up to ~2^25 — far beyond any real dedup graph.
+#: Hitting the cap without converging raises (never silent wrong labels).
 CC_MAX_ITERS = 25
 
 
@@ -288,13 +289,17 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     component — deterministic, so the label doubles as the cluster id and
     the keeper choice (min-id survivor, the standard fuzzy-dedup rule).
 
-    Shape: iterative min-label propagation — per round each node takes the
-    min of its own and its neighbors' labels; converges in O(component
-    diameter) rounds. Each round is ONE shuffle on the node key plus a
-    map-side-combinable min; the edge list is staged once and reused. At
-    100 TB this is the textbook Hash-Min CC (the large-star/small-star
-    variant halves rounds for star-shaped graphs; near-dup components are
-    small and dense, so plain Hash-Min converges in 2-3 rounds)."""
+    Shape: Hash-Min label propagation PLUS pointer-doubling shortcutting —
+    per round each node takes the min of its own and its neighbors' labels,
+    then labels are chased one level through the label map itself
+    (``label := label(label)``; valid because ``label(x) <= x`` is an
+    invariant, so the chase only decreases). Neighbor-min moves a label one
+    hop per round; shortcutting halves the remaining pointer depth per
+    round, giving O(log diameter) convergence — a 1000-node chain finishes
+    in ~10 rounds where plain Hash-Min needs 999. Each round is two
+    node-key shuffles with map-side-combinable mins; the edge list is
+    staged once and reused. Non-convergence inside ``CC_MAX_ITERS`` raises
+    rather than returning silently-wrong labels."""
     pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
     edges = pairs.unionByName(
         pairs.select(
@@ -311,10 +316,24 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         neigh = edges.join(
             labels, edges["doc_b"] == labels["node"]
         ).select(F.col("doc_a").alias("node"), "label")
-        new_labels = (
+        stepped = (
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer doubling: label := label(label). The left join keeps roots
+        # (label == node has itself in the map, so coalesce is belt+braces).
+        chase = labels.select(
+            F.col("node").alias("c_node"), F.col("label").alias("c_label")
+        )
+        new_labels = (
+            stepped.join(chase, stepped["label"] == chase["c_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("c_label", "label")
+                ).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -325,8 +344,12 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {CC_MAX_ITERS} rounds — "
+        "labels would be wrong; the pair graph is pathological (diameter "
+        f"> ~2^{CC_MAX_ITERS})."
+    )
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -316,21 +316,25 @@ def _q_transfer_detail_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     is row-order-insensitive, so the row multiset is the contract."""
     from ph_ee_nats_importer_rdbms_spark.sinks import storage
 
-    key = _session_key(spark, sf_dir)
+    # Catalog names are dataset-scoped (fingerprint in the prefix): querying
+    # dataset A, then B, then A again must not serve B's rows from A's call,
+    # and an in-place data/code refresh (new fingerprint) re-registers.
+    prefix = f"q7_{staging.fingerprint(sf_dir)}_"
+    key = (spark.sparkContext.applicationId, prefix)
     if key not in _DETAIL_TABLES_SAVED:
         names = ("transfers", "tasks", "variables")
         broot = staging.bucketed_dir(sf_dir)
         # bucketed files persist with the dataset stage: a fresh session
         # re-attaches them with catalog DDL instead of rewriting the data
         if broot is None or not storage.register_bucketed_tables(
-            spark, names, broot, prefix="q7_"
+            spark, names, broot, prefix=prefix
         ):
             tables = _pipeline(spark, sf_dir)
             storage.save_bucketed_tables(
-                {n: tables[n] for n in names}, prefix="q7_", path_root=broot
+                {n: tables[n] for n in names}, prefix=prefix, path_root=broot
             )
         _DETAIL_TABLES_SAVED.add(key)
-    detail = storage.transfer_detail(spark, prefix="q7_")
+    detail = storage.transfer_detail(spark, prefix=prefix)
     return detail.select(
         "workflow_instance_key",
         "transaction_id",

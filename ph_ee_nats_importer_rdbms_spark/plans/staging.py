@@ -50,6 +50,9 @@ _SEMANTIC_SOURCES = (
     "operators/mappers.py",
     "operators/pipeline.py",
     "plans/synthetic.py",
+    # data-path loader: load_table normalizes parquet timestamp types on the
+    # way into zeebe_events_df, so its semantics key the cache too
+    "sources/files.py",
 )
 
 
@@ -98,7 +101,9 @@ def _prune_stale(root: str, keep: str) -> None:
         return
     for name in entries:
         full = os.path.join(root, name)
-        if full == keep or not name.startswith(base + "-"):
+        # exact basename equality (strip the fingerprint suffix) — a prefix
+        # match would delete 'sf0.1-alt's stage whenever 'sf0.1' rebuilds
+        if full == keep or name.rsplit("-", 1)[0] != base:
             continue
         shutil.rmtree(full, ignore_errors=True)
 

@@ -231,16 +231,20 @@ def tenant_url_resolver(
     """S7: tenant -> JDBC url map, the broadcastable equivalent of the
     master ``tenant_server_connections`` lookup
     (TenantServerConnectionRepository.java:27). Unknown tenants are skipped
-    with a warning, like the reference's unroutable records."""
+    with a warning, like the reference's unroutable records.
 
-    snapshot = dict(connections)
+    Driver-mode lookups resolve against the LIVE dict — the reference
+    re-reads the master table per lookup, so a tenant added to the mapping
+    after construction routes on the next batch. The distributed path
+    snapshots ``.connections`` per batch at dispatch time
+    (``write_distributed``), so executors still receive plain frozen data."""
 
     def resolve(tenant: str | None) -> str | None:
-        return snapshot.get(tenant or "")
+        return connections.get(tenant or "")
 
-    # exposed so distributed sinks can ship a plain dict to executors
-    # instead of pickling the closure (see changes_foreach_batch)
-    resolve.connections = snapshot  # type: ignore[attr-defined]
+    # exposed so distributed sinks can snapshot a plain dict per batch and
+    # ship it to executors instead of pickling the closure
+    resolve.connections = connections  # type: ignore[attr-defined]
     return resolve
 
 

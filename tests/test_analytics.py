@@ -68,6 +68,26 @@ def test_connected_components_chain_and_islands(spark):
     }
 
 
+def test_connected_components_long_chain_converges(spark):
+    """Pathological shape: a 200-node chain (diameter 199) listed in
+    reverse. Plain Hash-Min would need 199 rounds — far past CC_MAX_ITERS
+    and would previously return silently-wrong labels; pointer-doubling
+    shortcutting must converge within the cap and label every node with the
+    chain's minimum id."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
+        connected_components,
+    )
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i + 1, i) for i in range(n - 1, 0, -1)], "doc_a long, doc_b long"
+    ).coalesce(4)
+    got = {
+        r["node"]: r["label"] for r in connected_components(pairs).collect()
+    }
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
 def test_dup_clusters_keeper_per_cluster(spark, sf_dir):
     """Every cluster has exactly one keeper = its min doc id, and the
     member set equals the docs appearing in any verified near-dup pair."""

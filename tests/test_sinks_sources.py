@@ -52,6 +52,19 @@ def test_foreach_batch_routes_per_tenant(spark):
     assert sorted(calls) == [("jdbc:mysql://db1/tn01", 2), ("jdbc:mysql://db2/tn02", 1)]
 
 
+def test_tenant_resolver_sees_live_mapping_updates():
+    """The reference re-reads the master tenant_server_connections table per
+    lookup (TenantServerConnectionRepository.java:27): a tenant added after
+    resolver construction must route on the next batch, not be silently
+    dropped (driver mode resolves against the live dict; the distributed
+    path snapshots per batch at dispatch)."""
+    conns = {"tn01": "jdbc:mysql://db1/tn01"}
+    resolve = jdbc.tenant_url_resolver(conns)
+    assert resolve("tn02") is None
+    conns["tn02"] = "jdbc:mysql://db2/tn02"
+    assert resolve("tn02") == "jdbc:mysql://db2/tn02"
+
+
 def test_bridge_rotation_atomic(tmp_path):
     drop = str(tmp_path / "drop")
     os.makedirs(drop)
