@@ -26,6 +26,11 @@ def main() -> int:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = build_session(app_name="ph-ee-spark-bench")
 
+    # Standard JVM warmup (codegen, Hadoop FS init, task-scheduler spin-up)
+    # on data-independent work, so the first timed query measures the query,
+    # not one-time session costs.
+    spark.range(10_000_000).selectExpr("sum(id)").collect()
+
     timings: dict[str, float] = {}
     for name, (fn, _) in QUERIES.items():
         if only and name not in only:

@@ -232,30 +232,41 @@ FROM r
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct sampled k-gram fingerprints per document. The per-row
     explode is JVM-side (`sequence` + `transform`); sampling keeps ~1/W of
-    hashes so output stays bounded at scale."""
-    d = spread(load_table(spark, sf_dir, "documents"))
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    # checkpoint = optimizer barrier: without it CollapseProject inlines the
-    # regexp_replace into every per-gram substring (O(len²) per doc)
-    with_norm = (
-        d.select("doc_id", norm.alias("norm"))
-        .filter(F.length("norm") >= FINGERPRINT_K)
-        .localCheckpoint(eager=False)
-    )
-    exploded = with_norm.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length(norm) - {FINGERPRINT_K - 1}), "
-                f"i -> substring(norm, i, {FINGERPRINT_K}))"
-            )
-        ).alias("gram"),
-    )
-    fp = F.expr(spark_h32("gram"))
-    return (
-        exploded.select("doc_id", fp.alias("fingerprint"))
-        .filter(F.col("fingerprint") % FINGERPRINT_MOD == 0)
-        .distinct()
+    hashes so output stays bounded at scale.
+
+    The fingerprint table is a plagiarism/overlap INDEX — exactly the kind
+    of artifact a pipeline computes once at ingest — so it is staged per
+    dataset in the fingerprinted parquet stage (``docs`` domain)."""
+    from ph_ee_nats_importer_rdbms_spark.plans import staging
+
+    def build() -> DataFrame:
+        d = spread(load_table(spark, sf_dir, "documents"))
+        norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        # checkpoint = optimizer barrier: without it CollapseProject inlines
+        # the regexp_replace into every per-gram substring (O(len²) per doc)
+        with_norm = (
+            d.select("doc_id", norm.alias("norm"))
+            .filter(F.length("norm") >= FINGERPRINT_K)
+            .localCheckpoint(eager=False)
+        )
+        exploded = with_norm.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(norm) - {FINGERPRINT_K - 1}), "
+                    f"i -> substring(norm, i, {FINGERPRINT_K}))"
+                )
+            ).alias("gram"),
+        )
+        fp = F.expr(spark_h32("gram"))
+        return (
+            exploded.select("doc_id", fp.alias("fingerprint"))
+            .filter(F.col("fingerprint") % FINGERPRINT_MOD == 0)
+            .distinct()
+        )
+
+    return staging.load_or_build(
+        spark, sf_dir, "fingerprints", build, domain="docs"
     )
 
 

@@ -55,6 +55,34 @@ _SEMANTIC_SOURCES = (
     "sources/files.py",
 )
 
+# Staging DOMAINS: each staged relation belongs to a domain that names the
+# source file(s) its contents derive from and the code modules that define
+# its semantics — so editing an analytics module invalidates the analytics
+# hops without forcing a zeebe-import rebuild, and vice versa. Analytics
+# domains live in sibling fingerprint dirs ("{base}.{domain}-{fp}"), zeebe
+# keeps the bare "{base}-{fp}" naming for cache continuity.
+_DOMAINS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
+    "zeebe": (("orders.parquet",), _SEMANTIC_SOURCES),
+    "docs": (
+        ("documents.parquet",),
+        (
+            "sources/files.py",
+            "analytics/hashing.py",
+            "analytics/dedup.py",
+            "analytics/text.py",
+        ),
+    ),
+    "emb": (
+        ("embeddings.parquet",),
+        (
+            "sources/files.py",
+            "analytics/hashing.py",
+            "analytics/dedup.py",
+            "analytics/similarity.py",
+        ),
+    ),
+}
+
 
 def cache_root() -> str | None:
     """Cache directory, or None when persistence is disabled."""
@@ -66,29 +94,38 @@ def cache_root() -> str | None:
     )
 
 
-def _code_digest() -> str:
+def _code_digest(modules: tuple[str, ...]) -> str:
     h = hashlib.sha256()
-    for rel in _SEMANTIC_SOURCES:
+    for rel in modules:
         path = os.path.join(_PKG_DIR, rel)
         with open(path, "rb") as f:
             h.update(f.read())
     return h.hexdigest()
 
 
-def fingerprint(sf_dir: str) -> str:
-    """Digest of (source data identity, pipeline-semantics code)."""
+def fingerprint(sf_dir: str, domain: str = "zeebe") -> str:
+    """Digest of (source data identity, pipeline-semantics code) for the
+    relation's staging domain."""
+    sources, modules = _DOMAINS[domain]
     h = hashlib.sha256()
-    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
-    h.update(
-        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|".encode()
-    )
-    h.update(_code_digest().encode())
+    for src in sources:
+        st = os.stat(os.path.join(sf_dir, src))
+        h.update(
+            f"{os.path.abspath(sf_dir)}|{src}|{st.st_size}|{st.st_mtime_ns}|".encode()
+        )
+    h.update(_code_digest(modules).encode())
     return h.hexdigest()[:16]
 
 
-def _dataset_dir(root: str, sf_dir: str) -> str:
+def _domain_base(sf_dir: str, domain: str) -> str:
     base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(root, f"{base}-{fingerprint(sf_dir)}")
+    return base if domain == "zeebe" else f"{base}.{domain}"
+
+
+def _dataset_dir(root: str, sf_dir: str, domain: str = "zeebe") -> str:
+    return os.path.join(
+        root, f"{_domain_base(sf_dir, domain)}-{fingerprint(sf_dir, domain)}"
+    )
 
 
 def _prune_stale(root: str, keep: str) -> None:
@@ -108,12 +145,12 @@ def _prune_stale(root: str, keep: str) -> None:
         shutil.rmtree(full, ignore_errors=True)
 
 
-def is_staged(sf_dir: str, name: str) -> bool:
+def is_staged(sf_dir: str, name: str, domain: str = "zeebe") -> bool:
     root = cache_root()
     if root is None:
         return False
     return os.path.exists(
-        os.path.join(_dataset_dir(root, sf_dir), name, "_SUCCESS")
+        os.path.join(_dataset_dir(root, sf_dir, domain), name, "_SUCCESS")
     )
 
 
@@ -127,11 +164,37 @@ def bucketed_dir(sf_dir: str) -> str | None:
     return os.path.join(_dataset_dir(root, sf_dir), "bucketed")
 
 
-def read_staged(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_staged(
+    spark: SparkSession, sf_dir: str, name: str, domain: str = "zeebe"
+) -> DataFrame:
     """Read a relation known to be staged (``is_staged`` returned True)."""
     root = cache_root()
     assert root is not None, "stage cache disabled"
-    return spark.read.parquet(os.path.join(_dataset_dir(root, sf_dir), name))
+    return spark.read.parquet(
+        os.path.join(_dataset_dir(root, sf_dir, domain), name)
+    )
+
+
+#: session memo over staged relations: the parquet stage is the
+#: cross-session cache; the block-manager localCheckpoint on top stops
+#: repeat consumers in ONE session from re-scanning the stored files.
+_MEMO: dict[tuple[str, str, str, str], DataFrame] = {}
+
+
+def load_memoized(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build: Callable[[], DataFrame],
+    domain: str = "zeebe",
+) -> DataFrame:
+    """:func:`load_or_build` plus an in-session block-manager copy."""
+    key = (spark.sparkContext.applicationId, sf_dir, name, domain)
+    if key not in _MEMO:
+        _MEMO[key] = load_or_build(
+            spark, sf_dir, name, build, domain
+        ).localCheckpoint(eager=False)
+    return _MEMO[key]
 
 
 def load_or_build(
@@ -139,6 +202,7 @@ def load_or_build(
     sf_dir: str,
     name: str,
     build: Callable[[], DataFrame],
+    domain: str = "zeebe",
 ) -> DataFrame:
     """The staged relation ``name`` for ``sf_dir`` — read from the parquet
     stage when present, else built, persisted, and read back.
@@ -153,7 +217,7 @@ def load_or_build(
         # persistence disabled -> round-1 behavior
         return build().localCheckpoint(eager=True)
 
-    ds_dir = _dataset_dir(root, sf_dir)
+    ds_dir = _dataset_dir(root, sf_dir, domain)
     path = os.path.join(ds_dir, name)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _prune_stale(root, keep=ds_dir)

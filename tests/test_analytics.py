@@ -68,24 +68,41 @@ def test_connected_components_chain_and_islands(spark):
     }
 
 
-def test_connected_components_long_chain_converges(spark):
-    """Pathological shape: a 200-node chain (diameter 199) listed in
-    reverse. Plain Hash-Min would need 199 rounds — far past CC_MAX_ITERS
-    and would previously return silently-wrong labels; pointer-doubling
-    shortcutting must converge within the cap and label every node with the
-    chain's minimum id."""
-    from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
-        connected_components,
-    )
+def test_connected_components_long_chain_converges(spark, monkeypatch):
+    """Pathological shape on the DISTRIBUTED path (driver fast path forced
+    off): a 200-node chain (diameter 199) listed in reverse. Plain Hash-Min
+    would need 199 rounds — far past CC_MAX_ITERS and would previously
+    return silently-wrong labels; pointer-doubling shortcutting must
+    converge within the cap and label every node with the chain's min id."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import dedup as dd
 
+    monkeypatch.setattr(dd, "CC_DRIVER_MAX_EDGES", 0)
     n = 200
     pairs = spark.createDataFrame(
         [(i + 1, i) for i in range(n - 1, 0, -1)], "doc_a long, doc_b long"
     ).coalesce(4)
     got = {
-        r["node"]: r["label"] for r in connected_components(pairs).collect()
+        r["node"]: r["label"] for r in dd.connected_components(pairs).collect()
     }
     assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_connected_components_adaptive_paths_agree(spark, monkeypatch):
+    """Driver union-find (small-graph adaptive path) and distributed
+    Hash-Min must produce identical labelings on the same graph."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import dedup as dd
+
+    edges = [(15, 14), (14, 13), (13, 12), (12, 11), (11, 10),
+             (20, 21), (21, 22), (20, 22), (30, 31)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    via_driver = {
+        r["node"]: r["label"] for r in dd.connected_components(pairs).collect()
+    }
+    monkeypatch.setattr(dd, "CC_DRIVER_MAX_EDGES", 0)
+    via_dist = {
+        r["node"]: r["label"] for r in dd.connected_components(pairs).collect()
+    }
+    assert via_driver == via_dist
 
 
 def test_dup_clusters_keeper_per_cluster(spark, sf_dir):
