@@ -281,3 +281,81 @@ def test_windowed_funnel_chained_aggregations(spark, tmp_path):
     # hour 0: 3 viewers, 2 ordered view->click, 1 full funnel
     assert got[0] == (3, 2, 1)
     assert got[3] == (1, 0, 0)
+
+
+
+def test_windowed_funnel_parity_with_batch_and_conversion_funnel(spark, tmp_path):
+    """Streaming↔batch funnel parity gate over the real events corpus:
+
+    1. ``windowed_funnel`` run as a checkpointed streaming query (file
+       feed, append mode) emits EXACTLY the rows the same operator
+       produces applied as a batch plan, once the watermark closes every
+       data window.
+    2. Summed across windows, its counts equal the global
+       ``conversion_funnel`` registry query on the corpus with each
+       user relabeled to a (user, hour-window) composite id — the exact
+       identity tying the windowed operator to the batch funnel's
+       per-user min-timestamp semantics.
+    """
+    from ph_ee_nats_importer_rdbms_spark.plans.queries import QUERIES
+    from ph_ee_nats_importer_rdbms_spark.streaming.windows import windowed_funnel
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")  # NTZ -> LTZ: watermarks need it
+    )
+
+    batch_rows = sorted(
+        (r["window_start"], r["n_view"], r["n_view_click"], r["n_view_click_purchase"])
+        for r in windowed_funnel(
+            ev, window="1 hour", watermark="1 hour", ts_col="ts"
+        ).collect()
+    )
+
+    # streaming run: feed the corpus, then a far-future pusher so every
+    # data window closes (the pusher's own window stays open -> no row)
+    src = tmp_path / "fpsrc"
+    out = str(tmp_path / "fpout")
+    ck = str(tmp_path / "fpck")
+    ev.write.parquet(str(src), mode="append")
+
+    def run():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        q = (
+            windowed_funnel(stream, window="1 hour", watermark="1 hour", ts_col="ts")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    pusher = spark.createDataFrame(
+        [(10**7, max_ts + __import__("datetime").timedelta(days=365), 10**7, "view", 0.0, "{}")],
+        schema=ev.schema,
+    )
+    pusher.write.parquet(str(src), mode="append")
+    run()
+
+    stream_rows = sorted(
+        (r["window_start"], r["n_view"], r["n_view_click"], r["n_view_click_purchase"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert stream_rows == batch_rows
+
+    # (user, window)-relabeled corpus in registry layout: the global
+    # funnel over composite users IS the window-summed windowed funnel
+    rdir = tmp_path / "relabel"
+    rdir.mkdir()
+    wid = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    ev.withColumn(
+        "user_id", F.col("user_id") * F.lit(1_000_000) + wid % F.lit(1_000_000)
+    ).coalesce(1).write.parquet(str(rdir / "events.parquet"))
+    funnel = QUERIES["conversion_funnel"][0](spark, str(rdir)).collect()[0]
+    sums = [sum(r[i] for r in batch_rows) for i in (1, 2, 3)]
+    assert sums == [
+        funnel["n_view"], funnel["n_view_click"], funnel["n_view_click_purchase"]
+    ]
