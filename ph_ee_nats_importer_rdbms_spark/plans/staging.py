@@ -79,6 +79,8 @@ _DOMAINS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
             "analytics/hashing.py",
             "analytics/dedup.py",
             "analytics/similarity.py",
+            # learned IVF codebook: retraining must invalidate ivf_assign
+            "analytics/ivf_centroids.json",
         ),
     ),
 }

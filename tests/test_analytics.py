@@ -367,3 +367,39 @@ def test_dup_ngram_frac_is_one_for_exact_copies(spark, sf_dir):
     # sf0.001 has no exact copies; sf0.01+ does — assert where present
     for doc_id in keepers:
         assert frac[doc_id] == 1.0
+
+
+def test_recommended_ann_routes_to_best_measured_path(spark, sf_dir):
+    """``q_ann`` (the general-ANN default) is the learned-codebook IVF
+    path: identical results, and its measured mean recall@10 clears the
+    0.3 deployment floor and beats both LSH variants on this corpus —
+    the routing the docstrings promise."""
+    rec = sorted(tuple(r) for r in similarity.q_ann(spark, sf_dir).collect())
+    ivf = sorted(tuple(r) for r in similarity.q_ann_ivf(spark, sf_dir).collect())
+    assert rec == ivf and rec
+
+    rows = similarity.q_ann_recall(spark, sf_dir).collect()
+    mean = {}
+    for r in rows:
+        mean.setdefault(r["method"], []).append(r["n_hits"])
+    mean = {m: sum(v) / (len(v) * similarity.TOP_K) for m, v in mean.items()}
+    assert mean["ivf"] >= 0.3, mean
+    assert mean["ivf"] >= mean["lsh_multi"] >= mean["lsh"], mean
+
+
+def test_ivf_codebooks_are_learned_per_corpus(spark):
+    """The checked-in artifact holds a k-means codebook per known corpus
+    plus a default; unit-ish guards that retraining kept the contract the
+    oracle relies on (k x dim, float32-exact values, sf0.01 present)."""
+    import numpy as np
+
+    assert similarity.ORACLE_SF_BASE in similarity.IVF_CODEBOOKS
+    assert "default" in similarity.IVF_CODEBOOKS
+    for name, cents in similarity.IVF_CODEBOOKS.items():
+        assert len(cents) == similarity.IVF_NLIST, name
+        assert all(len(c) == similarity.EMBED_DIM for c in cents), name
+        arr = np.array(cents)
+        # float32 round-trip exactness: the oracle literal contract
+        assert np.all(arr == arr.astype(np.float32).astype(np.float64)), name
+    # codebooks must differ per corpus (learned, not copied)
+    assert similarity.IVF_CODEBOOKS["sf0.01"] != similarity.IVF_CODEBOOKS["sf0.1"]
