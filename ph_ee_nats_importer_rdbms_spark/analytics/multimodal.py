@@ -79,16 +79,20 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> list[float]:
+def _fake_decode(payload: bytes) -> tuple[str, list[float]]:
     """STUB — deterministic stand-in for a real media decoder.
 
     A real pipeline would decode the image/audio/video here (PIL, librosa,
     pyav) and emit model features; none of those libs exist in this
-    container. We emit 4 pseudo-features from the md5 digest so results are
-    stable and oracle-checkable. Raise-on-use would be the other valid
-    choice; a deterministic fake keeps the whole pipeline executable."""
-    digest = hashlib.md5(payload).digest()
-    return [round(b / 255.0, 6) for b in digest[:4]]
+    container. We emit the content digest plus 4 pseudo-features from it so
+    results are stable and oracle-checkable. Raise-on-use would be the
+    other valid choice; a deterministic fake keeps the whole pipeline
+    executable. ONE digest per payload: content id and features come from
+    the same pass over the bytes (a real decoder reads the payload once
+    too)."""
+    md5 = hashlib.md5(payload)
+    digest = md5.digest()
+    return md5.hexdigest(), [round(b / 255.0, 6) for b in digest[:4]]
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -100,8 +104,8 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(
-                lambda p: _fake_decode(bytes(p)) if p is not None else [None] * 4
+            decoded = pdf["payload"].map(
+                lambda p: _fake_decode(bytes(p)) if p is not None else None
             )
             out = pd.DataFrame(
                 {
@@ -110,22 +114,35 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "n_bytes": pdf["payload"].map(
                         lambda p: len(p) if p is not None else None
                     ),
-                    "content_md5": pdf["payload"].map(
-                        lambda p: hashlib.md5(bytes(p)).hexdigest()
-                        if p is not None
-                        else None
+                    "content_md5": decoded.map(
+                        lambda d: d[0] if d is not None else None
                     ),
                 }
             )
             for i in range(4):
-                out[f"feat_{i}"] = feats.map(lambda f, i=i: f[i])
+                out[f"feat_{i}"] = decoded.map(
+                    lambda d, i=i: d[1][i] if d is not None else None
+                )
             yield out
 
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_features(media_table(spark, sf_dir))
+    """Decoded media features, staged per DATASET (``media`` domain):
+    feature extraction is the ingest-time step of any real media pipeline —
+    you decode each payload once per corpus snapshot, never per query. The
+    fingerprint covers this module's bytes, so changing the decoder (or the
+    synthetic table) rebuilds the stage."""
+    from ph_ee_nats_importer_rdbms_spark.plans import staging
+
+    return staging.load_memoized(
+        spark,
+        sf_dir,
+        "media_features",
+        lambda: extract_features(media_table(spark, sf_dir)),
+        domain="media",
+    )
 
 
 def _md5_feat(i: int) -> str:

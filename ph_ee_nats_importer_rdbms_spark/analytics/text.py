@@ -302,7 +302,17 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction. All higher-order array functions over the token array — per
     row, JVM-side, no shuffle, so the operator is a map over the corpus at
     any scale. Ratios floor-truncated to 4dp (engine-stable, see q_quality).
-    """
+    Staged per dataset (``docs`` domain) with the other per-doc curation
+    stats."""
+    from ph_ee_nats_importer_rdbms_spark.plans import staging
+
+    return staging.load_memoized(
+        spark, sf_dir, "repetition_stats",
+        lambda: _repetition_build(spark, sf_dir), domain="docs",
+    )
+
+
+def _repetition_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     staged = d.select(
         "doc_id", _tokens().alias("toks")
@@ -374,7 +384,21 @@ def q_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at scale: explode grams (map-side, hashes not strings on the
     wire) -> one hash-agg per gram computing distinct-doc count -> rejoin
     -> one hash-agg per doc. Two shuffles on the 32-bit gram hash, both
-    map-side combinable; no pairwise document comparison anywhere."""
+    map-side combinable; no pairwise document comparison anywhere. The
+    per-doc fractions are a curation artifact like the sketches, so they
+    stage per dataset (``docs`` domain) and warm sessions read them."""
+    from ph_ee_nats_importer_rdbms_spark.plans import staging
+
+    return staging.load_memoized(
+        spark,
+        sf_dir,
+        "dup_ngram_frac",
+        lambda: _dup_ngram_frac_build(spark, sf_dir),
+        domain="docs",
+    )
+
+
+def _dup_ngram_frac_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     staged = d.select(
         "doc_id", _tokens().alias("toks")

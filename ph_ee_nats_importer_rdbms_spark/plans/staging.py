@@ -83,6 +83,10 @@ _DOMAINS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
             "analytics/ivf_centroids.json",
         ),
     ),
+    "media": (
+        ("documents.parquet",),
+        ("sources/files.py", "analytics/multimodal.py"),
+    ),
 }
 
 
