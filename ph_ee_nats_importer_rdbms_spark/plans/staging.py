@@ -79,8 +79,10 @@ _DOMAINS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
             "analytics/hashing.py",
             "analytics/dedup.py",
             "analytics/similarity.py",
-            # learned IVF codebook: retraining must invalidate ivf_assign
+            # learned codebooks: retraining must invalidate ivf_assign /
+            # pq_codes
             "analytics/ivf_centroids.json",
+            "analytics/pq_codebooks.json",
         ),
     ),
     "media": (

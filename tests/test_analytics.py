@@ -370,20 +370,21 @@ def test_dup_ngram_frac_is_one_for_exact_copies(spark, sf_dir):
 
 
 def test_recommended_ann_routes_to_best_measured_path(spark, sf_dir):
-    """``q_ann`` (the general-ANN default) is the learned-codebook IVF
-    path: identical results, and its measured mean recall@10 clears the
-    0.3 deployment floor and beats both LSH variants on this corpus —
-    the routing the docstrings promise."""
+    """``q_ann`` (the general-ANN default) is the PQ asymmetric-distance +
+    exact-re-rank path: identical results, and its measured mean recall@10
+    clears the 0.3 deployment floor and beats the other approximate paths
+    on this corpus — the routing the docstrings promise."""
     rec = sorted(tuple(r) for r in similarity.q_ann(spark, sf_dir).collect())
-    ivf = sorted(tuple(r) for r in similarity.q_ann_ivf(spark, sf_dir).collect())
-    assert rec == ivf and rec
+    pq = sorted(tuple(r) for r in similarity.q_ann_pq(spark, sf_dir).collect())
+    assert rec == pq and rec
 
     rows = similarity.q_ann_recall(spark, sf_dir).collect()
     mean = {}
     for r in rows:
         mean.setdefault(r["method"], []).append(r["n_hits"])
     mean = {m: sum(v) / (len(v) * similarity.TOP_K) for m, v in mean.items()}
-    assert mean["ivf"] >= 0.3, mean
+    assert mean["pq"] >= 0.3, mean
+    assert mean["pq"] >= mean["ivf"], mean
     assert mean["ivf"] >= mean["lsh_multi"] >= mean["lsh"], mean
 
 
@@ -403,3 +404,48 @@ def test_ivf_codebooks_are_learned_per_corpus(spark):
         assert np.all(arr == arr.astype(np.float32).astype(np.float64)), name
     # codebooks must differ per corpus (learned, not copied)
     assert similarity.IVF_CODEBOOKS["sf0.01"] != similarity.IVF_CODEBOOKS["sf0.1"]
+
+
+def test_pq_codebooks_and_codes_contract(spark, sf_dir):
+    """PQ artifact shape (m subspaces x k centroids x dsub dims, float32-
+    exact — the oracle literal contract) and the staged code table's
+    invariants: one code row per vector, codes in [0, k), stored
+    approx_norm2 equals the reconstructed centroid norm."""
+    import numpy as np
+
+    assert similarity.ORACLE_SF_BASE in similarity.PQ_CODEBOOKS
+    assert "default" in similarity.PQ_CODEBOOKS
+    for name, books in similarity.PQ_CODEBOOKS.items():
+        assert len(books) == similarity.PQ_M, name
+        for book in books:
+            assert len(book) == similarity.PQ_K, name
+            assert all(len(c) == similarity.PQ_DSUB for c in book), name
+            arr = np.array(book)
+            assert np.all(arr == arr.astype(np.float32).astype(np.float64)), name
+    assert similarity.PQ_CODEBOOKS["sf0.01"] != similarity.PQ_CODEBOOKS["sf0.1"]
+
+    codes = similarity.pq_codes_table(spark, sf_dir).collect()
+    n_vecs = similarity.spread(
+        similarity.load_table(spark, sf_dir, "embeddings")
+    ).count()
+    assert len(codes) == n_vecs
+    books = np.array(similarity._pq_books(sf_dir))
+    for r in codes:
+        assert len(r["codes"]) == similarity.PQ_M
+        assert all(0 <= c < similarity.PQ_K for c in r["codes"])
+        want = sum(
+            float(np.dot(books[m][c], books[m][c]))
+            for m, c in enumerate(r["codes"])
+        )
+        assert abs(r["approx_norm2"] - want) < 1e-9
+
+
+def test_pq_beats_ivf_recall_on_this_corpus(spark, sf_dir):
+    """The q_ann routing claim, pinned: PQ+re-rank mean recall@10 >= IVF's
+    on the test corpus (0.91 vs 0.59 measured at sf0.01)."""
+    rows = similarity.q_ann_recall(spark, sf_dir).collect()
+    mean = {}
+    for r in rows:
+        mean.setdefault(r["method"], []).append(r["n_hits"])
+    mean = {m: sum(v) / (len(v) * similarity.TOP_K) for m, v in mean.items()}
+    assert mean["pq"] >= mean["ivf"] >= 0.3, mean
