@@ -79,8 +79,29 @@ PART_COL = "part_day"
 _KEY = "workflow_instance_key"
 
 
-def _day(col: str = "timestamp"):
-    return F.date_format(F.timestamp_millis(F.col(col)), "yyyy-MM-dd")
+#: Partition granularity: pick so partitions land near the target file
+#: size (~128 MB-1 GB each). A 100 TB/year log wants "day" (or finer); the
+#: sf0.1 test corpus spread over 7 years wants "month" — 2400 day-sized
+#: KB-scale partitions cost more in file listings than they save in
+#: pruning. The choice is stored in the store's meta.json at build time;
+#: refreshes read it back, so callers never have to re-specify.
+_GRANULARITY_FMT = {"day": "yyyy-MM-dd", "month": "yyyy-MM"}
+
+
+def _day(col: str = "timestamp", granularity: str = "day"):
+    return F.date_format(
+        F.timestamp_millis(F.col(col)), _GRANULARITY_FMT[granularity]
+    )
+
+
+def _meta(root: str) -> dict:
+    import json
+
+    try:
+        with open(os.path.join(root, "meta.json")) as f:
+            return json.load(f)
+    except OSError:
+        return {"granularity": "day"}
 
 
 #: every store read supplies an explicit schema: a table that is EMPTY for a
@@ -127,9 +148,17 @@ def _overwrite_day_partitions(
     """Dynamic-overwrite ``df``'s partitions into ``path``, then remove any
     of ``days`` that ``df`` no longer populates (dynamic mode cannot write
     an empty partition, so a day whose rows all vanished would otherwise
-    keep serving stale files)."""
+    keep serving stale files).
+
+    The pre-write ``repartition(part_col)`` is load-bearing: a partitioned
+    write emits one file per (task, partition-value) pair, so writing a
+    many-day relation from N tasks sprays N files into EVERY day —
+    days × tasks small files. Clustering by the partition column first
+    caps it at one file per day (at 100 TB you'd repartition by
+    (day, bucket(n)) to keep per-day files at target size)."""
     (
-        df.write.mode("overwrite")
+        df.repartition(F.col(part_col))
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(part_col)
         .parquet(path)
@@ -175,7 +204,7 @@ def _c5_dim(flat: DataFrame) -> DataFrame:
     )
 
 
-def _c5_gaps(flat: DataFrame) -> DataFrame:
+def _c5_gaps(flat: DataFrame, granularity: str = "day") -> DataFrame:
     """Instances owning rows that NEED C5 resolution, with the event day the
     gap row lives in (day-partitionable alongside the log). Anomaly-sized."""
     empty = F.col("bpmn_process_id").isNull() | (F.col("bpmn_process_id") == "")
@@ -184,7 +213,7 @@ def _c5_gaps(flat: DataFrame) -> DataFrame:
         .select(
             "process_instance_key",
             "process_definition_key",
-            _day().alias("event_day"),
+            _day(granularity=granularity).alias("event_day"),
         )
         .distinct()
     )
@@ -217,7 +246,10 @@ def _links(flat: DataFrame) -> DataFrame:
 
 
 def _derive_tables(
-    events: DataFrame, dim: DataFrame, registry: DataFrame | None
+    events: DataFrame,
+    dim: DataFrame,
+    registry: DataFrame | None,
+    granularity: str = "day",
 ) -> dict[str, DataFrame]:
     """The import pipeline over ``events`` with ``part_day`` attached:
     C5 via the supplied global dimension (so a group subset resolves
@@ -254,7 +286,8 @@ def _derive_tables(
                 PART_COL,
                 F.coalesce(
                     F.date_format(
-                        F.timestamp_millis(F.col("_first_ts")), "yyyy-MM-dd"
+                        F.timestamp_millis(F.col("_first_ts")),
+                        _GRANULARITY_FMT[granularity],
                     ),
                     # sentinel for a null first-timestamp (cannot occur for a
                     # row derived from real events); ISO-parseable so the
@@ -275,24 +308,38 @@ def build_store(
     events: DataFrame,
     root: str,
     registry: DataFrame | None = None,
+    granularity: str = "day",
 ) -> None:
-    """Full build: day-partitioned event log + C5 state + part_day-
-    partitioned output tables."""
-    flat = events.localCheckpoint(eager=True)
-    flat.withColumn("event_day", _day()).write.mode("overwrite").partitionBy(
-        "event_day"
-    ).parquet(_events_path(root))
-    dim = _c5_dim(flat).localCheckpoint(eager=True)
-    dim.write.mode("overwrite").parquet(os.path.join(root, "c5_dim"))
-    _c5_gaps(flat).write.mode("overwrite").partitionBy("event_day").parquet(
-        os.path.join(root, "c5_gaps")
-    )
+    """Full build: time-partitioned event log + C5 state + part_day-
+    partitioned output tables. ``granularity`` ("day" | "month") is
+    persisted in ``meta.json`` and picked up by every later refresh —
+    choose it so partitions land near the target file size (see
+    ``_GRANULARITY_FMT``)."""
     import json
 
-    for name, df in _derive_tables(flat, dim, registry).items():
-        df.write.mode("overwrite").partitionBy(PART_COL).parquet(
-            _table_path(root, name)
-        )
+    if granularity not in _GRANULARITY_FMT:
+        raise ValueError(f"unknown granularity {granularity!r}")
+    flat = events.localCheckpoint(eager=True)
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "meta.json"), "w") as f:
+        json.dump({"granularity": granularity}, f)
+    # cluster by day before every partitioned write — see
+    # _overwrite_day_partitions on why this is load-bearing
+    flat.withColumn("event_day", _day(granularity=granularity)).repartition(
+        F.col("event_day")
+    ).write.mode("overwrite").partitionBy("event_day").parquet(
+        _events_path(root)
+    )
+    dim = _c5_dim(flat).localCheckpoint(eager=True)
+    dim.write.mode("overwrite").parquet(os.path.join(root, "c5_dim"))
+    _c5_gaps(flat, granularity).repartition(F.col("event_day")).write.mode(
+        "overwrite"
+    ).partitionBy("event_day").parquet(os.path.join(root, "c5_gaps"))
+
+    for name, df in _derive_tables(flat, dim, registry, granularity).items():
+        df.repartition(F.col(PART_COL)).write.mode("overwrite").partitionBy(
+            PART_COL
+        ).parquet(_table_path(root, name))
         with open(os.path.join(root, "tables", f"{name}.schema.json"), "w") as f:
             json.dump(df.schema.jsonValue(), f)
 
@@ -324,12 +371,14 @@ def refresh_days(
     ``delta_events`` (which must be the COMPLETE new content of those days)
     and incrementally rebuild exactly the affected output rows.
 
-    ``changed_days`` defaults to the days present in ``delta_events``; pass
-    it explicitly to express "this day now has zero events". Returns rewrite
-    stats for observability/tests."""
-    delta = delta_events.withColumn("event_day", _day()).localCheckpoint(
-        eager=True
-    )
+    ``changed_days`` defaults to the periods present in ``delta_events``
+    (at the granularity the store was built with); pass it explicitly to
+    express "this period now has zero events". Returns rewrite stats for
+    observability/tests."""
+    granularity = _meta(root)["granularity"]
+    delta = delta_events.withColumn(
+        "event_day", _day(granularity=granularity)
+    ).localCheckpoint(eager=True)
     days = sorted(
         set(changed_days or [])
         | {r[0] for r in delta.select("event_day").distinct().collect()}
@@ -369,7 +418,10 @@ def refresh_days(
     flat = spark.read.schema(_EVENTS_SCHEMA).parquet(events_path).drop("event_day")
     gaps_path = os.path.join(root, "c5_gaps")
     _overwrite_day_partitions(
-        _c5_gaps(delta.drop("event_day")), gaps_path, days, "event_day"
+        _c5_gaps(delta.drop("event_day"), granularity),
+        gaps_path,
+        days,
+        "event_day",
     )
 
     # 2. C5 dimension diff -> instances whose resolution input changed
@@ -420,7 +472,7 @@ def refresh_days(
         on=flat["process_instance_key"] == members["k"],
         how="leftsemi",
     ).localCheckpoint(eager=True)
-    new_tables = _derive_tables(needed, new_dim, registry)
+    new_tables = _derive_tables(needed, new_dim, registry, granularity)
 
     # 5. partition-merge each output table
     stats: dict[str, object] = {"changed_days": days, "affected_keys": members.count()}

@@ -226,6 +226,36 @@ def test_refresh_c5_closure_rebuilds_untouched_days_gap_rows(
         assert got == want, f"{name} diverged after C5-coupled refresh"
 
 
+def test_month_granularity_refresh_matches_full_rebuild(utc_session, tmp_path):
+    """The store's partition granularity is a build-time choice persisted
+    in meta.json; a month-grain store refreshes by month with the same
+    rebuild parity (the granularity a lake picks when days are too small
+    to be worth a partition)."""
+    spark = utc_session
+    root = str(tmp_path / "inc")
+    incremental.build_store(
+        spark, to_df(spark, _corpus()), root, granularity="month"
+    )
+    assert os.path.exists(
+        os.path.join(root, "flat_events", "event_day=2024-03")
+    )
+    # the whole corpus is one month, so the delta is the full new month
+    post = [r for r in _corpus() if not (DAY2 <= (r["timestamp"] or 0) < DAY3)]
+    post += _day2_replacement()
+    incremental.refresh_days(
+        spark, root, to_df(spark, post), changed_days=["2024-03"]
+    )
+
+    full_root = str(tmp_path / "full")
+    incremental.build_store(
+        spark, to_df(spark, post), full_root, granularity="month"
+    )
+    for name in incremental.TABLES:
+        got = _rows(incremental.read_table(spark, root, name))
+        want = _rows(incremental.read_table(spark, full_root, name))
+        assert got == want, f"{name} diverged at month granularity"
+
+
 def test_refresh_day_deleted_entirely(utc_session, tmp_path):
     spark = utc_session
     root = str(tmp_path / "inc")

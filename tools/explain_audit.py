@@ -34,13 +34,15 @@ def audit(name: str, plan: str) -> list[str]:
     if "BroadcastNestedLoopJoin" in plan and name not in (
         "ann_bruteforce",
         "ann_ivf",
+        "ann_pq",
         "ann_recall",
     ):
         # sanctioned: ann_bruteforce broadcasts its tiny query set;
         # ann_ivf cross-joins query/vector rows with the broadcast
-        # centroid set (config-sized) for the distance argmax;
-        # ann_recall contains both as subplans (it compares the three
-        # top-k relations)
+        # centroid set (config-sized) for the distance argmax; ann_pq
+        # broadcasts the query set against the compressed code table
+        # (the linear ADC scan); ann_recall contains these as subplans
+        # (it compares the approximate top-k relations)
         flags.append("BNLJ")
     if ("BatchEvalPython" in plan or "ArrowEvalPython" in plan or
             "MapInPandas" in plan) and name not in PYTHON_OK:
