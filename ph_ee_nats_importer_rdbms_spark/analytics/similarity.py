@@ -346,10 +346,12 @@ def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                          distance + exact re-rank: best measured recall@10 —
                          0.91 at sf0.01 / 0.70 at sf0.1 — from a linear scan
                          of the COMPRESSED index)
-    corpus >> RAM        :func:`q_ann_ivf` (learned-centroid IVF, 0.59/0.51:
-                         partition-pruned probes read 1/nlist of the corpus —
-                         combine with PQ codes per list for the full
-                         IVF-ADC story)
+    corpus >> RAM        :func:`q_ann_ivf_pq` (IVF-ADC, 0.59/0.47: probes
+                         prune to nprobe/nlist of the corpus AND the pruned
+                         lists are scored from PQ codes, not raw vectors —
+                         recall ≈ IVF's because pruning dominates, cost is
+                         the lowest of every path); :func:`q_ann_ivf` for
+                         the uncompressed variant
     recall-hungry LSH    :func:`q_ann_lsh_multi` (8-table LSH union — L× the
                          candidates; add tables to push recall further)
     near-duplicate test  :func:`q_ann_lsh` single-table sign-LSH — recall ≈ 1
@@ -536,6 +538,61 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked(rerank.select("query_id", "vec_id", cos.alias("cosine")))
 
 
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC: the canonical 100 TB serving composition (FAISS
+    ``IndexIVFPQ``) — IVF probes prune the candidate set to ``nprobe``
+    inverted lists (a partition-pruned read against the cluster-partitioned
+    store), PQ codes score those candidates without touching raw vectors,
+    and only the ``PQ_REFINE`` survivors per query are re-ranked exactly.
+    Both index tables are the staged artifacts the standalone paths use
+    (``ivf_assign``, ``pq_codes``) — the composition is a join, which is
+    the point: at scale you store codes INSIDE the inverted lists and this
+    query is one pruned scan + one broadcast LUT pass + a tiny re-rank."""
+    cb = _pq_cb_sql(_pq_books(sf_dir))
+    assign = ivf_assignments(spark, sf_dir)
+    probes = _ivf_probes(spark, sf_dir, assign)
+    codes_t = pq_codes_table(spark, sf_dir)
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign.select("vec_id", "cluster_id"), "cluster_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "q_emb", "vec_id")
+    )
+    adc = (
+        f"aggregate(sequence(0, {PQ_M - 1}), cast(0.0 as double), "
+        f"(acc, m) -> acc + aggregate(sequence(1, {PQ_DSUB}), "
+        f"cast(0.0 as double), (a, i) -> "
+        f"a + cast(element_at(q_emb, m * {PQ_DSUB} + i) as double) "
+        f"* element_at(element_at(element_at({cb}, m + 1), "
+        f"element_at(codes, m + 1) + 1), i)))"
+    )
+    qnorm = (
+        f"sqrt(aggregate(sequence(1, {EMBED_DIM}), cast(0.0 as double), "
+        f"(acc, i) -> acc + cast(element_at(q_emb, i) as double) "
+        f"* cast(element_at(q_emb, i) as double)))"
+    )
+    scored = cand.join(codes_t, "vec_id").withColumn(
+        "approx_cos",
+        F.round(
+            F.expr(adc) / (F.expr(qnorm) * F.sqrt(F.col("approx_norm2"))), 6
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("vec_id").asc()
+    )
+    refine = (
+        scored.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= PQ_REFINE)
+        .select("query_id", "q_emb", "vec_id")
+        .join(e, "vec_id")
+    )
+    cos = F.round(_cosine("q_emb", "embedding"), 4)
+    return _ranked(refine.select("query_id", "vec_id", cos.alias("cosine")))
+
+
 def _pq_cb_duck(books) -> str:
     """The codebook as one nested DuckDB list literal."""
     return (
@@ -690,9 +747,118 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def _ann_ivf_pq_oracle() -> str:
+    """IVF-ADC mirror: the IVF oracle's centroid assignment/probes compose
+    with the PQ oracle's code assignment and ADC scoring, then the refine
+    pool re-ranks exactly — CTE-for-CTE the same dataflow as the Spark
+    plan."""
+    ivf_rows = ",\n    ".join(
+        f"({cid}, CAST([{', '.join(repr(v) for v in vec)}] AS DOUBLE[]))"
+        for cid, vec in enumerate(IVF_CODEBOOKS[ORACLE_SF_BASE])
+    )
+    c6 = _duck_pair_cosine("e.embedding", "c.cemb").format(nd=6)
+    q6 = _duck_pair_cosine("q.q_emb", "c.cemb").format(nd=6)
+    p4 = _duck_pair_cosine("p.q_emb", "a.embedding").format(nd=4)
+    cb = _pq_cb_duck(PQ_CODEBOOKS[ORACLE_SF_BASE])
+    pq_rows = ", ".join(
+        f"({m}, {cid}, CAST([{', '.join(repr(v) for v in cent)}] AS DOUBLE[]))"
+        for m, book in enumerate(PQ_CODEBOOKS[ORACLE_SF_BASE])
+        for cid, cent in enumerate(book)
+    )
+    l2 = (
+        f"round(list_sum(list_transform(range(1, {PQ_DSUB + 1}), i -> "
+        f"pow(CAST(e.embedding[CAST(b.m * {PQ_DSUB} + i AS INT)] AS DOUBLE) "
+        f"- b.cvec[CAST(i AS INT)], 2))), 6)"
+    )
+    adot = (
+        f"list_sum(list_transform(range(0, {PQ_M}), m -> "
+        f"list_sum(list_transform(range(1, {PQ_DSUB + 1}), i -> "
+        f"CAST(p.q_emb[CAST(m * {PQ_DSUB} + i AS INT)] AS DOUBLE) "
+        f"* l.cb[CAST(m + 1 AS INT)][c.codes[CAST(m + 1 AS INT)] + 1][CAST(i AS INT)]))))"
+    )
+    qn = (
+        f"sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}), i -> "
+        f"CAST(p.q_emb[CAST(i AS INT)] AS DOUBLE) "
+        f"* CAST(p.q_emb[CAST(i AS INT)] AS DOUBLE))))"
+    )
+    anorm2 = (
+        f"list_sum(list_transform(range(0, {PQ_M}), m -> "
+        f"list_sum(list_transform(l.cb[CAST(m + 1 AS INT)]"
+        f"[c.codes[CAST(m + 1 AS INT)] + 1], x -> x * x))))"
+    )
+    return f"""
+WITH cent(cid, cemb) AS (
+  VALUES {ivf_rows}
+),
+ivf_assign AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {c6} DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+probes AS (
+  SELECT query_id, q_emb, cid AS cluster_id FROM (
+    SELECT q.query_id, q.q_emb, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {q6} DESC, c.cid ASC) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cbl(cb) AS (SELECT {cb}),
+pqcb(m, cid, cvec) AS (VALUES {pq_rows}),
+pq_assign AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT e.vec_id, b.m, b.cid,
+           row_number() OVER (PARTITION BY e.vec_id, b.m
+                              ORDER BY {l2} ASC, b.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN pqcb b
+  ) WHERE rn = 1
+),
+codes AS (
+  SELECT vec_id, list(cid ORDER BY m) AS codes FROM pq_assign GROUP BY vec_id
+),
+scored AS (
+  SELECT p.query_id, p.q_emb, c.vec_id,
+         round({adot} / ({qn} * sqrt({anorm2})), 6) AS approx_cos
+  FROM probes p
+  JOIN ivf_assign ia ON ia.cluster_id = p.cluster_id
+   AND p.query_id <> ia.vec_id
+  JOIN codes c ON c.vec_id = ia.vec_id
+  CROSS JOIN cbl l
+),
+cand AS (
+  SELECT query_id, q_emb, vec_id FROM (
+    SELECT query_id, q_emb, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_cos DESC, vec_id ASC) AS pr
+    FROM scored
+  ) WHERE pr <= {PQ_REFINE}
+),
+reranked AS (
+  SELECT p.query_id, a.vec_id, {p4} AS cosine
+  FROM cand p JOIN embeddings a ON a.vec_id = p.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM reranked
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 ANN_IVF_ORACLE = _ann_ivf_oracle()
 
 ANN_PQ_ORACLE = _ann_pq_oracle()
+
+ANN_IVF_PQ_ORACLE = _ann_ivf_pq_oracle()
 
 
 def _ann_lsh_oracle() -> str:
@@ -731,7 +897,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured mean recall@10 (sf0.01 / sf0.1): PQ with 128-candidate exact
     re-rank ≈ 0.91 / 0.70 (the general-ANN winner — :func:`q_ann` routes
     here), IVF with the learned per-corpus codebook ≈ 0.59 / 0.51
-    (round-2's fixed vector subset: 0.41 — the k-means win), 8-table LSH
+    (round-2's fixed vector subset: 0.41 — the k-means win), IVF-ADC
+    ≈ 0.59 / 0.47 (recall capped by the IVF candidate set, at the lowest
+    cost of every path), 8-table LSH
     ≈ 0.31 / 0.41, single-table
     sign-LSH ≈ 0.01 / 0.10 — the honest picture for this corpus's
     weakly-clustered embeddings (only ~10% of true top-10 neighbors
@@ -753,6 +921,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lsh_multi", q_ann_lsh_multi),
         ("ivf", q_ann_ivf),
         ("pq", q_ann_pq),
+        ("ivf_pq", q_ann_ivf_pq),
     ):
         ap = fn(spark, sf_dir).select("query_id", "vec_id")
         hits = (
@@ -783,6 +952,7 @@ lsh AS ({ANN_LSH_ORACLE}),
 lshm AS ({ANN_LSH_MULTI_ORACLE}),
 ivf AS ({ANN_IVF_ORACLE}),
 pq AS ({ANN_PQ_ORACLE}),
+ivfpq AS ({ANN_IVF_PQ_ORACLE}),
 hits AS (
   SELECT 'lsh' AS method, l.query_id, count(*) AS n_hits
   FROM lsh l JOIN bf b ON b.query_id = l.query_id AND b.vec_id = l.vec_id
@@ -799,8 +969,14 @@ hits AS (
   SELECT 'pq', p.query_id, count(*)
   FROM pq p JOIN bf b ON b.query_id = p.query_id AND b.vec_id = p.vec_id
   GROUP BY 1, 2
+  UNION ALL
+  SELECT 'ivf_pq', v.query_id, count(*)
+  FROM ivfpq v JOIN bf b ON b.query_id = v.query_id AND b.vec_id = v.vec_id
+  GROUP BY 1, 2
 ),
-methods(method) AS (VALUES ('lsh'), ('lsh_multi'), ('ivf'), ('pq')),
+methods(method) AS (
+  VALUES ('lsh'), ('lsh_multi'), ('ivf'), ('pq'), ('ivf_pq')
+),
 grid AS (
   SELECT m.method, q.query_id
   FROM methods m CROSS JOIN (SELECT DISTINCT query_id FROM bf) q

@@ -933,6 +933,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "ann_lsh_multi": (_sim.q_ann_lsh_multi, _sim.ANN_LSH_MULTI_ORACLE),
     "ann_ivf": (_sim.q_ann_ivf, _sim.ANN_IVF_ORACLE),
     "ann_pq": (_sim.q_ann_pq, _sim.ANN_PQ_ORACLE),
+    "ann_ivf_pq": (_sim.q_ann_ivf_pq, _sim.ANN_IVF_PQ_ORACLE),
     "ann_recall": (_sim.q_ann_recall, _sim.ANN_RECALL_ORACLE),
     # --- training-data pipeline (analytics/training.py) ---
     "train_test_split": (_tr.q_train_test_split, _tr.TRAIN_TEST_SPLIT_ORACLE),

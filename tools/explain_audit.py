@@ -35,6 +35,7 @@ def audit(name: str, plan: str) -> list[str]:
         "ann_bruteforce",
         "ann_ivf",
         "ann_pq",
+        "ann_ivf_pq",
         "ann_recall",
     ):
         # sanctioned: ann_bruteforce broadcasts its tiny query set;
