@@ -201,3 +201,96 @@ SELECT doc_id, lang, rank FROM (
 )
 WHERE rank <= {BALANCED_SAMPLE_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (context-window filling)
+# ---------------------------------------------------------------------------
+
+#: tokens per packed training sequence (the context-window budget)
+PACK_CAPACITY = 256
+#: deterministic shard fan-out: packing is shard-local in every real
+#: pipeline — globally optimal bin packing is NP-hard and pointless when
+#: each shard holds millions of tokens; per-shard greedy loses a few
+#: percent utilization and parallelizes perfectly. The shard count is a
+#: FIXED semantic constant (not the cluster's partition count) so the
+#: assignment is reproducible anywhere.
+PACK_SHARDS = 8
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-capacity training sequences: each doc is
+    hashed to one of ``PACK_SHARDS`` shards, docs in a shard are ordered by
+    (n_tokens desc, doc_id) and folded greedily — next-fit-decreasing: a
+    doc that would overflow the open sequence closes it and starts the
+    next (a doc longer than the capacity gets a sequence of its own).
+
+    Scale shape: one map to (doc, shard, n_tokens), one shuffle on the
+    shard key, then an Arrow-batched ``applyInPandas`` per shard — the
+    greedy fold is inherently sequential PER SHARD, which is exactly the
+    unit a real packing job runs on one worker; shards scale out. The
+    DuckDB oracle replays the identical fold as a recursive CTE, so the
+    assignment is engine-checked row-for-row, not rows-only."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        F.expr(
+            f"cast({spark_h32('cast(doc_id as string)')} % {PACK_SHARDS} as int)"
+        ).alias("shard_id"),
+        "doc_id",
+        F.size(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        seq_ids = []
+        seq, load = 0, 0
+        for n in pdf["n_tokens"]:
+            if load > 0 and load + n > PACK_CAPACITY:
+                seq += 1
+                load = 0
+            seq_ids.append(seq)
+            load += int(n)
+        return pdf.assign(seq_id=seq_ids)[
+            ["shard_id", "doc_id", "n_tokens", "seq_id"]
+        ]
+
+    return docs.groupBy("shard_id").applyInPandas(
+        pack, "shard_id int, doc_id bigint, n_tokens int, seq_id int"
+    )
+
+
+PACK_SEQUENCES_ORACLE = rf"""
+WITH RECURSIVE t AS (
+  SELECT CAST({duck_h32("CAST(doc_id AS VARCHAR)")} % {PACK_SHARDS} AS INT)
+           AS shard_id,
+         doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS INT)
+           AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT shard_id, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY shard_id
+                            ORDER BY n_tokens DESC, doc_id ASC) AS rn
+  FROM t
+),
+rec(shard_id, rn, doc_id, n_tokens, seq_id, load) AS (
+  SELECT shard_id, rn, doc_id, n_tokens, 0, n_tokens
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT d.shard_id, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN r.load + d.n_tokens > {PACK_CAPACITY}
+              THEN r.seq_id + 1 ELSE r.seq_id END,
+         CASE WHEN r.load + d.n_tokens > {PACK_CAPACITY}
+              THEN d.n_tokens ELSE r.load + d.n_tokens END
+  FROM ordered d JOIN rec r
+    ON d.shard_id = r.shard_id AND d.rn = r.rn + 1
+)
+SELECT shard_id, doc_id, n_tokens, seq_id FROM rec
+"""

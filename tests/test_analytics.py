@@ -449,3 +449,41 @@ def test_pq_beats_ivf_recall_on_this_corpus(spark, sf_dir):
         mean.setdefault(r["method"], []).append(r["n_hits"])
     mean = {m: sum(v) / (len(v) * similarity.TOP_K) for m, v in mean.items()}
     assert mean["pq"] >= mean["ivf"] >= 0.3, mean
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing contract: every doc assigned exactly once; no sequence
+    exceeds capacity unless it holds a single oversized doc; sequence ids
+    are dense per shard; packing wastes little capacity (next-fit-
+    decreasing utilization floor)."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import training
+
+    rows = training.q_pack_sequences(spark, sf_dir).collect()
+    n_docs = (
+        training.load_table(spark, sf_dir, "documents").select("doc_id").count()
+    )
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+
+    fills: dict[tuple, int] = {}
+    counts: dict[tuple, int] = {}
+    for r in rows:
+        key = (r["shard_id"], r["seq_id"])
+        fills[key] = fills.get(key, 0) + r["n_tokens"]
+        counts[key] = counts.get(key, 0) + 1
+    for key, fill in fills.items():
+        assert fill <= training.PACK_CAPACITY or counts[key] == 1, (key, fill)
+    # dense per-shard sequence ids (0..max with no gaps)
+    per_shard: dict[int, set] = {}
+    for shard, seq in fills:
+        per_shard.setdefault(shard, set()).add(seq)
+    for shard, seqs in per_shard.items():
+        assert seqs == set(range(max(seqs) + 1)), shard
+    # NFD on docs << capacity packs well: mean fill of CLOSED sequences
+    closed = [
+        fill
+        for (shard, seq), fill in fills.items()
+        if seq < max(per_shard[shard])
+    ]
+    if closed:
+        assert sum(closed) / len(closed) >= 0.6 * training.PACK_CAPACITY

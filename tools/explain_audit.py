@@ -23,8 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ph_ee_nats_importer_rdbms_spark.plans.queries import QUERIES
 from ph_ee_nats_importer_rdbms_spark.session import build_session
 
-#: queries where Python evaluation is by design (Arrow-batched decode)
-PYTHON_OK = {"media_features"}
+#: queries where Python evaluation is by design: media_features is the
+#: Arrow-batched decode stage; pack_sequences is the per-shard greedy
+#: packing fold (inherently sequential per shard, Arrow-batched
+#: applyInPandas, shards scale out)
+PYTHON_OK = {"media_features", "pack_sequences"}
 
 
 def audit(name: str, plan: str) -> list[str]:
