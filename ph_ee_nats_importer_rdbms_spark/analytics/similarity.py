@@ -368,14 +368,23 @@ def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 recommended_ann = q_ann
 
 
-def save_ivf_store(spark: SparkSession, sf_dir: str, path: str) -> None:
+def save_ivf_store(
+    spark: SparkSession, sf_dir: str, path: str, with_codes: bool = False
+) -> None:
     """Materialize the IVF index as parquet PARTITIONED BY cluster_id —
     the serving layout: each inverted list is its own partition directory,
     so a query's nprobe lists are a partition-pruned read (1/16th of the
-    files per probed list here; at 100 TB, 1/n_lists of the corpus)."""
-    ivf_assignments(spark, sf_dir).write.mode("overwrite").partitionBy(
-        "cluster_id"
-    ).parquet(path)
+    files per probed list here; at 100 TB, 1/n_lists of the corpus).
+
+    ``with_codes`` also stores each vector's PQ codes + reconstructed norm
+    INSIDE its inverted list — the IndexIVFPQ layout: the coarse scoring
+    pass then reads the probed partitions' code columns only (column
+    pruning on top of partition pruning), and the raw ``embedding`` column
+    is touched just for the refine pool."""
+    assign = ivf_assignments(spark, sf_dir)
+    if with_codes:
+        assign = assign.join(pq_codes_table(spark, sf_dir), "vec_id")
+    assign.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
 
 def ann_ivf_from_store(
@@ -398,6 +407,56 @@ def ann_ivf_from_store(
     )
     cos = F.round(_cosine("q_emb", "embedding"), 4)
     return _ranked(pairs.select("query_id", "vec_id", cos.alias("cosine")))
+
+
+def ann_ivf_pq_from_store(
+    spark: SparkSession, sf_dir: str, store_path: str
+) -> DataFrame:
+    """IVF-ADC served from a ``with_codes`` store: probes prune the read
+    to nprobe partitions, the ADC pass scores the stored codes (the scan
+    reads codes + norm, column-pruned), and the refine pool re-ranks from
+    the same pruned partitions' raw vectors — no second table, no extra
+    join. Results are identical to the inline :func:`q_ann_ivf_pq` plan
+    (same candidates, scoring, rounding, tie-breaks)."""
+    cb = _pq_cb_sql(_pq_books(sf_dir))
+    store = spark.read.parquet(store_path)
+    probes = _ivf_probes(spark, sf_dir, store)
+    probed_ids = sorted(
+        {r["cluster_id"] for r in probes.select("cluster_id").distinct().collect()}
+    )
+    pruned = store.filter(F.col("cluster_id").isin(probed_ids))
+    cand = F.broadcast(probes).join(
+        pruned.select("cluster_id", "vec_id", "codes", "approx_norm2", "embedding"),
+        "cluster_id",
+    ).filter(F.col("query_id") != F.col("vec_id"))
+    adc = (
+        f"aggregate(sequence(0, {PQ_M - 1}), cast(0.0 as double), "
+        f"(acc, m) -> acc + aggregate(sequence(1, {PQ_DSUB}), "
+        f"cast(0.0 as double), (a, i) -> "
+        f"a + cast(element_at(q_emb, m * {PQ_DSUB} + i) as double) "
+        f"* element_at(element_at(element_at({cb}, m + 1), "
+        f"element_at(codes, m + 1) + 1), i)))"
+    )
+    qnorm = (
+        f"sqrt(aggregate(sequence(1, {EMBED_DIM}), cast(0.0 as double), "
+        f"(acc, i) -> acc + cast(element_at(q_emb, i) as double) "
+        f"* cast(element_at(q_emb, i) as double)))"
+    )
+    scored = cand.withColumn(
+        "approx_cos",
+        F.round(
+            F.expr(adc) / (F.expr(qnorm) * F.sqrt(F.col("approx_norm2"))), 6
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("vec_id").asc()
+    )
+    refine = (
+        scored.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= PQ_REFINE)
+    )
+    cos = F.round(_cosine("q_emb", "embedding"), 4)
+    return _ranked(refine.select("query_id", "vec_id", cos.alias("cosine")))
 
 
 # --- Product quantization (PQ) --------------------------------------------

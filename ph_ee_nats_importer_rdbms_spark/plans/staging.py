@@ -89,6 +89,10 @@ _DOMAINS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
         ("documents.parquet",),
         ("sources/files.py", "analytics/multimodal.py"),
     ),
+    "train": (
+        ("documents.parquet",),
+        ("sources/files.py", "analytics/hashing.py", "analytics/training.py"),
+    ),
 }
 
 

@@ -487,3 +487,28 @@ def test_pack_sequences_invariants(spark, sf_dir):
     ]
     if closed:
         assert sum(closed) / len(closed) >= 0.6 * training.PACK_CAPACITY
+
+
+def test_ivf_pq_store_prunes_and_matches_inline(spark, sf_dir, tmp_path):
+    """The IndexIVFPQ serving layout: codes + norms stored inside the
+    cluster-partitioned lists; the from-store search partition-prunes the
+    scan and matches the inline q_ann_ivf_pq results exactly."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.similarity import (
+        ann_ivf_pq_from_store,
+        q_ann_ivf_pq,
+        save_ivf_store,
+    )
+
+    store = str(tmp_path / "ivfpq_store")
+    save_ivf_store(spark, sf_dir, store, with_codes=True)
+
+    got_df = ann_ivf_pq_from_store(spark, sf_dir, store)
+    plan = got_df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        got_df._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cluster_id" in ln for ln in pf), plan
+
+    got = sorted(tuple(r) for r in got_df.collect())
+    want = sorted(tuple(r) for r in q_ann_ivf_pq(spark, sf_dir).collect())
+    assert got == want and got
