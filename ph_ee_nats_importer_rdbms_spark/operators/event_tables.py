@@ -115,3 +115,24 @@ def tasks_table(routed: DataFrame) -> DataFrame:
         F.col("job_type").alias("type"),
         F.col("element_id"),
     )
+
+
+def businesskeys_table(variables: DataFrame) -> DataFrame:
+    """ph_businesskeys mirror (BusinessKeyRepository.java:9; SURVEY §1.4:
+    the reference defines the table but its importer never writes it — the
+    ops app derives it from business variables). Same derivation here:
+    the domain's business keys are the transactionId / batchId variables,
+    quote-stripped per OperatorUtils.java:7-9. ~2 rows per instance, with
+    ``business_key`` a plain column so a lookup predicate pushes into the
+    stored scan. Lives in this module so the staging fingerprint
+    (plans/staging.py _SEMANTIC_SOURCES) covers the derivation."""
+    from ph_ee_nats_importer_rdbms_spark.functions.scalars import strip_quotes
+
+    return variables.filter(
+        F.col("name").isin("transactionId", "batchId")
+    ).select(
+        strip_quotes("value").alias("business_key"),
+        F.col("name").alias("business_key_type"),
+        "workflow_instance_key",
+        "timestamp",
+    )

@@ -389,6 +389,23 @@ GROUP BY 1
 )
 
 
+def _businesskeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ph_businesskeys mirror derived from the variable log, staged per
+    dataset (zeebe domain) like the five output tables. The derivation
+    lives in operators/event_tables.py so the domain fingerprint covers
+    its semantics."""
+    from ph_ee_nats_importer_rdbms_spark.operators.event_tables import (
+        businesskeys_table,
+    )
+
+    return staging.load_memoized(
+        spark,
+        sf_dir,
+        "businesskeys",
+        lambda: businesskeys_table(_table(spark, sf_dir, "variables")),
+    )
+
+
 def _q_businesskey_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 findByBusinessKeyAndBusinessKeyType (BusinessKeyRepository.java:9).
 
@@ -397,17 +414,12 @@ def _q_businesskey_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine derives the same relation from the variable log (the domain's
     business keys are the transactionId / batchId variables, quote-stripped
     per OperatorUtils.java:7-9) and serves the two-column conjunctive
-    lookup over it. At scale: the derived relation is written bucketed by
-    business_key, so the lookup is a pruned scan, not a shuffle."""
-    from ph_ee_nats_importer_rdbms_spark.functions.scalars import strip_quotes
-
-    v = _table(spark, sf_dir, "variables")
-    bk = v.filter(F.col("name").isin("transactionId", "batchId")).select(
-        strip_quotes("value").alias("business_key"),
-        F.col("name").alias("business_key_type"),
-        "workflow_instance_key",
-        "timestamp",
-    )
+    lookup over it. At scale: the derived relation is STAGED — ~2 rows per
+    instance instead of the full variable log, with ``business_key`` a
+    plain column so the equality predicate pushes into the parquet scan
+    (at 100 TB you'd additionally bucket/sort it by business_key so the
+    lookup is a pruned scan)."""
+    bk = _businesskeys(spark, sf_dir)
     return bk.filter(
         (
             (F.col("business_key_type") == "transactionId")
