@@ -273,3 +273,132 @@ def test_refresh_day_deleted_entirely(utc_session, tmp_path):
         got = _rows(incremental.read_table(spark, root, name))
         want = _rows(incremental.read_table(spark, full_root, name))
         assert got == want, f"{name} diverged after whole-day deletion"
+
+
+# ---------------------------------------------------------------------------
+# Property-based rebuild parity
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_DAYS = [DAY1, DAY2, DAY3]
+_DAY_STRS = ["2024-03-01", "2024-03-02", "2024-03-03"]
+
+
+@st.composite
+def _random_corpus_and_edit(draw):
+    """A multi-day corpus exercising every cross-partition coupling (C4
+    children on different days than their parents, C5 gap rows whose
+    resolver lives on another day, colliding variable timestamps), plus a
+    random REPLACEMENT of one day (drop a subset, rewrite values, maybe
+    add an event)."""
+    events: list[dict] = []
+    pos = [0]
+
+    def nxt() -> int:
+        pos[0] += 100
+        return pos[0]
+
+    n_instances = draw(st.integers(min_value=2, max_value=4))
+    for i in range(n_instances):
+        inst = 1000 + i * 10
+        gap = draw(st.booleans())
+        bpmn = "" if gap else "PayeeQuoteTransfer-tn01"
+        definition = 7001 if gap else 5001
+        d_act = draw(st.sampled_from(_DAYS))
+        events.append(
+            process_event(
+                inst, "ELEMENT_ACTIVATING", d_act + draw(st.integers(1, 5000)),
+                bpmn=bpmn, definition=definition, position=nxt(),
+            )
+        )
+        if draw(st.booleans()):
+            events.append(
+                process_event(
+                    inst, "ELEMENT_COMPLETED",
+                    draw(st.sampled_from(_DAYS)) + draw(st.integers(5001, 9000)),
+                    bpmn=bpmn, definition=definition, position=nxt(),
+                )
+            )
+        if draw(st.booleans()):  # C4 child, possibly on another day
+            child = inst + 1
+            d_child = draw(st.sampled_from(_DAYS))
+            events.append(
+                process_event(
+                    child, "ELEMENT_ACTIVATING", d_child + draw(st.integers(1, 9000)),
+                    parent=inst, bpmn="PayeeQuoteTransfer-tn01", definition=5001,
+                    position=nxt(),
+                )
+            )
+            events.append(
+                variable_event(
+                    child, "transactionId", '"child-tx"',
+                    d_child + draw(st.integers(1, 9000)),
+                    bpmn="PayeeQuoteTransfer-tn01", definition=5001, position=nxt(),
+                )
+            )
+        for _ in range(draw(st.integers(0, 3))):
+            events.append(
+                variable_event(
+                    inst, draw(st.sampled_from(["amount", "state", "note"])),
+                    f'"{draw(st.integers(0, 9))}"',
+                    draw(st.sampled_from(_DAYS)) + draw(st.integers(1, 4)),
+                    bpmn=bpmn, definition=definition, position=nxt(),
+                )
+            )
+    if draw(st.booleans()):  # C5 resolver row, on a random day
+        events.append(
+            process_event(
+                2000, "ELEMENT_ACTIVATING",
+                draw(st.sampled_from(_DAYS)) + draw(st.integers(1, 9000)),
+                bpmn=draw(st.sampled_from(
+                    ["PayeeQuoteTransfer-tn02", "OtherFlow-tn09"]
+                )),
+                definition=7001, position=nxt(),
+            )
+        )
+
+    day_idx = draw(st.integers(0, 2))
+    lo, hi = _DAYS[day_idx], _DAYS[day_idx] + 86400000
+    day_events = [e for e in events if lo <= e["timestamp"] < hi]
+    keep_mod = draw(st.integers(2, 4))
+    replacement = []
+    for j, e in enumerate(day_events):
+        if j % keep_mod == 0:
+            continue  # dropped from the day
+        e2 = dict(e)
+        if e2["value_type"] == "VARIABLE" and draw(st.booleans()):
+            e2["value"] = f'"{draw(st.integers(10, 19))}"'
+        replacement.append(e2)
+    return events, replacement, _DAY_STRS[day_idx]
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=_random_corpus_and_edit())
+def test_random_edit_refresh_matches_full_rebuild(
+    data, utc_session, tmp_path_factory
+):
+    spark = utc_session
+    events, replacement, day = data
+    base = tmp_path_factory.mktemp("incprop")
+    root, full_root = str(base / "inc"), str(base / "full")
+
+    incremental.build_store(spark, to_df(spark, events), root)
+    incremental.refresh_days(
+        spark, root, to_df(spark, replacement), changed_days=[day]
+    )
+
+    lo = DAY1 + 86400000 * _DAY_STRS.index(day)
+    post = [e for e in events if not (lo <= e["timestamp"] < lo + 86400000)]
+    post += replacement
+    incremental.build_store(spark, to_df(spark, post), full_root)
+
+    for name in incremental.TABLES:
+        got = _rows(incremental.read_table(spark, root, name))
+        want = _rows(incremental.read_table(spark, full_root, name))
+        assert got == want, f"{name} diverged under randomized edit"
