@@ -136,8 +136,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOTE — use-case routing: single-table sign-LSH is the NEAR-DUPLICATE
     primitive (recall ≈ 1 for angularly-close pairs). For GENERAL top-k
     ANN its measured recall@10 on this corpus is ≈ 0.01-0.10; call
-    :func:`q_ann` (the recommended default: learned-codebook IVF,
-    ≈ 0.51-0.59) or :func:`q_ann_lsh_multi` (multi-table union,
+    :func:`q_ann` (the recommended default: PQ + exact re-rank,
+    ≈ 0.70-0.91) or :func:`q_ann_lsh_multi` (multi-table union,
     ≈ 0.31-0.41) instead — routing table on :func:`q_ann`."""
     bucketed = ann_bucket_table(spark, sf_dir)
     queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
