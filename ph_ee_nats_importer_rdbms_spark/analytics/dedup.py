@@ -72,21 +72,30 @@ def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle element — O(tokens²) per document (measured 9.6s for 5k docs).
     The checkpoint on the token projection is an optimizer barrier that
     pins the split to one evaluation."""
-    def build() -> DataFrame:
-        d = spread(load_table(spark, sf_dir, "documents"))
-        toks = d.select(
-            "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks")
-        ).localCheckpoint(eager=False)
-        return toks.select(
-            "doc_id",
-            F.expr(
-                f"array_distinct(transform(sequence(1, size(toks) - {SHINGLE_K - 1}),"
-                "  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
-                "       element_at(toks, i + 2))))"
-            ).alias("shingles"),
-        ).filter(F.size("shingles") > 0)
+    return staging.load_memoized(
+        spark,
+        sf_dir,
+        "shingles",
+        lambda: shingles_of(spread(load_table(spark, sf_dir, "documents"))),
+        domain="docs",
+    )
 
-    return staging.load_memoized(spark, sf_dir, "shingles", build, domain="docs")
+
+def shingles_of(docs: DataFrame) -> DataFrame:
+    """The shingle derivation over any (doc_id, text) relation — the
+    builder behind :func:`shingle_sets`, reused by the incremental index
+    (analytics/incremental_docs.py) on per-batch document slices."""
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks")
+    ).localCheckpoint(eager=False)
+    return toks.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(toks) - {SHINGLE_K - 1}),"
+            "  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
+            "       element_at(toks, i + 2))))"
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
 
 
 _DUCK_SHINGLES = rf"""
@@ -115,21 +124,27 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join references the signature relation on BOTH sides, and a fresh
     session (bench rerun, notebook restart) reads the stored signatures
     instead of re-deriving shingles + explode + aggregate."""
-    def build() -> DataFrame:
-        sh = shingle_sets(spark, sf_dir)
-        h = F.expr(spark_h32("shingle")) % MINHASH_PRIME
-        exploded = sh.select(
-            "doc_id", F.explode("shingles").alias("shingle")
-        ).withColumn("h", h)
-        aggs = [
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"sig_{j}")
-            for j, (a, b) in enumerate(MINHASH_PERMS)
-        ]
-        return exploded.groupBy("doc_id").agg(*aggs)
-
     return staging.load_memoized(
-        spark, sf_dir, "minhash_sigs", build, domain="docs"
+        spark,
+        sf_dir,
+        "minhash_sigs",
+        lambda: signatures_of(shingle_sets(spark, sf_dir)),
+        domain="docs",
     )
+
+
+def signatures_of(shingles: DataFrame) -> DataFrame:
+    """MinHash signatures over any (doc_id, shingles) relation — the
+    builder behind :func:`minhash_signatures`."""
+    h = F.expr(spark_h32("shingle")) % MINHASH_PRIME
+    exploded = shingles.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).withColumn("h", h)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"sig_{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
 
 
 def _duck_minhash() -> str:
@@ -183,8 +198,28 @@ def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_dups_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = minhash_signatures(spark, sf_dir)
-    bands = sigs.select(
+    bands = bands_of(minhash_signatures(spark, sf_dir))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return jaccard_verify(candidates, shingle_sets(spark, sf_dir))
+
+
+def bands_of(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) LSH banding over any signature
+    relation — the builder behind the band self-join."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -205,26 +240,14 @@ def _minhash_dups_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
 
-    a = bands.alias("a")
-    b = bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
 
-    sh = shingle_sets(spark, sf_dir)
-    sa = sh.select(
+def jaccard_verify(candidates: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of a (doc_a, doc_b) candidate relation
+    against a (doc_id, shingles) relation; keeps pairs >= threshold."""
+    sa = shingles.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
-    sb = sh.select(
+    sb = shingles.select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
     )
     jacc = F.round(
