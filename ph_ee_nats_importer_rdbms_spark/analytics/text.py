@@ -454,3 +454,83 @@ SELECT doc_id, count(*) AS n_grams,
 FROM h JOIN s USING (gram_h)
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Curation decision (the composed end-to-end filter)
+# ---------------------------------------------------------------------------
+
+#: curation thresholds — the composed keep/reject policy
+CURATION_MIN_QUALITY = 0.5
+CURATION_MAX_TOP_TOKEN = 0.25
+CURATION_MAX_DUP_BIGRAM = 0.1
+
+
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation decision a training-data pipeline actually
+    ships: language-ID, quality score, repetition filters, and the
+    near-dup keeper rule COMPOSED into one per-doc verdict — ``kept`` plus
+    the first failing rule as ``reject_reason`` (lang → quality →
+    repetition → duplicate, the cheap-to-expensive filter order every
+    curation stack uses).
+
+    Composition is the point: each input is an already-oracle-checked
+    operator (and the heavy ones — repetition stats, cluster labels — are
+    staged curation artifacts), so the plan is four per-doc joins on
+    doc_id, no recomputation, no new shuffles beyond the joins."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.dedup import q_dup_clusters
+
+    lang = q_lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    qual = q_quality(spark, sf_dir).select("doc_id", "quality_score")
+    rep = q_repetition(spark, sf_dir).select(
+        "doc_id", "top_token_frac", "dup_bigram_frac"
+    )
+    dup = q_dup_clusters(spark, sf_dir).select("doc_id", "is_keeper")
+    reason = (
+        F.when(F.col("predicted_lang") == "und", F.lit("lang"))
+        .when(F.col("quality_score") < CURATION_MIN_QUALITY, F.lit("quality"))
+        .when(
+            (F.col("top_token_frac") > CURATION_MAX_TOP_TOKEN)
+            | (F.col("dup_bigram_frac") > CURATION_MAX_DUP_BIGRAM),
+            F.lit("repetition"),
+        )
+        .when(~F.coalesce(F.col("is_keeper"), F.lit(True)), F.lit("duplicate"))
+    )
+    return (
+        lang.join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            reason.alias("reject_reason"),
+            reason.isNull().alias("kept"),
+        )
+    )
+
+
+def _curation_oracle() -> str:
+    from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
+        DUP_CLUSTERS_ORACLE,
+    )
+
+    return f"""
+WITH lang AS ({_lang_id_oracle()}),
+qual AS ({QUALITY_ORACLE}),
+rep AS ({REPETITION_ORACLE}),
+dup AS (SELECT * FROM ({DUP_CLUSTERS_ORACLE})),
+verdict AS (
+  SELECT l.doc_id,
+         CASE
+           WHEN l.predicted_lang = 'und' THEN 'lang'
+           WHEN q.quality_score < {CURATION_MIN_QUALITY} THEN 'quality'
+           WHEN r.top_token_frac > {CURATION_MAX_TOP_TOKEN}
+             OR r.dup_bigram_frac > {CURATION_MAX_DUP_BIGRAM} THEN 'repetition'
+           WHEN NOT COALESCE(d.is_keeper, TRUE) THEN 'duplicate'
+         END AS reject_reason
+  FROM lang l
+  JOIN qual q USING (doc_id)
+  JOIN rep r USING (doc_id)
+  LEFT JOIN dup d USING (doc_id)
+)
+SELECT doc_id, reject_reason, reject_reason IS NULL AS kept FROM verdict
+"""
