@@ -1045,3 +1045,71 @@ SELECT g.method, g.query_id, COALESCE(h.n_hits, 0) AS n_hits,
 FROM grid g LEFT JOIN hits h
   ON g.method = h.method AND g.query_id = h.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Semantic-space stratified sampling
+# ---------------------------------------------------------------------------
+
+#: quota per learned IVF cluster for the diversity sample
+SEMANTIC_SAMPLE_K = 20
+
+
+def q_semantic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling in EMBEDDING space: up to ``SEMANTIC_SAMPLE_K``
+    vectors per learned IVF cluster, in deterministic hash order — the
+    semantic complement of the source/language-stratified
+    ``balanced_sample`` (analytics/training.py): equal quotas per SEMANTIC
+    region keep a training subsample from collapsing onto the corpus's
+    dominant content modes, a standard diversity step in data curation.
+
+    Scale shape: the cluster assignment is the staged IVF index
+    (``ivf_assign``); the quota cut is one window over (cluster, hash) —
+    a single shuffle on cluster_id, and at 100 TB the same rank-per-
+    partition runs directly on the cluster-partitioned serving store."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.hashing import spark_h32
+
+    assign = ivf_assignments(spark, sf_dir).select("vec_id", "cluster_id")
+    h = F.expr(spark_h32("concat('sem', CAST(vec_id AS STRING))"))
+    w = Window.partitionBy("cluster_id").orderBy(h.asc(), F.col("vec_id").asc())
+    return (
+        assign.select(
+            "vec_id", "cluster_id", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= SEMANTIC_SAMPLE_K)
+    )
+
+
+def _semantic_sample_oracle() -> str:
+    from ph_ee_nats_importer_rdbms_spark.analytics.hashing import duck_h32
+
+    ivf_rows = ",\n    ".join(
+        f"({cid}, CAST([{', '.join(repr(v) for v in vec)}] AS DOUBLE[]))"
+        for cid, vec in enumerate(IVF_CODEBOOKS[ORACLE_SF_BASE])
+    )
+    c6 = _duck_pair_cosine("e.embedding", "c.cemb").format(nd=6)
+    h = duck_h32("'sem' || CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH cent(cid, cemb) AS (
+  VALUES {ivf_rows}
+),
+assign AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {c6} DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+SELECT vec_id, cluster_id, rank FROM (
+  SELECT vec_id, cluster_id,
+         CAST(row_number() OVER (
+           PARTITION BY cluster_id ORDER BY {h}, vec_id
+         ) AS INT) AS rank
+  FROM assign
+)
+WHERE rank <= {SEMANTIC_SAMPLE_K}
+"""
+
+
+SEMANTIC_SAMPLE_ORACLE = _semantic_sample_oracle()

@@ -947,6 +947,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "ann_pq": (_sim.q_ann_pq, _sim.ANN_PQ_ORACLE),
     "ann_ivf_pq": (_sim.q_ann_ivf_pq, _sim.ANN_IVF_PQ_ORACLE),
     "ann_recall": (_sim.q_ann_recall, _sim.ANN_RECALL_ORACLE),
+    "semantic_sample": (_sim.q_semantic_sample, _sim.SEMANTIC_SAMPLE_ORACLE),
     # --- training-data pipeline (analytics/training.py) ---
     "train_test_split": (_tr.q_train_test_split, _tr.TRAIN_TEST_SPLIT_ORACLE),
     "decontamination": (_tr.q_decontamination, _tr.DECONTAMINATION_ORACLE),
