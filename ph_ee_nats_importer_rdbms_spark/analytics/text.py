@@ -534,3 +534,117 @@ verdict AS (
 )
 SELECT doc_id, reject_reason, reject_reason IS NULL AS kept FROM verdict
 """
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span removal (the transformation side of cross-doc dedup)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove cross-document duplicated spans from each doc (the
+    transformation `dup_ngram_frac` only measures — Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): a token is
+    dropped iff it is covered by some word {DUP_NGRAM_N}-gram that also
+    occurs in at least one OTHER document; the survivors re-join into
+    ``clean_text``.
+
+    Scale shape: the same two map-side-combinable shuffles as
+    ``dup_ngram_frac`` (gram hashes on the wire, never strings) plus one
+    per-doc fold — flagged gram START positions collect per doc (bounded
+    by the doc's own gram count), and coverage is a higher-order
+    ``exists`` over that array per token, all JVM-side. No pairwise doc
+    comparison, no suffix array — the hash-bucketed approximation of the
+    same filter."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", _tokens().alias("toks")).localCheckpoint(
+        eager=False
+    )
+    grams = toks.filter(F.size("toks") >= DUP_NGRAM_N).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {DUP_NGRAM_N - 1}),"
+                f" i -> array_join(slice(toks, i, {DUP_NGRAM_N}), ' '))"
+            )
+        ).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("start"),  # 1-based token index
+        F.expr(spark_h32("gram")).alias("gram_h"),
+    )
+    shared = (
+        grams.groupBy("gram_h")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("gram_h")
+    )
+    starts = (
+        grams.join(shared, "gram_h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("start")).alias("starts"))
+    )
+    covered = (
+        # token j is covered iff some flagged gram starts in [j-N+1, j]
+        f"exists(starts, s -> s <= j AND s + {DUP_NGRAM_N - 1} >= j)"
+    )
+    out = (
+        toks.join(starts, "doc_id", "left")
+        .withColumn("starts", F.coalesce("starts", F.array()))
+        .select(
+            "doc_id",
+            F.expr(
+                f"filter(transform(sequence(1, size(toks)), j -> "
+                f"IF({covered}, NULL, element_at(toks, j))), t -> t IS NOT NULL)"
+            ).alias("kept"),
+            F.size("toks").alias("n_tokens"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("kept")).alias("n_removed"),
+        F.array_join("kept", " ").alias("clean_text"),
+    )
+
+
+DEDUP_SPANS_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, {_duck_tokens()} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, i AS start,
+         {duck_h32(
+             "array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + "
+             + str(DUP_NGRAM_N - 1) + "], ' ')"
+         )} AS gram_h
+  FROM t, unnest(range(1, len(toks) - {DUP_NGRAM_N - 2})) AS u(i)
+  WHERE len(toks) >= {DUP_NGRAM_N}
+),
+shared AS (
+  SELECT gram_h FROM g GROUP BY gram_h HAVING count(DISTINCT doc_id) > 1
+),
+st AS (
+  SELECT doc_id, list_sort(list(DISTINCT start)) AS starts
+  FROM g JOIN shared USING (gram_h)
+  GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT t.doc_id,
+         len(toks) AS n_tokens,
+         list_filter(
+           list_transform(range(1, len(toks) + 1), j ->
+             CASE WHEN len(list_filter(COALESCE(st.starts, []),
+                      s -> s <= j AND s + {DUP_NGRAM_N - 1} >= j)) > 0
+                  THEN NULL ELSE toks[CAST(j AS INT)] END),
+           x -> x IS NOT NULL) AS kept
+  FROM t LEFT JOIN st USING (doc_id)
+)
+SELECT doc_id, n_tokens,
+       CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+       -- array_to_string on an empty list is NULL in DuckDB but '' in
+       -- Spark's array_join; '' is the meaningful value for a fully
+       -- duplicated doc
+       COALESCE(array_to_string(kept, ' '), '') AS clean_text
+FROM rebuilt
+"""
