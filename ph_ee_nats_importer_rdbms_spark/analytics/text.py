@@ -12,7 +12,7 @@ see SURVEY.md §2.7).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ph_ee_nats_importer_rdbms_spark.analytics.hashing import duck_h32, spark_h32
 from ph_ee_nats_importer_rdbms_spark.sources.files import load_table, spread
@@ -555,7 +555,17 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the doc's own gram count), and coverage is a higher-order
     ``exists`` over that array per token, all JVM-side. No pairwise doc
     comparison, no suffix array — the hash-bucketed approximation of the
-    same filter."""
+    same filter. The cleaned corpus is an ingest artifact like the other
+    curation outputs, so it stages per dataset (``docs`` domain)."""
+    from ph_ee_nats_importer_rdbms_spark.plans import staging
+
+    return staging.load_memoized(
+        spark, sf_dir, "dedup_spans",
+        lambda: _dedup_spans_build(spark, sf_dir), domain="docs",
+    )
+
+
+def _dedup_spans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", _tokens().alias("toks")).localCheckpoint(
         eager=False
@@ -647,4 +657,57 @@ SELECT doc_id, n_tokens,
        -- duplicated doc
        COALESCE(array_to_string(kept, ' '), '') AS clean_text
 FROM rebuilt
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary (tokenizer-training input)
+# ---------------------------------------------------------------------------
+
+#: vocabulary cut for the corpus word-count table
+VOCAB_TOP_K = 100
+
+
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``VOCAB_TOP_K`` corpus word counts with document frequency —
+    the statistic BPE/WordPiece tokenizer training starts from (and the
+    sanity table every corpus report includes). One explode + one
+    map-side-combinable aggregate; the top-k cut is a single ordered
+    limit over the (tiny) distinct-token relation. Deterministic total
+    order: (count desc, token asc)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    return (
+        counts.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(VOCAB_TOP_K)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("n_occurrences").desc(), F.col("token").asc()
+                )
+            ),
+        )
+        .select("rank", "token", "n_occurrences", "n_docs")
+    )
+
+
+VOCABULARY_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({_duck_tokens()}) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+  FROM tok GROUP BY token
+)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS INT)
+         AS rank,
+       token, n_occurrences, n_docs
+FROM counts
+ORDER BY n_occurrences DESC, token ASC
+LIMIT {VOCAB_TOP_K}
 """

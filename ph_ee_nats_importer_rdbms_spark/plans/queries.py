@@ -956,6 +956,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "pack_sequences": (_tr.q_pack_sequences, _tr.PACK_SEQUENCES_ORACLE),
     "curation": (_tx.q_curation, _tx._curation_oracle()),
     "dedup_spans": (_tx.q_dedup_spans, _tx.DEDUP_SPANS_ORACLE),
+    "vocabulary": (_tx.q_vocabulary, _tx.VOCABULARY_ORACLE),
     # --- multimodal (analytics/multimodal.py) ---
     "media_features": (_mm.q_media_features, _mm.MEDIA_FEATURES_ORACLE),
     "media_summary": (_mm.q_media_summary, _mm.MEDIA_SUMMARY_ORACLE),
