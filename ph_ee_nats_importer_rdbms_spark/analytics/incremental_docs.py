@@ -139,7 +139,26 @@ def build_index(spark: SparkSession, docs: DataFrame, root: str) -> None:
 
 
 def append_batch(spark: SparkSession, new_docs: DataFrame, root: str) -> dict:
-    """Fold a new document batch into the store; returns append stats."""
+    """Fold a new document batch into the store; returns append stats.
+
+    Raises ``ValueError`` if the batch re-delivers a stored doc_id — the
+    append-only contract; a silent append would double the doc's band
+    entries and corrupt pair generation. The check is a column-pruned
+    semi-join against the stored signature ids, cheap next to the append
+    itself."""
+    dup = (
+        new_docs.select("doc_id")
+        .join(
+            _read(spark, root, "signatures").select("doc_id"), "doc_id", "leftsemi"
+        )
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"append_batch: doc_id {dup[0][0]} already in the store — "
+            "batches must carry new doc_ids (re-deliveries are not appends)"
+        )
     sh_new = shingles_of(new_docs).localCheckpoint(eager=True)
     sig_new = signatures_of(sh_new).localCheckpoint(eager=True)
     bands_new = bands_of(sig_new).localCheckpoint(eager=True)

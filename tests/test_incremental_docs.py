@@ -105,3 +105,19 @@ def test_fuzz_append_sequence_matches_full_rebuild(
 
     assert _pairs(spark, root) == _pairs(spark, full)
     assert _labels(spark, root) == _labels(spark, full)
+
+
+def test_append_rejects_redelivered_doc_ids(spark, tmp_path):
+    import pytest as _pytest
+
+    schema = "doc_id long, text string"
+    root = str(tmp_path / "inc")
+    inc.build_index(
+        spark, spark.createDataFrame([(1, "alpha beta gamma delta")], schema), root
+    )
+    with _pytest.raises(ValueError, match="already in the store"):
+        inc.append_batch(
+            spark,
+            spark.createDataFrame([(1, "alpha beta gamma delta")], schema),
+            root,
+        )
