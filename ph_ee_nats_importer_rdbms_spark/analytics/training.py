@@ -310,3 +310,57 @@ rec(shard_id, rn, doc_id, n_tokens, seq_id, load) AS (
 )
 SELECT shard_id, doc_id, n_tokens, seq_id FROM rec
 """
+
+
+# ---------------------------------------------------------------------------
+# Source-weighted mixture sampling (data mixing)
+# ---------------------------------------------------------------------------
+
+#: sampling rates in basis points, assigned to a source by its numeric
+#: suffix mod 4 — stands in for the per-source mixture config an LLM
+#: pretraining run declares (e.g. upweight curated sources, downweight
+#: crawl tails).
+MIXTURE_TIERS_BP = [10000, 7500, 5000, 2500]
+MIXTURE_SALT = "mix:"
+
+_MIX_TIER_SQL = (
+    "CASE TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 "
+    f"WHEN 0 THEN {MIXTURE_TIERS_BP[0]} WHEN 1 THEN {MIXTURE_TIERS_BP[1]} "
+    f"WHEN 2 THEN {MIXTURE_TIERS_BP[2]} WHEN 3 THEN {MIXTURE_TIERS_BP[3]} "
+    f"ELSE {MIXTURE_TIERS_BP[0]} END"
+)
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-weighted corpus thinning — the "data mixing"
+    stage that turns per-source weights into a training subsample.
+
+    A doc is kept iff h32(mix:doc_id) % 10000 < its source's rate, so the
+    whole stage is a map-only filter: no shuffle, no RNG state, stable
+    under re-runs, repartitioning, and cluster size — at 100 TB it is a
+    single embarrassingly-parallel scan with the filter and the two-column
+    projection pushed to parquet. Because the per-doc hash is fixed,
+    samples nest: raising a source's rate strictly grows its sample
+    (adding data never churns what an earlier run already selected —
+    the property that keeps tokenized shards reusable across mixture
+    revisions). The rate is computed inline from the source name here;
+    a production run would broadcast-join a config dimension instead,
+    which changes nothing about the plan shape (broadcast, still no
+    shuffle of the fact side).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    keep = (
+        F.expr(spark_h32(f"concat('{MIXTURE_SALT}', CAST(doc_id AS STRING))")) % 10000
+        < F.expr(_MIX_TIER_SQL)
+    )
+    return d.filter(keep).select(
+        "doc_id", "source", F.expr(_MIX_TIER_SQL).alias("rate_bp")
+    )
+
+
+MIXTURE_SAMPLE_ORACLE = f"""
+SELECT doc_id, source, CAST({_MIX_TIER_SQL} AS BIGINT) AS rate_bp
+FROM documents
+WHERE {duck_h32(f"'{MIXTURE_SALT}' || CAST(doc_id AS VARCHAR)")} % 10000
+      < {_MIX_TIER_SQL}
+"""

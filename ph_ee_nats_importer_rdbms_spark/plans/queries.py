@@ -881,6 +881,7 @@ FROM documents GROUP BY 1
 from ph_ee_nats_importer_rdbms_spark.analytics import (  # noqa: E402
     dedup as _dd,
     multimodal as _mm,
+    pii as _pii,
     similarity as _sim,
     text as _tx,
     training as _tr,
@@ -954,6 +955,8 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "length_percentiles": (_tr.q_length_percentiles, _tr.LENGTH_PERCENTILES_ORACLE),
     "balanced_sample": (_tr.q_balanced_sample, _tr.BALANCED_SAMPLE_ORACLE),
     "pack_sequences": (_tr.q_pack_sequences, _tr.PACK_SEQUENCES_ORACLE),
+    "mixture_sample": (_tr.q_mixture_sample, _tr.MIXTURE_SAMPLE_ORACLE),
+    "pii_redact": (_pii.q_pii_redact, _pii.PII_REDACT_ORACLE),
     "curation": (_tx.q_curation, _tx._curation_oracle()),
     "dedup_spans": (_tx.q_dedup_spans, _tx.DEDUP_SPANS_ORACLE),
     "vocabulary": (_tx.q_vocabulary, _tx.VOCABULARY_ORACLE),

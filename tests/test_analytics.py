@@ -512,3 +512,73 @@ def test_ivf_pq_store_prunes_and_matches_inline(spark, sf_dir, tmp_path):
     got = sorted(tuple(r) for r in got_df.collect())
     want = sorted(tuple(r) for r in q_ann_ivf_pq(spark, sf_dir).collect())
     assert got == want and got
+
+
+def test_mixture_sample_rates_and_nesting(spark, sf_dir):
+    """Kept fraction tracks each source's declared rate, the assignment is
+    deterministic, and lowering a rate yields a strict subset (nesting)."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import training as tr
+
+    got = tr.q_mixture_sample(spark, sf_dir).collect()
+    assert got
+    tiers = set(tr.MIXTURE_TIERS_BP)
+    assert {r["rate_bp"] for r in got} <= tiers
+
+    totals = {
+        r["source"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    kept: dict[str, int] = {}
+    rate: dict[str, int] = {}
+    for r in got:
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+        rate[r["source"]] = r["rate_bp"]
+    for src, n_kept in kept.items():
+        expect = rate[src] / 10000
+        assert n_kept <= totals[src]
+        # loose Bernoulli bound on tiny per-source counts
+        assert abs(n_kept / totals[src] - expect) < 0.35
+
+    again = tr.q_mixture_sample(spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    # nesting: a half-rate variant of the same hash keeps a subset
+    half = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(
+            F.expr(
+                tr.spark_h32(
+                    f"concat('{tr.MIXTURE_SALT}', CAST(doc_id AS STRING))"
+                )
+            )
+            % 10000
+            < F.expr(tr._MIX_TIER_SQL) / 2
+        )
+        .select("doc_id")
+        .collect()
+    }
+    full = {r["doc_id"] for r in got}
+    assert half < full
+
+
+def test_pii_redact_scrubs_long_numbers(spark, sf_dir):
+    """Every customer name carries a nine-digit run; after redaction no
+    long-number span survives and counts agree with what was replaced."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import pii
+
+    out = pii.q_pii_redact(spark, sf_dir)
+    n = out.count()
+    assert n > 0
+    bad = out.filter(F.col("redacted").rlike(pii.LONGNUM_RE)).count()
+    assert bad == 0
+    assert out.filter(F.col("n_id") < 1).count() == 0
+    assert out.filter(~F.col("redacted").contains(pii.LONGNUM_TOKEN)).count() == 0
+    # corpus fact: no email/phone-shaped spans exist — verified zero
+    zeros = out.agg(
+        F.sum("n_email").alias("e"), F.sum("n_phone").alias("p")
+    ).collect()[0]
+    assert (zeros["e"], zeros["p"]) == (0, 0)
