@@ -726,6 +726,49 @@ def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling spend per purchase event — the time-series
+    rollup shape (event-time RANGE frame). One shuffle on user_id then a
+    per-partition sort; the frame is evaluated in a single forward pass
+    with a sliding aggregate buffer — no self-join, no per-row rescan, so
+    cost is the sort, exactly like the as-of join above, and the output
+    stays co-partitioned on user_id for any downstream per-user op. Skew
+    is bounded by one user's purchase history. The frame keys on epoch
+    millis in BOTH engines so tie handling (RANGE includes peers) is
+    engine-identical."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    ms = F.unix_millis(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-7 * 86400000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", ms.alias("ts_ms"), "value"
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.round(F.sum("value").over(w), 2).alias("spend_7d"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )
+
+
+_ROLLING_SPEND_ORACLE = """
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+       round(sum(value) OVER w, 2) AS spend_7d,
+       CAST(count(*) OVER w AS BIGINT) AS n_7d
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+"""
+
+
 _EVENTS_DAILY_ORACLE = """
 SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        count(*) AS n, round(sum(value), 2) AS total_value
@@ -917,6 +960,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         _PURCHASE_ATTRIBUTION_ORACLE,
     ),
     "events_daily": (_q_events_daily, _EVENTS_DAILY_ORACLE),
+    "rolling_spend": (_q_rolling_spend, _ROLLING_SPEND_ORACLE),
     "user_sessions": (_q_user_sessions, _USER_SESSIONS_ORACLE),
     "conversion_funnel": (_q_conversion_funnel, _CONVERSION_FUNNEL_ORACLE),
     "doc_stats": (_q_doc_stats, _DOC_STATS_ORACLE),

@@ -582,3 +582,30 @@ def test_pii_redact_scrubs_long_numbers(spark, sf_dir):
         F.sum("n_email").alias("e"), F.sum("n_phone").alias("p")
     ).collect()[0]
     assert (zeros["e"], zeros["p"]) == (0, 0)
+
+
+def test_rolling_spend_matches_bruteforce(spark, sf_dir):
+    """RANGE-frame trailing window equals the quadratic definition —
+    checked per row against an in-memory brute force over all purchases."""
+    from ph_ee_nats_importer_rdbms_spark.plans.queries import _q_rolling_spend
+
+    got = {r["event_id"]: r for r in _q_rolling_spend(spark, sf_dir).collect()}
+    assert got
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.unix_millis("ts").alias("ts_ms"), "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for p in purchases:
+        by_user.setdefault(p["user_id"], []).append(p)
+    for p in purchases:
+        frame = [
+            q
+            for q in by_user[p["user_id"]]
+            if p["ts_ms"] - 7 * 86400000 <= q["ts_ms"] <= p["ts_ms"]
+        ]
+        r = got[p["event_id"]]
+        assert r["n_7d"] == len(frame)
+        assert abs(r["spend_7d"] - round(sum(q["value"] for q in frame), 2)) < 1e-6
