@@ -185,6 +185,50 @@ def windowed_funnel(
     )
 
 
+def sliding_spend(
+    events: DataFrame,
+    window: str = "7 days",
+    slide: str = "1 day",
+    watermark: str = "1 day",
+    ts_col: str = "event_ts",
+    type_col: str = "event_type",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding event-time window: per-user purchase spend over the
+    trailing ``window``, refreshed every ``slide`` — the streaming twin of
+    the batch ``rolling_spend`` rollup.
+
+    Batch computes an exact per-event trailing RANGE frame; streaming
+    discretizes the frame to ``slide`` granularity, which is the standard
+    trade: each event lands in window/slide overlapping panes, so state
+    per key is bounded by that pane count (not by per-event history), and
+    watermarking closes panes for exactly-once append emission. Map-side
+    combinable like every windowed sum/count here — the overlap factor
+    multiplies shuffle rows, not state residency, and both scale with
+    window/slide, a config knob, not the data.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .filter(F.col(type_col) == "purchase")
+        .groupBy(
+            F.window(F.col(ts_col), window, slide).alias("w"),
+            F.col(key_col),
+        )
+        .agg(
+            F.round(F.sum(value_col), 2).alias("spend"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col(key_col),
+            "spend",
+            "n_purchases",
+        )
+    )
+
+
 def stream_purchase_attribution(
     clicks: DataFrame,
     purchases: DataFrame,

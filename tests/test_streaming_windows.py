@@ -359,3 +359,106 @@ def test_windowed_funnel_parity_with_batch_and_conversion_funnel(spark, tmp_path
     assert sums == [
         funnel["n_view"], funnel["n_view_click"], funnel["n_view_click_purchase"]
     ]
+
+
+def test_sliding_spend_panes_match_bruteforce(spark, tmp_path):
+    """Sliding panes (2h window / 1h slide) emit once closed by the
+    watermark and every pane equals the brute-force sum of its user's
+    purchases inside [start, end)."""
+    from pyspark.sql.types import DoubleType
+
+    from ph_ee_nats_importer_rdbms_spark.streaming.windows import sliding_spend
+
+    schema = StructType(
+        [
+            StructField("event_ts", TimestampType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def drop(i, rows):
+        with open(os.path.join(str(src), f"d{i:03d}.jsonl"), "w") as f:
+            for ts_s, typ, uid, val in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_ts": ts_s * 1000,
+                            "event_type": typ,
+                            "user_id": uid,
+                            "value": val,
+                        }
+                    )
+                    + "\n"
+                )
+
+    def run():
+        stream = (
+            spark.readStream.format("json")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+            .withColumn(
+                "event_ts", F.timestamp_millis(F.col("event_ts").cast("long"))
+            )
+        )
+        q = (
+            sliding_spend(
+                stream, window="2 hours", slide="1 hour", watermark="1 hour"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    rows = [
+        (10, "purchase", 1, 10.0),
+        (30, "view", 1, 99.0),  # non-purchase: excluded
+        (H + 20, "purchase", 1, 5.0),
+        (H + 30, "purchase", 2, 7.0),
+    ]
+    drop(0, rows)
+    run()
+    # advance watermark past every pane end with PURCHASE events — the
+    # type filter is pushed below the watermark operator, so only rows
+    # surviving it advance event time; emission lags one run because the
+    # checkpointed watermark applies at batch START (same 3-run shape as
+    # the tumbling-window test above)
+    drop(1, [(24 * H, "purchase", 9, 1.0)])
+    run()
+    drop(2, [(25 * H, "purchase", 9, 1.0)])
+    run()
+
+    got = spark.read.parquet(out).collect()
+    assert got
+    # user 9's flush purchases live in panes the final watermark (23h at
+    # run-3 batch start) has not closed -> absent from `got` by design
+    assert all(r["user_id"] in (1, 2) for r in got)
+    purchases = [(ts, u, v) for ts, typ, u, v in rows if typ == "purchase"]
+    for r in got:
+        start = r["window_start"].timestamp()
+        end = r["window_end"].timestamp()
+        assert end - start == 2 * H  # window length
+        frame = [
+            v for ts, u, v in purchases if u == r["user_id"] and start <= ts < end
+        ]
+        assert frame, r
+        assert r["n_purchases"] == len(frame)
+        assert abs(r["spend"] - round(sum(frame), 2)) < 1e-9
+    # every purchase lands in exactly window/slide = 2 panes
+    panes_per_user = {}
+    for r in got:
+        panes_per_user[r["user_id"]] = panes_per_user.get(r["user_id"], 0) + 1
+    # user 1: events at 0h and 1h -> panes starting -1h,0h,1h = 3 panes
+    assert panes_per_user[1] == 3
+    # user 2: one event -> 2 panes
+    assert panes_per_user[2] == 2
