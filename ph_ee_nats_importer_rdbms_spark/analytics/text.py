@@ -676,10 +676,20 @@ def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     limit over the (tiny) distinct-token relation. Deterministic total
     order: (count desc, token asc)."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
-    counts = toks.groupBy("token").agg(
-        F.count(F.lit(1)).alias("n_occurrences"),
-        F.count_distinct("doc_id").alias("n_docs"),
+    # Two-level aggregate instead of count_distinct: the distinct-count
+    # form plans as a 2x Expand before the shuffle, while grouping on
+    # (token, doc_id) first lets the map-side partial agg collapse each
+    # doc's repeated tokens BEFORE the wire (small-vocab corpora collapse
+    # hundreds-fold), then the per-token fold runs over the tiny distinct
+    # relation — the textbook scalable count-distinct shape.
+    per_doc = (
+        d.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_in_doc"))
+    )
+    counts = per_doc.groupBy("token").agg(
+        F.sum("n_in_doc").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
     )
     return (
         counts.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
