@@ -39,6 +39,45 @@ PHONE_TOKEN = "[PHONE]"
 LONGNUM_TOKEN = "[ID]"
 
 
+def redaction_exprs(profile: F.Column) -> list[F.Column]:
+    """The redaction transform as reusable Column exprs over any text
+    column: [redacted, n_email, n_phone, n_id]. Email → phone → long-
+    number in a fixed order so the rewrite is deterministic even where
+    patterns overlap."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(profile, F.lit(EMAIL_RE), F.lit(EMAIL_TOKEN)),
+            F.lit(PHONE_RE),
+            F.lit(PHONE_TOKEN),
+        ),
+        F.lit(LONGNUM_RE),
+        F.lit(LONGNUM_TOKEN),
+    )
+    return [
+        redacted.alias("redacted"),
+        F.regexp_count(profile, F.lit(EMAIL_RE)).alias("n_email"),
+        F.regexp_count(profile, F.lit(PHONE_RE)).alias("n_phone"),
+        F.regexp_count(profile, F.lit(LONGNUM_RE)).alias("n_id"),
+    ]
+
+
+def duck_redaction_sql(profile_sql: str) -> str:
+    """The DuckDB twin of :func:`redaction_exprs` (same order, same
+    aliases) over an arbitrary text expression."""
+    return f"""
+       regexp_replace(
+         regexp_replace(
+           regexp_replace({profile_sql}, '{EMAIL_RE}', '[EMAIL]', 'g'),
+           '{PHONE_RE}', '[PHONE]', 'g'),
+         '{LONGNUM_RE}', '[ID]', 'g') AS redacted,
+       CAST(len(regexp_extract_all({profile_sql}, '{EMAIL_RE}')) AS INT)
+         AS n_email,
+       CAST(len(regexp_extract_all({profile_sql}, '{PHONE_RE}')) AS INT)
+         AS n_phone,
+       CAST(len(regexp_extract_all({profile_sql}, '{LONGNUM_RE}')) AS INT)
+         AS n_id"""
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(c_custkey, redacted, n_email, n_phone, n_id) per customer profile.
 
@@ -49,38 +88,12 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = load_table(spark, sf_dir, "customer")
     profile = F.concat_ws(" ", "c_name", "c_mktsegment")
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(profile, F.lit(EMAIL_RE), F.lit(EMAIL_TOKEN)),
-            F.lit(PHONE_RE),
-            F.lit(PHONE_TOKEN),
-        ),
-        F.lit(LONGNUM_RE),
-        F.lit(LONGNUM_TOKEN),
-    )
-    return c.select(
-        "c_custkey",
-        redacted.alias("redacted"),
-        F.regexp_count(profile, F.lit(EMAIL_RE)).alias("n_email"),
-        F.regexp_count(profile, F.lit(PHONE_RE)).alias("n_phone"),
-        F.regexp_count(profile, F.lit(LONGNUM_RE)).alias("n_id"),
-    )
+    return c.select("c_custkey", *redaction_exprs(profile))
 
 
 _DUCK_PROFILE = "concat_ws(' ', c_name, c_mktsegment)"
 
 PII_REDACT_ORACLE = f"""
-SELECT c_custkey,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace({_DUCK_PROFILE}, '{EMAIL_RE}', '[EMAIL]', 'g'),
-           '{PHONE_RE}', '[PHONE]', 'g'),
-         '{LONGNUM_RE}', '[ID]', 'g') AS redacted,
-       CAST(len(regexp_extract_all({_DUCK_PROFILE}, '{EMAIL_RE}')) AS INT)
-         AS n_email,
-       CAST(len(regexp_extract_all({_DUCK_PROFILE}, '{PHONE_RE}')) AS INT)
-         AS n_phone,
-       CAST(len(regexp_extract_all({_DUCK_PROFILE}, '{LONGNUM_RE}')) AS INT)
-         AS n_id
+SELECT c_custkey, {duck_redaction_sql(_DUCK_PROFILE)}
 FROM customer
 """
