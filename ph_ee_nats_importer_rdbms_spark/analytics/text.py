@@ -538,6 +538,85 @@ SELECT doc_id, reject_reason, reject_reason IS NULL AS kept FROM verdict
 
 # ---------------------------------------------------------------------------
 # Duplicated-span removal (the transformation side of cross-doc dedup)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) dataset card: the summary table a corpus
+    delivery ships — doc counts, kept fraction after the composed
+    curation verdict, the rejection-reason mix, mean quality, and token
+    volume before/after curation (the number a pretraining run actually
+    budgets against).
+
+    Composition over already-oracle-checked operators again: three
+    per-doc joins on doc_id (verdict, quality, token counts — the heavy
+    inputs are staged curation artifacts), then ONE grouped aggregate on
+    the tiny (source, lang) key. Every measure is a map-side-combinable
+    sum/count/avg, so at 100 TB the report costs the joins plus a single
+    near-empty shuffle; the output is config-sized (sources x langs)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    cur = q_curation(spark, sf_dir)
+    qual = q_quality(spark, sf_dir).select("doc_id", "quality_score")
+    tok = q_token_counts(spark, sf_dir).select("doc_id", "n_ws_tokens")
+    j = d.join(cur, "doc_id").join(qual, "doc_id").join(tok, "doc_id")
+    kept_l = F.col("kept").cast("long")
+
+    def rej(r: str) -> Column:
+        # when/otherwise, not a bare ==: reject_reason is NULL for kept
+        # docs, and NULL == r propagates NULL through sum (an all-kept
+        # group would report NULL instead of 0)
+        flag = F.when(F.col("reject_reason") == r, F.lit(1)).otherwise(F.lit(0))
+        return F.sum(flag.cast("long")).alias(f"n_rej_{r}")
+
+    # Ratio columns floor-truncate over EXACT integer numerators (counts;
+    # quality_score is a floored 4-decimal, so x10000 is integer-valued
+    # and sums exactly): both engines then divide identical operands and
+    # floor the identical IEEE754 quotient — no HALF_UP vs HALF_EVEN
+    # midpoint flips (the same trick quality_score itself uses).
+    n = F.count(F.lit(1))
+    return j.groupBy("source", "lang").agg(
+        n.alias("n_docs"),
+        F.sum(kept_l).alias("n_kept"),
+        (F.floor(F.sum(kept_l) * 10000 / n) / F.lit(10000.0)).alias("kept_frac"),
+        rej("lang"),
+        rej("quality"),
+        rej("repetition"),
+        rej("duplicate"),
+        (
+            F.floor(F.sum(F.col("quality_score") * 10000) / n) / F.lit(10000.0)
+        ).alias("mean_quality"),
+        F.sum("n_ws_tokens").alias("total_ws_tokens"),
+        F.sum(
+            F.when(F.col("kept"), F.col("n_ws_tokens")).otherwise(F.lit(0))
+        ).alias("kept_ws_tokens"),
+    )
+
+
+def _corpus_report_oracle() -> str:
+    def rej(r: str) -> str:
+        return (
+            f"CAST(sum(CASE WHEN cur.reject_reason = '{r}' THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n_rej_{r}"
+        )
+
+    return f"""
+WITH cur AS ({_curation_oracle()}),
+q AS ({QUALITY_ORACLE}),
+tok AS ({TOKEN_COUNTS_ORACLE})
+SELECT d.source, d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN cur.kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       floor(sum(CASE WHEN cur.kept THEN 1 ELSE 0 END) * 10000 / count(*))
+         / 10000.0 AS kept_frac,
+       {rej('lang')}, {rej('quality')}, {rej('repetition')}, {rej('duplicate')},
+       floor(sum(q.quality_score * 10000) / count(*)) / 10000.0
+         AS mean_quality,
+       CAST(sum(tok.n_ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(CASE WHEN cur.kept THEN tok.n_ws_tokens ELSE 0 END) AS BIGINT)
+         AS kept_ws_tokens
+FROM documents d
+JOIN cur USING (doc_id) JOIN q USING (doc_id) JOIN tok USING (doc_id)
+GROUP BY d.source, d.lang
+"""
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -1002,6 +1002,7 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "mixture_sample": (_tr.q_mixture_sample, _tr.MIXTURE_SAMPLE_ORACLE),
     "pii_redact": (_pii.q_pii_redact, _pii.PII_REDACT_ORACLE),
     "curation": (_tx.q_curation, _tx._curation_oracle()),
+    "corpus_report": (_tx.q_corpus_report, _tx._corpus_report_oracle()),
     "dedup_spans": (_tx.q_dedup_spans, _tx.DEDUP_SPANS_ORACLE),
     "vocabulary": (_tx.q_vocabulary, _tx.VOCABULARY_ORACLE),
     # --- multimodal (analytics/multimodal.py) ---

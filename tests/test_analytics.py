@@ -661,3 +661,27 @@ def test_pii_regex_parity_on_adversarial_text(spark):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         assert tuple(g) == tuple(w), (g, w, rows[g["id"]])
+
+
+def test_corpus_report_totals_are_consistent(spark, sf_dir):
+    """Dataset-card sanity: every (source, lang) row's kept + rejects sum
+    to its doc count, token budgets are ordered, and global doc totals
+    match the corpus."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.text import q_corpus_report
+
+    rows = q_corpus_report(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["n_kept"]
+            + r["n_rej_lang"]
+            + r["n_rej_quality"]
+            + r["n_rej_repetition"]
+            + r["n_rej_duplicate"]
+            == r["n_docs"]
+        )
+        assert 0 <= r["kept_ws_tokens"] <= r["total_ws_tokens"]
+        assert 0.0 <= r["kept_frac"] <= 1.0
+        assert 0.0 <= r["mean_quality"] <= 1.0
+    n_total = sum(r["n_docs"] for r in rows)
+    assert n_total == load_table(spark, sf_dir, "documents").count()
