@@ -462,3 +462,104 @@ def test_sliding_spend_panes_match_bruteforce(spark, tmp_path):
     assert panes_per_user[1] == 3
     # user 2: one event -> 2 panes
     assert panes_per_user[2] == 2
+
+
+def test_sliding_spend_degenerate_tumbling_matches_batch(spark, tmp_path):
+    """Streaming-batch agreement gate: with slide == window the sliding
+    rollup degenerates to tumbling panes, which batch expresses as a
+    plain groupBy(window(...)) — the two engines' pane contents must be
+    identical row-for-row."""
+    from pyspark.sql.types import DoubleType
+
+    from ph_ee_nats_importer_rdbms_spark.streaming.windows import sliding_spend
+
+    schema = StructType(
+        [
+            StructField("event_ts", TimestampType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    src = tmp_path / "tsrc"
+    src.mkdir()
+    out = str(tmp_path / "tout")
+    ck = str(tmp_path / "tck")
+
+    rows = [
+        (10, "purchase", 1, 10.0),
+        (600, "purchase", 1, 2.5),
+        (H + 20, "purchase", 1, 5.0),
+        (H + 30, "purchase", 2, 7.0),
+        (2 * H + 5, "purchase", 2, 1.0),
+        (40, "view", 1, 99.0),
+    ]
+
+    def drop(i, rs):
+        with open(os.path.join(str(src), f"t{i:03d}.jsonl"), "w") as f:
+            for ts_s, typ, uid, val in rs:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_ts": ts_s * 1000,
+                            "event_type": typ,
+                            "user_id": uid,
+                            "value": val,
+                        }
+                    )
+                    + "\n"
+                )
+
+    def run():
+        stream = (
+            spark.readStream.format("json")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+            .withColumn(
+                "event_ts", F.timestamp_millis(F.col("event_ts").cast("long"))
+            )
+        )
+        q = (
+            sliding_spend(
+                stream, window="1 hour", slide="1 hour", watermark="1 hour"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drop(0, rows)
+    run()
+    drop(1, [(24 * H, "purchase", 9, 1.0)])
+    run()
+    drop(2, [(25 * H, "purchase", 9, 1.0)])
+    run()
+
+    streamed = {
+        (r["window_start"], r["user_id"]): (r["spend"], r["n_purchases"])
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] in (1, 2)  # flush user's panes aren't closed yet
+    }
+
+    batch_df = spark.createDataFrame(
+        [(ts, typ, uid, val) for ts, typ, uid, val in rows], 
+        "ts_s long, event_type string, user_id long, value double",
+    ).withColumn("event_ts", F.timestamp_millis(F.col("ts_s") * 1000))
+    batch = {
+        (r["w"]["start"], r["user_id"]): (r["spend"], r["n_purchases"])
+        for r in (
+            batch_df.filter(F.col("event_type") == "purchase")
+            .groupBy(F.window("event_ts", "1 hour").alias("w"), "user_id")
+            .agg(
+                F.round(F.sum("value"), 2).alias("spend"),
+                F.count(F.lit(1)).alias("n_purchases"),
+            )
+            .collect()
+        )
+    }
+    assert streamed == batch and len(streamed) == 4
