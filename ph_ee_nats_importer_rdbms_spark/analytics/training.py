@@ -163,6 +163,37 @@ def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: percentile_approx accuracy knob: error bound is 1/accuracy of the
+#: rank, i.e. ±0.01% of rows at 10000.
+APPROX_PCT_ACCURACY = 10000
+
+
+def q_length_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of :func:`q_length_percentiles`: exact
+    ``percentile`` buffers every distinct value per group (memory grows
+    with group cardinality — fine at bench scale, wrong at corpus
+    scale), while ``percentile_approx`` folds a bounded Greenwald-Khanna
+    sketch: O(accuracy·log n) state per group, map-side mergeable, rank
+    error ≤ n/accuracy. Not oracle-registered — DuckDB has no matching
+    sketch, so the gate is a pytest bound against the exact operator
+    (|approx − exact| within the documented rank tolerance)."""
+    d = load_table(spark, sf_dir, "documents")
+    pct = F.expr(
+        "percentile_approx(n_chars, array(0.5, 0.9, 0.99), "
+        f"{APPROX_PCT_ACCURACY})"
+    )
+    return (
+        d.groupBy("lang")
+        .agg(pct.alias("p"))
+        .select(
+            "lang",
+            F.col("p")[0].alias("p50"),
+            F.col("p")[1].alias("p90"),
+            F.col("p")[2].alias("p99"),
+        )
+    )
+
+
 LENGTH_PERCENTILES_ORACLE = """
 SELECT lang,
        round(quantile_cont(n_chars, 0.5), 2) AS p50,

@@ -997,6 +997,9 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "train_test_split": (_tr.q_train_test_split, _tr.TRAIN_TEST_SPLIT_ORACLE),
     "decontamination": (_tr.q_decontamination, _tr.DECONTAMINATION_ORACLE),
     "length_percentiles": (_tr.q_length_percentiles, _tr.LENGTH_PERCENTILES_ORACLE),
+    # sketch-based: no DuckDB twin exists; gated by the pytest rank-bound
+    # test against the exact operator instead of a SQL oracle
+    "length_percentiles_approx": (_tr.q_length_percentiles_approx, None),
     "balanced_sample": (_tr.q_balanced_sample, _tr.BALANCED_SAMPLE_ORACLE),
     "pack_sequences": (_tr.q_pack_sequences, _tr.PACK_SEQUENCES_ORACLE),
     "mixture_sample": (_tr.q_mixture_sample, _tr.MIXTURE_SAMPLE_ORACLE),

@@ -685,3 +685,34 @@ def test_corpus_report_totals_are_consistent(spark, sf_dir):
         assert 0.0 <= r["mean_quality"] <= 1.0
     n_total = sum(r["n_docs"] for r in rows)
     assert n_total == load_table(spark, sf_dir, "documents").count()
+
+
+def test_length_percentiles_approx_within_rank_bound(spark, sf_dir):
+    """percentile_approx must return an actual per-lang n_chars value
+    whose rank is within the documented GK bound (n/accuracy + 1) of the
+    target rank — the gate for the sketch twin of the exact operator."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import training as tr
+
+    approx = {r["lang"]: r for r in tr.q_length_percentiles_approx(spark, sf_dir).collect()}
+    assert approx
+    by_lang: dict[str, list[int]] = {}
+    for r in (
+        load_table(spark, sf_dir, "documents").select("lang", "n_chars").collect()
+    ):
+        by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    assert set(approx) == set(by_lang)
+    for lang, vals in by_lang.items():
+        vals.sort()
+        n = len(vals)
+        tol = n / tr.APPROX_PCT_ACCURACY + 1
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            got = approx[lang][col]
+            assert got in vals, (lang, col, got)
+            # nearest-rank window of this value among duplicates
+            lo = vals.index(got)
+            hi = n - 1 - vals[::-1].index(got)
+            target = q * (n - 1)
+            dist = 0.0 if lo <= target <= hi else min(
+                abs(lo - target), abs(hi - target)
+            )
+            assert dist <= tol, (lang, col, got, target, lo, hi)
