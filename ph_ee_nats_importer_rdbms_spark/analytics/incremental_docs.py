@@ -26,22 +26,44 @@ hypothesis fuzz): after any sequence of appends, ``pairs`` equals the
 from-scratch pair set of the union corpus and ``labels`` equals the
 from-scratch clustering.
 
-Store layout under ``root``::
+Store layout — batch-versioned with COMMIT MANIFESTS (the minimal
+manifest-transaction shape a Delta/Iceberg table would provide at lake
+scale; single writer assumed, like the deployed importer)::
 
-    shingles/    (doc_id, shingles)           append-only
-    signatures/  (doc_id, sig_0..sig_11)      append-only
-    bands/       (doc_id, band_id, band_key)  append-only
-    pairs/       (doc_a, doc_b, jaccard)      append-only
-    labels/      (node, label)                overwritten per append
+    _batches/<seq>_<batch>.json   commit marker, written LAST (atomic
+                                  os.replace); a batch dir without a
+                                  manifest is invisible to every reader
+    shingles/<batch>/    (doc_id, shingles)           per-batch dir
+    signatures/<batch>/  (doc_id, sig_0..sig_11)      per-batch dir
+    bands/<batch>/       (doc_id, band_id, band_key)  per-batch dir
+    pairs/<batch>/       (doc_a, doc_b, jaccard)      per-batch dir
+    delivered/<batch>/   (doc_id)  ALL delivered ids, pre-shingle-filter
+    labels/<batch>/      (node, label)  versioned; current = latest commit
 
-Batches must carry doc_ids disjoint from the store (append-mostly
-corpus contract; the deletion/edit story for derived DOCUMENT artifacts
-is re-shingling the affected sources — cheap because everything here is
+Crash safety: every per-batch write is ``mode("overwrite")`` into a
+batch-deterministic directory, so a crashed append leaves only
+manifest-less garbage that the retried append overwrites in place —
+readers never see it, the re-delivery guard never trusts it (it reads the
+``delivered`` relation of COMMITTED batches only), and the jaccard/parity
+contract cannot be broken by a partial append. Labels are never swapped
+in place: each commit writes a NEW labels version and the manifest is the
+pointer, so a current labels directory exists at every instant.
+
+The re-delivery guard runs against ``delivered`` — every doc_id the batch
+carried, BEFORE the shingle-length filter — so a short doc (fewer than
+SHINGLE_K tokens, which never reaches signatures) still blocks a later
+re-delivery of its doc_id, and ``new_docs`` in the returned stats counts
+the full delivery.
+
+Batches must carry doc_ids disjoint from the store (append-mostly corpus
+contract; the deletion/edit story for derived DOCUMENT artifacts is
+re-shingling the affected sources — cheap because everything here is
 source-sliceable — and is out of scope for this module).
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -80,6 +102,7 @@ _SCHEMAS = {
             T.StructField("jaccard", T.DoubleType()),
         ]
     ),
+    "delivered": T.StructType([T.StructField("doc_id", T.LongType())]),
     "labels": T.StructType(
         [
             T.StructField("node", T.LongType()),
@@ -88,15 +111,53 @@ _SCHEMAS = {
     ),
 }
 
+_BASE_BATCH = "base"
 
-def _path(root: str, name: str) -> str:
-    return os.path.join(root, name)
+
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, "_batches")
+
+
+def _batch_path(root: str, name: str, batch: str) -> str:
+    return os.path.join(root, name, batch)
+
+
+def committed_batches(root: str) -> list[dict]:
+    """Commit manifests in sequence order — the store's visible state."""
+    mdir = _manifest_dir(root)
+    try:
+        names = sorted(n for n in os.listdir(mdir) if n.endswith(".json"))
+    except OSError:
+        return []
+    out = []
+    for n in names:
+        with open(os.path.join(mdir, n)) as f:
+            out.append(json.load(f))
+    return out
+
+
+def _commit(root: str, manifest: dict) -> None:
+    """Write the commit marker atomically (tmp + os.replace) — the ONLY
+    point at which a batch becomes visible."""
+    mdir = _manifest_dir(root)
+    os.makedirs(mdir, exist_ok=True)
+    name = f"{manifest['seq']:06d}_{manifest['batch']}.json"
+    tmp = os.path.join(mdir, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.write("\n")
+    os.replace(tmp, os.path.join(mdir, name))
 
 
 def _read(spark: SparkSession, root: str, name: str) -> DataFrame:
-    # explicit schema: a store whose corpus has no near-dups yet has an
-    # empty (inference-less) pairs/labels directory
-    return spark.read.schema(_SCHEMAS[name]).parquet(_path(root, name))
+    """Union of the artifact across COMMITTED batches only — a crashed
+    append's manifest-less directories are never read. Explicit schema: a
+    store whose corpus has no near-dups yet has an empty pairs dir."""
+    paths = [
+        _batch_path(root, name, m["batch"])
+        for m in committed_batches(root)
+    ]
+    return spark.read.schema(_SCHEMAS[name]).parquet(*paths)
 
 
 def read_pairs(spark: SparkSession, root: str) -> DataFrame:
@@ -104,7 +165,13 @@ def read_pairs(spark: SparkSession, root: str) -> DataFrame:
 
 
 def read_labels(spark: SparkSession, root: str) -> DataFrame:
-    return _read(spark, root, "labels")
+    """The CURRENT labeling = the latest committed batch's labels version
+    (each commit writes a full replacement; the manifest is the pointer,
+    so no in-place swap ever hides the directory from a reader)."""
+    latest = committed_batches(root)[-1]
+    return spark.read.schema(_SCHEMAS["labels"]).parquet(
+        _batch_path(root, "labels", latest["batch"])
+    )
 
 
 def _cc_or_empty(spark: SparkSession, pairs: DataFrame) -> DataFrame:
@@ -112,6 +179,26 @@ def _cc_or_empty(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     if edges.count() == 0:
         return spark.createDataFrame([], _SCHEMAS["labels"])
     return connected_components(edges)
+
+
+def _batch_id_of(docs: DataFrame) -> str:
+    """Deterministic batch id: digest of the sorted doc_id set, computed
+    engine-side (one scalar to the driver). A retried delivery of the same
+    docs maps to the same directories, which is what makes the retry an
+    idempotent overwrite."""
+    row = docs.agg(
+        F.sha2(
+            F.concat_ws(",", F.sort_array(F.collect_list(F.col("doc_id")))), 256
+        ).alias("h")
+    ).collect()[0]
+    return row["h"][:16]
+
+
+def _write_artifacts(
+    root: str, batch: str, dfs: dict[str, DataFrame]
+) -> None:
+    for name, df in dfs.items():
+        df.write.mode("overwrite").parquet(_batch_path(root, name, batch))
 
 
 def build_index(spark: SparkSession, docs: DataFrame, root: str) -> None:
@@ -131,26 +218,43 @@ def build_index(spark: SparkSession, docs: DataFrame, root: str) -> None:
         .distinct()
     )
     pairs = jaccard_verify(candidates, sh).localCheckpoint(eager=True)
-    for name, df in (("shingles", sh), ("signatures", sigs), ("bands", bands), ("pairs", pairs)):
-        df.write.mode("overwrite").parquet(_path(root, name))
-    _cc_or_empty(spark, pairs).write.mode("overwrite").parquet(
-        _path(root, "labels")
+    _write_artifacts(
+        root,
+        _BASE_BATCH,
+        {
+            "shingles": sh,
+            "signatures": sigs,
+            "bands": bands,
+            "pairs": pairs,
+            "delivered": docs.select("doc_id"),
+            "labels": _cc_or_empty(spark, pairs),
+        },
     )
+    _commit(root, {"seq": 0, "batch": _BASE_BATCH})
 
 
-def append_batch(spark: SparkSession, new_docs: DataFrame, root: str) -> dict:
+def append_batch(
+    spark: SparkSession, new_docs: DataFrame, root: str
+) -> dict:
     """Fold a new document batch into the store; returns append stats.
 
     Raises ``ValueError`` if the batch re-delivers a stored doc_id — the
     append-only contract; a silent append would double the doc's band
-    entries and corrupt pair generation. The check is a column-pruned
-    semi-join against the stored signature ids, cheap next to the append
-    itself."""
+    entries and corrupt pair generation. The guard checks the committed
+    ``delivered`` relation (every doc_id ever accepted, pre-shingle-
+    filter), so short docs that never reached the signature store still
+    reject, and a batch that crashed BEFORE its commit manifest leaves no
+    trace the guard would trust — the retry overwrites its directories."""
+    committed = committed_batches(root)
+    batch = _batch_id_of(new_docs)
+    if any(m["batch"] == batch for m in committed):
+        raise ValueError(
+            f"append_batch: batch {batch} already committed — "
+            "this exact delivery has been applied (retry after success?)"
+        )
     dup = (
         new_docs.select("doc_id")
-        .join(
-            _read(spark, root, "signatures").select("doc_id"), "doc_id", "leftsemi"
-        )
+        .join(_read(spark, root, "delivered"), "doc_id", "leftsemi")
         .limit(1)
         .collect()
     )
@@ -189,7 +293,7 @@ def append_batch(spark: SparkSession, new_docs: DataFrame, root: str) -> dict:
     pairs_new = jaccard_verify(candidates, sh_all).localCheckpoint(eager=True)
 
     # label merge: old labeling as contraction edges + the new pairs
-    old_label_edges = _read(spark, root, "labels").select(
+    old_label_edges = read_labels(spark, root).select(
         F.col("node").alias("doc_a"), F.col("label").alias("doc_b")
     )
     merged_input = old_label_edges.unionByName(
@@ -197,23 +301,24 @@ def append_batch(spark: SparkSession, new_docs: DataFrame, root: str) -> dict:
     )
     labels = _cc_or_empty(spark, merged_input).localCheckpoint(eager=True)
 
-    for name, df in (
-        ("shingles", sh_new),
-        ("signatures", sig_new),
-        ("bands", bands_new),
-        ("pairs", pairs_new),
-    ):
-        df.write.mode("append").parquet(_path(root, name))
-    # overwrite via tmp-swap: the labels read above is checkpointed, but
-    # the swap also keeps a reader from ever seeing a half-written dir
-    tmp = _path(root, "labels.tmp")
-    labels.write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    shutil.rmtree(_path(root, "labels"))
-    os.rename(tmp, _path(root, "labels"))
+    # stage everything into batch-deterministic dirs (idempotent on retry),
+    # THEN commit: the manifest write is the transaction boundary.
+    _write_artifacts(
+        root,
+        batch,
+        {
+            "shingles": sh_new,
+            "signatures": sig_new,
+            "bands": bands_new,
+            "pairs": pairs_new,
+            "delivered": new_docs.select("doc_id"),
+            "labels": labels,
+        },
+    )
+    n_delivered = new_docs.count()
+    _commit(root, {"seq": len(committed), "batch": batch})
     return {
-        "new_docs": sh_new.count(),
+        "new_docs": n_delivered,
         "new_pairs": pairs_new.count(),
         "labeled_nodes": labels.count(),
     }

@@ -64,6 +64,12 @@ IVF_CODEBOOKS: dict[str, list[list[float]]] = _IVF_META["codebooks"]
 ORACLE_SF_BASE = "sf0.01"
 IVF_NLIST = _IVF_META["k"]
 IVF_NPROBE = 4
+#: multi-probe for the IVF-ADC path: scanning PQ codes is ~16× cheaper per
+#: candidate than raw vectors, so the ADC composition probes 8/16 lists
+#: where raw-vector IVF probes 4 — the FAISS nprobe-with-PQ trade. Lifts
+#: IVF-ADC candidate-capped recall@10 from 0.51 to ≈0.80 at sf0.1 (measured,
+#: q_ann_recall) while the scored bytes stay below raw-IVF's 4-list scan.
+IVF_PQ_NPROBE = 8
 
 
 def _codebook(sf_dir: str) -> list[list[float]]:
@@ -137,7 +143,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive (recall ≈ 1 for angularly-close pairs). For GENERAL top-k
     ANN its measured recall@10 on this corpus is ≈ 0.01-0.10; call
     :func:`q_ann` (the recommended default: PQ + exact re-rank,
-    ≈ 0.70-0.91) or :func:`q_ann_lsh_multi` (multi-table union,
+    ≈ 0.94-0.99) or :func:`q_ann_lsh_multi` (multi-table union,
     ≈ 0.31-0.41) instead — routing table on :func:`q_ann`."""
     bucketed = ann_bucket_table(spark, sf_dir)
     queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
@@ -291,7 +297,12 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _staged(spark, sf_dir, "ivf_assign", build)
 
 
-def _ivf_probes(spark: SparkSession, sf_dir: str, assign: DataFrame) -> DataFrame:
+def _ivf_probes(
+    spark: SparkSession,
+    sf_dir: str,
+    assign: DataFrame,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
     """(query_id, q_emb, cluster_id): each query's ``nprobe`` nearest
     inverted lists, by centroid cosine (deterministic tie-break)."""
     cent = _ivf_centroids(spark, sf_dir)
@@ -309,7 +320,7 @@ def _ivf_probes(spark: SparkSession, sf_dir: str, assign: DataFrame) -> DataFram
     )
     return (
         q_scored.withColumn("pr", F.row_number().over(probe_w))
-        .filter(F.col("pr") <= IVF_NPROBE)
+        .filter(F.col("pr") <= nprobe)
         .select("query_id", "q_emb", F.col("cid").alias("cluster_id"))
     )
 
@@ -344,14 +355,16 @@ def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ===================  =====================================================
     general top-k ANN    **this** (= :func:`q_ann_pq`, PQ codes + asymmetric
                          distance + exact re-rank: best measured recall@10 —
-                         0.91 at sf0.01 / 0.70 at sf0.1 — from a linear scan
-                         of the COMPRESSED index)
-    corpus >> RAM        :func:`q_ann_ivf_pq` (IVF-ADC, 0.59/0.47: probes
-                         prune to nprobe/nlist of the corpus AND the pruned
-                         lists are scored from PQ codes, not raw vectors —
-                         recall ≈ IVF's because pruning dominates, cost is
-                         the lowest of every path); :func:`q_ann_ivf` for
-                         the uncompressed variant
+                         0.99 at sf0.01 / 0.94 at sf0.1 with the M=16
+                         codebooks — from a linear scan of the COMPRESSED
+                         index)
+    corpus >> RAM        :func:`q_ann_ivf_pq` (IVF-ADC, 0.80/0.77: probes
+                         prune to IVF_PQ_NPROBE/nlist of the corpus AND the
+                         pruned lists are scored from PQ codes, not raw
+                         vectors — the multi-probe ADC trade: 8 lists of
+                         codes cost less than raw IVF's 4 lists of floats);
+                         :func:`q_ann_ivf` for the uncompressed variant
+                         (0.59/0.51 at nprobe 4)
     recall-hungry LSH    :func:`q_ann_lsh_multi` (8-table LSH union — L× the
                          candidates; add tables to push recall further)
     near-duplicate test  :func:`q_ann_lsh` single-table sign-LSH — recall ≈ 1
@@ -420,7 +433,7 @@ def ann_ivf_pq_from_store(
     (same candidates, scoring, rounding, tie-breaks)."""
     cb = _pq_cb_sql(_pq_books(sf_dir))
     store = spark.read.parquet(store_path)
-    probes = _ivf_probes(spark, sf_dir, store)
+    probes = _ivf_probes(spark, sf_dir, store, nprobe=IVF_PQ_NPROBE)
     probed_ids = sorted(
         {r["cluster_id"] for r in probes.select("cluster_id").distinct().collect()}
     )
@@ -609,7 +622,7 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     query is one pruned scan + one broadcast LUT pass + a tiny re-rank."""
     cb = _pq_cb_sql(_pq_books(sf_dir))
     assign = ivf_assignments(spark, sf_dir)
-    probes = _ivf_probes(spark, sf_dir, assign)
+    probes = _ivf_probes(spark, sf_dir, assign, nprobe=IVF_PQ_NPROBE)
     codes_t = pq_codes_table(spark, sf_dir)
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
@@ -653,9 +666,12 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_cb_duck(books) -> str:
-    """The codebook as one nested DuckDB list literal."""
+    """The codebook as one nested DuckDB list literal. The explicit DOUBLE
+    cast matters: bare decimal literals infer as DECIMAL, and float32
+    round-trip reprs are long enough that DECIMAL×DECIMAL in the ADC
+    expression overflows the 38-digit scale cap."""
     return (
-        "["
+        "CAST(["
         + ", ".join(
             "["
             + ", ".join(
@@ -664,7 +680,7 @@ def _pq_cb_duck(books) -> str:
             + "]"
             for book in books
         )
-        + "]"
+        + "] AS DOUBLE[][][])"
     )
 
 
@@ -867,7 +883,7 @@ probes AS (
            row_number() OVER (PARTITION BY q.query_id
                               ORDER BY {q6} DESC, c.cid ASC) AS rn
     FROM q CROSS JOIN cent c
-  ) WHERE rn <= {IVF_NPROBE}
+  ) WHERE rn <= {IVF_PQ_NPROBE}
 ),
 cbl(cb) AS (SELECT {cb}),
 pqcb(m, cid, cvec) AS (VALUES {pq_rows}),
@@ -954,11 +970,15 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     One row per (method, query): hit count and floor-truncated recall.
 
     Measured mean recall@10 (sf0.01 / sf0.1): PQ with 128-candidate exact
-    re-rank ≈ 0.91 / 0.70 (the general-ANN winner — :func:`q_ann` routes
-    here), IVF with the learned per-corpus codebook ≈ 0.59 / 0.51
+    re-rank ≈ 0.99 / 0.94 (the general-ANN winner — :func:`q_ann` routes
+    here; round 3's M=8 codebooks measured 0.91/0.70, and doubling the
+    subquantizer count to M=16 — the round-4 sweep's pick — closed most
+    of the quantization loss at 2× the code bytes), IVF with the learned
+    per-corpus codebook ≈ 0.59 / 0.51
     (round-2's fixed vector subset: 0.41 — the k-means win), IVF-ADC
-    ≈ 0.59 / 0.47 (recall capped by the IVF candidate set, at the lowest
-    cost of every path), 8-table LSH
+    ≈ 0.80 / 0.77 (multi-probe: 8 lists of cheap PQ codes vs raw IVF's 4
+    lists of floats — candidate recall scales with nprobe while the
+    scored bytes stay smaller than raw-IVF's), 8-table LSH
     ≈ 0.31 / 0.41, single-table
     sign-LSH ≈ 0.01 / 0.10 — the honest picture for this corpus's
     weakly-clustered embeddings (only ~10% of true top-10 neighbors

@@ -930,7 +930,7 @@ from ph_ee_nats_importer_rdbms_spark.analytics import (  # noqa: E402
     training as _tr,
 )
 
-QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+_QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "zeebe_transfers": (_q_transfers, synthetic.TRANSFERS_ORACLE),
     "zeebe_transaction_requests": (
         _q_transaction_requests,
@@ -1011,4 +1011,37 @@ QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # --- multimodal (analytics/multimodal.py) ---
     "media_features": (_mm.q_media_features, _mm.MEDIA_FEATURES_ORACLE),
     "media_summary": (_mm.q_media_summary, _mm.MEDIA_SUMMARY_ORACLE),
+}
+
+# ---------------------------------------------------------------------------
+# Driver-snapshot ordering. The per-round correctness driver snapshots the
+# registry in insertion order with a cap (round 3: first 50 of 61 entries, so
+# the 11 newest operators shipped without a driver CORRECTNESS row). Entries
+# that have never had a driver row — the round-3 gap plus anything added this
+# round — are promoted to the FRONT of the registry; previously
+# driver-verified entries (green in CORRECTNESS_r01–r03) fill the remaining
+# slots in their original family order. The full registry is additionally
+# gated by tests/test_full_registry.py (every entry vs its DuckDB oracle at
+# sf0.001 on every pytest run), so entries past any driver cap cannot regress
+# silently.
+# ---------------------------------------------------------------------------
+
+_DRIVER_FIRST: tuple[str, ...] = (
+    # never driver-checked as of CORRECTNESS_r03.json
+    "balanced_sample",
+    "pack_sequences",
+    "mixture_sample",
+    "pii_redact",
+    "curation",
+    "corpus_report",
+    "dedup_spans",
+    "vocabulary",
+    "media_features",
+    "media_summary",
+    "length_percentiles_approx",  # no oracle by design (pytest rank bound)
+)
+
+QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    **{n: _QUERY_DEFS[n] for n in _DRIVER_FIRST},
+    **{n: d for n, d in _QUERY_DEFS.items() if n not in _DRIVER_FIRST},
 }

@@ -442,13 +442,33 @@ def test_pq_codebooks_and_codes_contract(spark, sf_dir):
 
 def test_pq_beats_ivf_recall_on_this_corpus(spark, sf_dir):
     """The q_ann routing claim, pinned: PQ+re-rank mean recall@10 >= IVF's
-    on the test corpus (0.91 vs 0.59 measured at sf0.01)."""
+    on the test corpus (0.99 vs 0.59 measured at sf0.01 with the round-4
+    M=16 codebooks)."""
     rows = similarity.q_ann_recall(spark, sf_dir).collect()
     mean = {}
     for r in rows:
         mean.setdefault(r["method"], []).append(r["n_hits"])
     mean = {m: sum(v) / (len(v) * similarity.TOP_K) for m, v in mean.items()}
     assert mean["pq"] >= mean["ivf"] >= 0.3, mean
+
+
+def test_round4_recall_floors(spark, sf_dir):
+    """Round-4 recall contract, pinned as regression floors: the routed
+    general-ANN default (PQ, M=16 codebooks) holds mean recall@10 >= 0.8
+    (measured 0.99/0.94 at sf0.01/sf0.1), and multi-probe IVF-ADC
+    (IVF_PQ_NPROBE=8) >= 0.6 (measured 0.80/0.77 — up from 0.59/0.47 at
+    nprobe 4). Floors sit below the measured values by a margin so codebook
+    retraining noise doesn't flake the suite, while a real regression (the
+    round-3 numbers) still fails."""
+    rows = similarity.q_ann_recall(spark, sf_dir).collect()
+    mean = {}
+    for r in rows:
+        mean.setdefault(r["method"], []).append(r["n_hits"])
+    mean = {m: sum(v) / (len(v) * similarity.TOP_K) for m, v in mean.items()}
+    assert mean["pq"] >= 0.8, mean
+    assert mean["ivf_pq"] >= 0.6, mean
+    # multi-probe must dominate the candidate-capped single-rate path
+    assert mean["ivf_pq"] >= mean["ivf"], mean
 
 
 def test_pack_sequences_invariants(spark, sf_dir):

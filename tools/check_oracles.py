@@ -3,6 +3,10 @@ queries() entry in Spark AND its oracle in DuckDB, compare row count +
 columns + order-insensitive values. Usage:
 
     python tools/check_oracles.py [sf_dir] [query ...]
+
+The comparison core (``open_oracle_connection`` / ``compare_query``) is
+shared with tests/test_full_registry.py, the pytest gate that runs the
+FULL registry at sf0.001 on every test run.
 """
 
 from __future__ import annotations
@@ -16,8 +20,6 @@ import duckdb
 import pandas as pd
 
 from ph_ee_nats_importer_rdbms_spark.plans.queries import QUERIES
-from ph_ee_nats_importer_rdbms_spark.session import build_session
-from ph_ee_nats_importer_rdbms_spark.sources.files import TABLE_NAMES
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -36,51 +38,70 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=list(out.columns), ignore_index=True)
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-    spark = build_session(shuffle_partitions=8)
+def open_oracle_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    """A DuckDB connection with the driver's table views pre-registered."""
+    from ph_ee_nats_importer_rdbms_spark.sources.files import TABLE_NAMES
+
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    return con
+
+
+def compare_query(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
+    """Run one registry entry both ways; (ok, human-readable message).
+
+    ``ok`` is True for value-identical results AND for no-oracle entries
+    (those are gated by dedicated pytest bounds instead)."""
+    fn, oracle = QUERIES[name]
+    try:
+        got = fn(spark, sf_dir).toPandas()
+    except Exception as e:  # noqa: BLE001
+        return False, f"spark error: {e}"
+    if oracle is None:
+        return True, f"no oracle (rows={len(got)})"
+    try:
+        want = con.execute(oracle).fetchdf()
+    except Exception as e:  # noqa: BLE001
+        return False, f"duckdb error: {e}"
+    if sorted(got.columns) != sorted(want.columns):
+        return False, (
+            f"columns differ\n  spark: {sorted(got.columns)}"
+            f"\n  duck:  {sorted(want.columns)}"
+        )
+    if len(got) != len(want):
+        return False, f"row count spark={len(got)} duck={len(want)}"
+    g, w = normalize(got), normalize(want)
+    if not g.equals(w):
+        neq = (g != w).any(axis=1)
+        diff = pd.concat(
+            [g[neq].head(3).add_suffix("_spark"), w[neq].head(3).add_suffix("_duck")],
+            axis=1,
+        ).T
+        return False, f"{int(neq.sum())}/{len(g)} rows differ; first diffs:\n{diff}"
+    return True, f"{len(got)} rows"
+
+
+def main() -> int:
+    from ph_ee_nats_importer_rdbms_spark.session import build_session
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = build_session(shuffle_partitions=8)
+    con = open_oracle_connection(sf_dir)
     failures = 0
-    for name, (fn, oracle) in QUERIES.items():
+    for name in QUERIES:
         if only and name not in only:
             continue
-        try:
-            got = fn(spark, sf_dir).toPandas()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: {e}")
+        ok, msg = compare_query(spark, con, name, sf_dir)
+        if ok:
+            tag = "SKIP" if msg.startswith("no oracle") else "OK  "
+            print(f"{tag} {name}: {msg}")
+        else:
+            print(f"FAIL {name}: {msg}")
             failures += 1
-            continue
-        if oracle is None:
-            print(f"SKIP {name}: no oracle (rows={len(got)})")
-            continue
-        try:
-            want = con.execute(oracle).fetchdf()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {e}")
-            failures += 1
-            continue
-        if sorted(got.columns) != sorted(want.columns):
-            print(f"FAIL {name}: columns differ\n  spark: {sorted(got.columns)}\n  duck:  {sorted(want.columns)}")
-            failures += 1
-            continue
-        if len(got) != len(want):
-            print(f"FAIL {name}: row count spark={len(got)} duck={len(want)}")
-            failures += 1
-            continue
-        g, w = normalize(got), normalize(want)
-        if not g.equals(w):
-            neq = (g != w).any(axis=1)
-            print(f"FAIL {name}: {int(neq.sum())}/{len(g)} rows differ; first diffs:")
-            print(pd.concat([g[neq].head(3).add_suffix("_spark"),
-                             w[neq].head(3).add_suffix("_duck")], axis=1).T)
-            failures += 1
-            continue
-        print(f"OK   {name}: {len(got)} rows")
     return 1 if failures else 0
 
 
