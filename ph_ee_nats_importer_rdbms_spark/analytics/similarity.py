@@ -270,6 +270,33 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     )
 
 
+def ivf_assign_of(
+    spark: SparkSession, vectors: DataFrame, codebook: list[list[float]]
+) -> DataFrame:
+    """IVF assignment over ANY (vec_id, embedding) relation with an
+    explicit codebook — the encode kernel behind :func:`ivf_assignments`,
+    reused by the incremental vector index (analytics/incremental_vectors)
+    so appends encode against FROZEN centroids."""
+    cent = F.broadcast(
+        spark.createDataFrame(
+            [(cid, vec) for cid, vec in enumerate(codebook)],
+            "cid INT, cemb ARRAY<DOUBLE>",
+        )
+    )
+    scored = vectors.crossJoin(cent).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(_cosine("embedding", "cemb"), 6).alias("ccos"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("ccos"), -F.col("cid"))).alias(
+            "cluster_id"
+        ),
+        F.first("embedding").alias("embedding"),
+    )
+
+
 def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, embedding, cluster_id): every vector assigned to its
     nearest centroid's inverted list — one broadcast of the config-sized
@@ -280,19 +307,7 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = spread(load_table(spark, sf_dir, "embeddings")).select(
             "vec_id", "embedding"
         )
-        cent = _ivf_centroids(spark, sf_dir)
-        scored = e.crossJoin(cent).select(
-            "vec_id",
-            "embedding",
-            "cid",
-            F.round(_cosine("embedding", "cemb"), 6).alias("ccos"),
-        )
-        return scored.groupBy("vec_id").agg(
-            F.max_by("cid", F.struct(F.col("ccos"), -F.col("cid"))).alias(
-                "cluster_id"
-            ),
-            F.first("embedding").alias("embedding"),
-        )
+        return ivf_assign_of(spark, e, _codebook(sf_dir))
 
     return _staged(spark, sf_dir, "ivf_assign", build)
 
@@ -518,6 +533,40 @@ def _pq_cb_sql(books) -> str:
     )
 
 
+def pq_encode_of(vectors: DataFrame, books) -> DataFrame:
+    """PQ encoding over ANY (vec_id, embedding) relation with explicit
+    codebooks — the encode kernel behind :func:`pq_codes_table`, reused by
+    the incremental vector index so appends encode against FROZEN books
+    (codes from two training runs are not comparable)."""
+    cb = _pq_cb_sql(books)
+    m = len(books)
+    k = len(books[0])
+    dsub = EMBED_DIM // m
+    dists = (
+        f"transform(sequence(0, {m - 1}), m -> "
+        f"transform(sequence(0, {k - 1}), c -> "
+        f"round(aggregate(sequence(1, {dsub}), cast(0.0 as double), "
+        f"(acc, i) -> acc + pow(cast(element_at(embedding, m * {dsub} + i) as double) "
+        f"- element_at(element_at(element_at({cb}, m + 1), c + 1), i), 2)), 6)))"
+    )
+    codes = (
+        "transform(_dists, d -> "
+        "cast(array_position(d, array_min(d)) - 1 as int))"
+    )
+    norm2 = (
+        f"aggregate(sequence(0, {m - 1}), cast(0.0 as double), "
+        f"(acc, m) -> acc + aggregate("
+        f"element_at(element_at({cb}, m + 1), element_at(codes, m + 1) + 1), "
+        f"cast(0.0 as double), (a, x) -> a + x * x))"
+    )
+    return (
+        vectors.withColumn("_dists", F.expr(dists))
+        .withColumn("codes", F.expr(codes))
+        .withColumn("approx_norm2", F.expr(norm2))
+        .select("vec_id", "codes", "approx_norm2")
+    )
+
+
 def pq_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, codes array<int>, approx_norm2) — each vector encoded to
     its per-subspace nearest-centroid codes (L2, 6dp-rounded with
@@ -527,33 +576,10 @@ def pq_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     once at ingest."""
 
     def build() -> DataFrame:
-        cb = _pq_cb_sql(_pq_books(sf_dir))
         e = spread(load_table(spark, sf_dir, "embeddings")).select(
             "vec_id", "embedding"
         )
-        dists = (
-            f"transform(sequence(0, {PQ_M - 1}), m -> "
-            f"transform(sequence(0, {PQ_K - 1}), c -> "
-            f"round(aggregate(sequence(1, {PQ_DSUB}), cast(0.0 as double), "
-            f"(acc, i) -> acc + pow(cast(element_at(embedding, m * {PQ_DSUB} + i) as double) "
-            f"- element_at(element_at(element_at({cb}, m + 1), c + 1), i), 2)), 6)))"
-        )
-        codes = (
-            "transform(_dists, d -> "
-            "cast(array_position(d, array_min(d)) - 1 as int))"
-        )
-        norm2 = (
-            f"aggregate(sequence(0, {PQ_M - 1}), cast(0.0 as double), "
-            f"(acc, m) -> acc + aggregate("
-            f"element_at(element_at({cb}, m + 1), element_at(codes, m + 1) + 1), "
-            f"cast(0.0 as double), (a, x) -> a + x * x))"
-        )
-        return (
-            e.withColumn("_dists", F.expr(dists))
-            .withColumn("codes", F.expr(codes))
-            .withColumn("approx_norm2", F.expr(norm2))
-            .select("vec_id", "codes", "approx_norm2")
-        )
+        return pq_encode_of(e, _pq_books(sf_dir))
 
     return _staged(spark, sf_dir, "pq_codes", build)
 

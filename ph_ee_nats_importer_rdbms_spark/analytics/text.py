@@ -398,6 +398,17 @@ def q_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: skew split point for the duplicated-gram rejoin: grams present in more
+#: than this many documents are BY DEFINITION shared (n_docs > 1), so the
+#: rejoin never needs their n_docs — they route through a broadcast semi
+#: join against the (Zipf-head-sized) hot-gram set, and the shuffle join
+#: carries only grams whose per-key row count is ≤ DUP_NGRAM_HOT_DF. The
+#: corpus's hottest stop-gram can no longer pin a reducer at 100 TB; the
+#: result is bit-identical to the naive plan (oracle unchanged). 2 bites
+#: on the bench corpora (5-gram DF maxes at 3-4 there).
+DUP_NGRAM_HOT_DF = 2
+
+
 def _dup_ngram_frac_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     staged = d.select(
@@ -412,18 +423,33 @@ def _dup_ngram_frac_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     ).select("doc_id", F.expr(spark_h32("gram")).alias("gram_h"))
-    shared = grams.groupBy("gram_h").agg(
-        F.count_distinct("doc_id").alias("n_docs")
+    # collapse occurrences per (doc, gram) BEFORE the wire: the rejoin's
+    # per-gram row count is then the document frequency, not the (repeats ×
+    # df) occurrence count — map-side combine for the join, not just aggs
+    per_doc = grams.groupBy("doc_id", "gram_h").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=False)
+    df_tbl = per_doc.groupBy("gram_h").agg(F.count(F.lit(1)).alias("n_docs"))
+    # hot/rare split: hot grams (df > DUP_NGRAM_HOT_DF) are trivially
+    # shared — no join against their n_docs needed, a broadcast semi join
+    # marks them; rare grams shuffle-join with a per-key bound of HOT_DF
+    hot_keys = df_tbl.filter(F.col("n_docs") > DUP_NGRAM_HOT_DF).select("gram_h")
+    rare_tbl = df_tbl.filter(F.col("n_docs") <= DUP_NGRAM_HOT_DF)
+    hot_rows = per_doc.join(F.broadcast(hot_keys), "gram_h").select(
+        "doc_id", "cnt", F.lit(True).alias("is_shared")
+    )
+    rare_rows = per_doc.join(rare_tbl, "gram_h").select(
+        "doc_id", "cnt", (F.col("n_docs") > 1).alias("is_shared")
     )
     return (
-        grams.join(shared, "gram_h")
+        hot_rows.unionByName(rare_rows)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("cnt").alias("n_grams"),
             (
                 F.floor(
-                    F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
-                    / F.count(F.lit(1))
+                    F.sum(F.when(F.col("is_shared"), F.col("cnt")).otherwise(0))
+                    / F.sum("cnt")
                     * 10000
                 )
                 / 10000

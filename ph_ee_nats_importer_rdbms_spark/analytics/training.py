@@ -140,6 +140,77 @@ HAVING count(*) >= {DECONTAMINATION_MIN_OVERLAP}
 """
 
 
+#: stop-shingle cap: shingles present in more than this many documents are
+#: dropped before the decontamination join. At 100 TB the uncapped join's
+#: worst shuffle key is the corpus's hottest stop-shingle ("in the of"-
+#: style), whose per-key work is |test_docs(s)|·|train_docs(s)| — the cap
+#: bounds that product at DECON_MAX_DF² per key, which is what GPT-3-style
+#: decontamination runs do (common n-grams carry no leakage signal anyway:
+#: a match on a stop-shingle is noise, not benchmark contamination). 4
+#: bites on the bench corpora (sf0.01: 151 of ~16k shingles drop).
+DECON_MAX_DF = 4
+
+
+def q_decontamination_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`q_decontamination` with the production stop-shingle cap:
+    shingles whose corpus-wide document frequency exceeds ``DECON_MAX_DF``
+    are dropped before the inverted-index join.
+
+    Scale shape: one extra map-side-combinable count per shingle (the
+    shingle sets are distinct per doc, so ``count(*)`` IS the document
+    frequency), a semi join of the exploded relation against the surviving
+    shingles, then the uncapped plan. Every shuffle key in the pair join
+    now carries ≤ DECON_MAX_DF rows per side — the hot-key bound is a
+    constant, asserted in tests/test_analytics.py."""
+    sh = shingle_sets(spark, sf_dir)
+    labeled = sh.select(
+        "doc_id", split_column().alias("split"), F.explode("shingles").alias("shingle")
+    )
+    rare = (
+        labeled.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= DECON_MAX_DF)
+        .select("shingle")
+    )
+    capped = labeled.join(rare, "shingle", "leftsemi")
+    test = capped.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc_id"), "shingle"
+    )
+    train = capped.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    pairs = test.join(train, on="shingle").groupBy("test_doc_id", "train_doc_id").agg(
+        F.count("*").alias("overlap")
+    )
+    return pairs.filter(F.col("overlap") >= DECONTAMINATION_MIN_OVERLAP)
+
+
+DECONTAMINATION_CAPPED_ORACLE = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+labeled AS (
+  SELECT doc_id,
+         CASE WHEN {_split_bucket_duck()} < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {_split_bucket_duck()} < {SPLIT_VALID_PCT} THEN 'valid'
+              ELSE 'test' END AS split,
+         unnest(shingles) AS shingle
+  FROM sh
+),
+rare AS (
+  SELECT shingle FROM labeled GROUP BY shingle
+  HAVING count(*) <= {DECON_MAX_DF}
+),
+capped AS (
+  SELECT l.* FROM labeled l JOIN rare USING (shingle)
+)
+SELECT t.doc_id AS test_doc_id, tr.doc_id AS train_doc_id,
+       CAST(count(*) AS BIGINT) AS overlap
+FROM capped t JOIN capped tr USING (shingle)
+WHERE t.split = 'test' AND tr.split = 'train'
+GROUP BY 1, 2
+HAVING count(*) >= {DECONTAMINATION_MIN_OVERLAP}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Per-language exact length percentiles
 # ---------------------------------------------------------------------------

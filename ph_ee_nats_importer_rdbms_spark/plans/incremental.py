@@ -344,7 +344,41 @@ def build_store(
             json.dump(df.schema.jsonValue(), f)
 
 
+# --- refresh WAL ------------------------------------------------------------
+#
+# refresh_days mutates the event log, gap log, five output tables, and
+# c5_dim in sequence; without a transaction a crash mid-refresh would leave
+# the outputs inconsistent with the already-swapped log and NO way to tell.
+# The write-ahead shape (the minimal slice of what a Delta/Iceberg commit
+# would provide): BEFORE any mutation, the refresh persists its full input
+# (the delta, the changed days' OLD content, the pre-refresh C5 dimension)
+# under ``_refresh_pending/`` and drops a marker. Every mutation step is a
+# deterministic, idempotent function of (store-outside-changed-days, WAL),
+# so recovery is ``resume_refresh`` — re-apply from the WAL. The marker is
+# removed only after the last write lands; readers refuse a store with a
+# live marker rather than serve half-refreshed rows.
+
+
+def _pending_dir(root: str) -> str:
+    return os.path.join(root, "_refresh_pending")
+
+
+def _pending_marker(root: str) -> str:
+    return os.path.join(_pending_dir(root), "pending.json")
+
+
+def check_committed(root: str) -> None:
+    """Raise if the store has an interrupted refresh (live WAL marker)."""
+    if os.path.exists(_pending_marker(root)):
+        raise RuntimeError(
+            f"store {root} has an interrupted refresh — its outputs may be "
+            "inconsistent with the event log; run resume_refresh(spark, "
+            "root) to roll the pending refresh forward before reading"
+        )
+
+
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
+    check_committed(root)
     return (
         spark.read.schema(_table_schema(root, name))
         .parquet(_table_path(root, name))
@@ -353,6 +387,7 @@ def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
 
 
 def read_events(spark: SparkSession, root: str) -> DataFrame:
+    check_committed(root)
     return (
         spark.read.schema(_EVENTS_SCHEMA)
         .parquet(_events_path(root))
@@ -374,7 +409,15 @@ def refresh_days(
     ``changed_days`` defaults to the periods present in ``delta_events``
     (at the granularity the store was built with); pass it explicitly to
     express "this period now has zero events". Returns rewrite stats for
-    observability/tests."""
+    observability/tests.
+
+    Crash-safe via the refresh WAL (see module section above): the full
+    refresh input is persisted and a pending marker set before the first
+    mutation; a crash at ANY later point is detected by readers and rolled
+    forward by :func:`resume_refresh`."""
+    import json
+
+    check_committed(root)  # refuse to stack a refresh on a broken one
     granularity = _meta(root)["granularity"]
     delta = delta_events.withColumn(
         "event_day", _day(granularity=granularity)
@@ -384,15 +427,79 @@ def refresh_days(
         | {r[0] for r in delta.select("event_day").distinct().collect()}
     )
 
-    events_path = _events_path(root)
-    # keys referenced by the OLD content of the changed days — partition-
-    # pruned read, materialized BEFORE the overwrite clobbers those files.
-    # parent keys join too: deleting a child ACTIVATING un-links its group.
-    old = (
+    # ---- write-ahead: persist every input recovery needs, marker LAST ----
+    pend = _pending_dir(root)
+    shutil.rmtree(pend, ignore_errors=True)
+    delta.write.mode("overwrite").parquet(os.path.join(pend, "delta"))
+    # the changed days' OLD content — partition-pruned read, persisted
+    # BEFORE the overwrite clobbers those files (deletion safety: keys
+    # whose events vanish must still be rebuilt)
+    (
         spark.read.schema(_EVENTS_SCHEMA)
-        .parquet(events_path)
+        .parquet(_events_path(root))
         .filter(F.col("event_day").isin(days))
+        .write.mode("overwrite")
+        .parquet(os.path.join(pend, "old_snapshot"))
     )
+    # the pre-refresh C5 dimension (the diff baseline)
+    (
+        spark.read.schema(_DIM_SCHEMA)
+        .parquet(os.path.join(root, "c5_dim"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(pend, "old_dim"))
+    )
+    marker_tmp = _pending_marker(root) + ".tmp"
+    with open(marker_tmp, "w") as f:
+        json.dump({"days": days}, f)
+    os.replace(marker_tmp, _pending_marker(root))
+
+    stats = _apply_refresh(spark, root, days, registry, granularity)
+    # commit: drop the marker (and the WAL) only after the last write
+    os.remove(_pending_marker(root))
+    shutil.rmtree(pend, ignore_errors=True)
+    return stats
+
+
+def resume_refresh(
+    spark: SparkSession, root: str, registry: DataFrame | None = None
+) -> dict[str, object] | None:
+    """Roll an interrupted refresh forward from its WAL. Every mutation in
+    the refresh is an idempotent function of (unchanged store partitions,
+    WAL inputs) — re-running a step that already completed rewrites the
+    same bytes — so resume is simply re-applying from the persisted inputs.
+    Returns the refresh stats, or None if no refresh was pending."""
+    import json
+
+    if not os.path.exists(_pending_marker(root)):
+        return None
+    with open(_pending_marker(root)) as f:
+        manifest = json.load(f)
+    granularity = _meta(root)["granularity"]
+    stats = _apply_refresh(
+        spark, root, manifest["days"], registry, granularity
+    )
+    os.remove(_pending_marker(root))
+    shutil.rmtree(_pending_dir(root), ignore_errors=True)
+    return stats
+
+
+def _apply_refresh(
+    spark: SparkSession,
+    root: str,
+    days: list[str],
+    registry: DataFrame | None,
+    granularity: str,
+) -> dict[str, object]:
+    """The mutation body, driven ENTIRELY from the WAL (pending dir) plus
+    the store's unchanged partitions — never from state an earlier partial
+    run may have clobbered. Idempotence notes inline."""
+    pend = _pending_dir(root)
+    delta = spark.read.schema(_EVENTS_SCHEMA).parquet(os.path.join(pend, "delta"))
+    old = spark.read.schema(_EVENTS_SCHEMA).parquet(
+        os.path.join(pend, "old_snapshot")
+    )
+    events_path = _events_path(root)
+
     def _keys_of(df: DataFrame) -> DataFrame:
         own = df.select(F.col("process_instance_key").alias("k"))
         par = df.filter(
@@ -407,13 +514,16 @@ def refresh_days(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # pre-refresh dimension from the WAL: the live c5_dim may already have
+    # been swapped by the run being resumed
     old_dim = (
         spark.read.schema(_DIM_SCHEMA)
-        .parquet(os.path.join(root, "c5_dim"))
+        .parquet(os.path.join(pend, "old_dim"))
         .localCheckpoint(eager=True)
     )
 
-    # 1. swap the changed day partitions of the log (and the gap log)
+    # 1. swap the changed day partitions of the log (and the gap log) —
+    #    idempotent: a deterministic dynamic-overwrite from the WAL delta
     _overwrite_day_partitions(delta, events_path, days, "event_day")
     flat = spark.read.schema(_EVENTS_SCHEMA).parquet(events_path).drop("event_day")
     gaps_path = os.path.join(root, "c5_gaps")
@@ -474,7 +584,11 @@ def refresh_days(
     ).localCheckpoint(eager=True)
     new_tables = _derive_tables(needed, new_dim, registry, granularity)
 
-    # 5. partition-merge each output table
+    # 5. partition-merge each output table — idempotent: new rows all
+    #    belong to member instances (raw-keyed tables by raw key, entity
+    #    tables by group root, both ⊆ members), so re-merging a table an
+    #    earlier partial run already merged first strips exactly those rows
+    #    back out (the leftanti) and re-adds them
     stats: dict[str, object] = {"changed_days": days, "affected_keys": members.count()}
     for name in TABLES:
         path = _table_path(root, name)
@@ -500,7 +614,16 @@ def refresh_days(
         _overwrite_day_partitions(merged, path, parts, PART_COL)
         stats[name] = {"rewritten_partitions": parts}
 
-    new_dim.write.mode("overwrite").parquet(os.path.join(root, "c5_dim.tmp"))
-    shutil.rmtree(os.path.join(root, "c5_dim"))
-    os.rename(os.path.join(root, "c5_dim.tmp"), os.path.join(root, "c5_dim"))
+    # dim swap, aside-first ordering (a crash at any point leaves either
+    # the old or the new dim recoverable; the pending marker is still set,
+    # so resume rewrites whatever half-state remains)
+    dim_live = os.path.join(root, "c5_dim")
+    dim_tmp = os.path.join(root, "c5_dim.tmp")
+    dim_old = os.path.join(root, "c5_dim.old")
+    new_dim.write.mode("overwrite").parquet(dim_tmp)
+    shutil.rmtree(dim_old, ignore_errors=True)
+    if os.path.exists(dim_live):
+        os.rename(dim_live, dim_old)
+    os.rename(dim_tmp, dim_live)
+    shutil.rmtree(dim_old, ignore_errors=True)
     return stats

@@ -996,6 +996,10 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     # --- training-data pipeline (analytics/training.py) ---
     "train_test_split": (_tr.q_train_test_split, _tr.TRAIN_TEST_SPLIT_ORACLE),
     "decontamination": (_tr.q_decontamination, _tr.DECONTAMINATION_ORACLE),
+    "decontamination_capped": (
+        _tr.q_decontamination_capped,
+        _tr.DECONTAMINATION_CAPPED_ORACLE,
+    ),
     "length_percentiles": (_tr.q_length_percentiles, _tr.LENGTH_PERCENTILES_ORACLE),
     # sketch-based: no DuckDB twin exists; gated by the pytest rank-bound
     # test against the exact operator instead of a SQL oracle
@@ -1004,6 +1008,7 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "pack_sequences": (_tr.q_pack_sequences, _tr.PACK_SEQUENCES_ORACLE),
     "mixture_sample": (_tr.q_mixture_sample, _tr.MIXTURE_SAMPLE_ORACLE),
     "pii_redact": (_pii.q_pii_redact, _pii.PII_REDACT_ORACLE),
+    "pii_redact_docs": (_pii.q_pii_redact_docs, _pii.PII_REDACT_DOCS_ORACLE),
     "curation": (_tx.q_curation, _tx._curation_oracle()),
     "corpus_report": (_tx.q_corpus_report, _tx._corpus_report_oracle()),
     "dedup_spans": (_tx.q_dedup_spans, _tx.DEDUP_SPANS_ORACLE),
@@ -1027,6 +1032,9 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
 # ---------------------------------------------------------------------------
 
 _DRIVER_FIRST: tuple[str, ...] = (
+    # new in round 4
+    "decontamination_capped",
+    "pii_redact_docs",
     # never driver-checked as of CORRECTNESS_r03.json
     "balanced_sample",
     "pack_sequences",

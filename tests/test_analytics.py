@@ -76,7 +76,7 @@ def test_connected_components_long_chain_converges(spark, monkeypatch):
     converge within the cap and label every node with the chain's min id."""
     from ph_ee_nats_importer_rdbms_spark.analytics import dedup as dd
 
-    monkeypatch.setattr(dd, "CC_DRIVER_MAX_EDGES", 0)
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "0")
     n = 200
     pairs = spark.createDataFrame(
         [(i + 1, i) for i in range(n - 1, 0, -1)], "doc_a long, doc_b long"
@@ -98,11 +98,50 @@ def test_connected_components_adaptive_paths_agree(spark, monkeypatch):
     via_driver = {
         r["node"]: r["label"] for r in dd.connected_components(pairs).collect()
     }
-    monkeypatch.setattr(dd, "CC_DRIVER_MAX_EDGES", 0)
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "0")
     via_dist = {
         r["node"]: r["label"] for r in dd.connected_components(pairs).collect()
     }
     assert via_driver == via_dist
+
+
+def test_cc_crossover_is_memory_derived_and_boundary_exact(spark, monkeypatch):
+    """The driver fast path's edge budget is sized from physical memory
+    (bytes-per-edge model, clamped to [10k, 2M]) with an env override; AT
+    the boundary the driver path runs, ONE edge past it the distributed
+    path runs, and both label identically."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import dedup as dd
+
+    # memory-derived default respects the clamps on any machine
+    monkeypatch.delenv("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", raising=False)
+    budget = dd.cc_driver_max_edges()
+    assert 10_000 <= budget <= dd.CC_DRIVER_MAX_EDGES
+    # and is the memory model's value when the machine is big enough
+    import os as _os
+
+    total = _os.sysconf("SC_PAGE_SIZE") * _os.sysconf("SC_PHYS_PAGES")
+    expect = max(
+        10_000,
+        min(
+            dd.CC_DRIVER_MAX_EDGES,
+            int(total * dd.CC_DRIVER_MEM_FRACTION / dd.CC_DRIVER_BYTES_PER_EDGE),
+        ),
+    )
+    assert budget == expect
+
+    edges = [(15, 14), (14, 13), (13, 12), (20, 21)]  # 4 edges, 2 comps
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    want = {15: 12, 14: 12, 13: 12, 12: 12, 20: 20, 21: 20}
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", str(len(edges)))
+    at_boundary = {
+        r["node"]: r["label"] for r in dd.connected_components(pairs).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", str(len(edges) - 1))
+    past_boundary = {
+        r["node"]: r["label"] for r in dd.connected_components(pairs).collect()
+    }
+    assert at_boundary == past_boundary == want
 
 
 def test_dup_clusters_keeper_per_cluster(spark, sf_dir):
@@ -286,6 +325,109 @@ def test_decontamination_pairs_cross_splits_and_meet_threshold(spark, sf_dir):
         assert split[r["test_doc_id"]] == "test"
         assert split[r["train_doc_id"]] == "train"
         assert r["overlap"] >= training.DECONTAMINATION_MIN_OVERLAP
+
+
+def test_decontamination_capped_bounds_hot_keys(spark, sf_dir):
+    """The stop-shingle cap contract: (1) after the cap, NO shingle reaching
+    the pair join appears in more than DECON_MAX_DF documents — the hot-key
+    bound that makes the shuffle skew-safe at 100 TB; (2) the cap only ever
+    REMOVES leakage evidence, so surviving capped pairs are a subset of the
+    uncapped pairs with overlap no larger; (3) the cap actually bites on
+    this corpus (some shingle exceeds it), so (1) is not vacuous."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import training
+    from ph_ee_nats_importer_rdbms_spark.analytics.dedup import shingle_sets
+
+    labeled = shingle_sets(spark, sf_dir).select(
+        "doc_id",
+        training.split_column().alias("split"),
+        F.explode("shingles").alias("shingle"),
+    )
+    df_rows = labeled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    max_df = df_rows.agg(F.max("df")).collect()[0][0]
+    assert max_df > training.DECON_MAX_DF, "cap never bites — raise/lower it"
+
+    rare = df_rows.filter(F.col("df") <= training.DECON_MAX_DF).select("shingle")
+    capped_max = (
+        labeled.join(rare, "shingle", "leftsemi")
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df"))
+        .collect()[0][0]
+    )
+    assert capped_max <= training.DECON_MAX_DF
+
+    uncapped = {
+        (r["test_doc_id"], r["train_doc_id"]): r["overlap"]
+        for r in training.q_decontamination(spark, sf_dir).collect()
+    }
+    for r in training.q_decontamination_capped(spark, sf_dir).collect():
+        key = (r["test_doc_id"], r["train_doc_id"])
+        assert key in uncapped and r["overlap"] <= uncapped[key]
+
+
+def test_dup_ngram_hot_split_matches_and_bounds_join_keys(spark, sf_dir):
+    """The skew-hardened dup-ngram plan is semantics-preserving: the
+    hot/rare split routes trivially-shared grams (df > DUP_NGRAM_HOT_DF)
+    around the shuffle join, and the rows that DO shuffle carry at most
+    DUP_NGRAM_HOT_DF entries per gram key. Verified against a direct
+    recomputation of the naive formula."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.hashing import spark_h32
+    from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n = text.DUP_NGRAM_N
+    grams = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n - 1}),"
+                    f" i -> array_join(slice(toks, i, {n}), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .select("doc_id", F.expr(spark_h32("gram")).alias("gram_h"))
+    )
+    per_doc = grams.groupBy("doc_id", "gram_h").agg(F.count(F.lit(1)).alias("cnt"))
+    df_tbl = per_doc.groupBy("gram_h").agg(F.count(F.lit(1)).alias("n_docs"))
+    # the rare (shuffle) side honors the per-key bound
+    rare_max = (
+        df_tbl.filter(F.col("n_docs") <= text.DUP_NGRAM_HOT_DF)
+        .agg(F.max("n_docs"))
+        .collect()[0][0]
+    )
+    assert rare_max <= text.DUP_NGRAM_HOT_DF
+    # the split actually fires here (hot grams exist at this scale)
+    n_hot = df_tbl.filter(F.col("n_docs") > text.DUP_NGRAM_HOT_DF).count()
+    assert n_hot > 0, "hot path never exercised — lower DUP_NGRAM_HOT_DF"
+    # semantics: engine output == naive recomputation
+    naive = {
+        r["doc_id"]: (r["n_grams"], r["dup_frac"])
+        for r in grams.join(
+            df_tbl.withColumnRenamed("n_docs", "nd"), "gram_h"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            (
+                F.floor(
+                    F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                    / F.count(F.lit(1))
+                    * 10000
+                )
+                / 10000
+            ).alias("dup_frac"),
+        )
+        .collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dup_frac"])
+        for r in text.q_dup_ngram_frac(spark, sf_dir).collect()
+    }
+    assert got == naive
 
 
 def test_length_percentiles_ordered(spark, sf_dir):
@@ -602,6 +744,43 @@ def test_pii_redact_scrubs_long_numbers(spark, sf_dir):
         F.sum("n_email").alias("e"), F.sum("n_phone").alias("p")
     ).collect()[0]
     assert (zeros["e"], zeros["p"]) == (0, 0)
+
+
+def test_pii_redact_docs_boundary_guard_and_counts(spark, sf_dir):
+    """The documents-prose scrubber: every row plants one email, one
+    standalone 10-digit account (must redact), and one letter-glued digit
+    run (must NOT redact — the word-boundary guard); counts must say
+    exactly that, and the glued run must survive verbatim."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import pii
+
+    out = pii.q_pii_redact_docs(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r["n_email"] == 1 and r["n_phone"] == 0 and r["n_id"] == 1
+        assert pii.EMAIL_TOKEN in r["redacted"]
+        assert pii.LONGNUM_TOKEN in r["redacted"]
+        # the boundary-guarded run (ref<digits>x) is untouched
+        assert " ref2" in r["redacted"] and r["redacted"].endswith("x end")
+
+
+def test_pii_counts_are_replacements_performed_not_raw_occurrences(spark):
+    """ADVICE r3: a digit run consumed by the [EMAIL] replacement must not
+    also count as a redacted id — counts run on the intermediate text each
+    rewrite saw. The local part here contains a 9-digit run that only
+    exists inside the email span."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import pii
+
+    sdf = spark.createDataFrame(
+        [(1, "reach me at 123456789a@mail.example or 999888777 666")],
+        "id long, t string",
+    )
+    r = sdf.select(*pii.redaction_exprs(F.col("t"))).collect()[0]
+    assert r["n_email"] == 1
+    # only the standalone 9-digit run counts; the one inside the email
+    # local part was consumed by [EMAIL] before the id pass ran
+    assert r["n_id"] == 1
+    assert r["redacted"] == "reach me at [EMAIL] or [ID] 666"
 
 
 def test_rolling_spend_matches_bruteforce(spark, sf_dir):

@@ -402,3 +402,61 @@ def test_random_edit_refresh_matches_full_rebuild(
         got = _rows(incremental.read_table(spark, root, name))
         want = _rows(incremental.read_table(spark, full_root, name))
         assert got == want, f"{name} diverged under randomized edit"
+
+
+def test_crashed_refresh_is_detected_and_resumable(utc_session, tmp_path, monkeypatch):
+    """ADVICE r3: a refresh that dies mid-mutation must be DETECTED (reads
+    refuse the half-refreshed store) and ROLLED FORWARD (resume_refresh
+    re-applies from the WAL), ending row-identical to an uninterrupted
+    refresh / full rebuild. The crash is injected mid-table-merge — after
+    the event log swapped but before all outputs merged, the exact window
+    the round-3 advice called out."""
+    spark = utc_session
+    root = str(tmp_path / "store")
+    incremental.build_store(spark, to_df(spark, _corpus()), root)
+
+    calls = {"n": 0}
+    real = incremental._overwrite_day_partitions
+
+    def dying(df, path, days, part_col):
+        calls["n"] += 1
+        if calls["n"] == 4:  # events, gaps, table1, then die on table2
+            raise RuntimeError("injected crash")
+        return real(df, path, days, part_col)
+
+    monkeypatch.setattr(incremental, "_overwrite_day_partitions", dying)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental.refresh_days(
+            spark, root, to_df(spark, _day2_replacement()),
+            changed_days=["2024-03-02"],
+        )
+    monkeypatch.setattr(incremental, "_overwrite_day_partitions", real)
+
+    # detection: the pending marker blocks every read surface
+    with pytest.raises(RuntimeError, match="interrupted refresh"):
+        incremental.read_table(spark, root, "variables")
+    with pytest.raises(RuntimeError, match="interrupted refresh"):
+        incremental.read_events(spark, root)
+    # and a new refresh refuses to stack on the broken state
+    with pytest.raises(RuntimeError, match="interrupted refresh"):
+        incremental.refresh_days(
+            spark, root, to_df(spark, _day2_replacement()),
+            changed_days=["2024-03-02"],
+        )
+
+    # roll-forward: resume from the WAL, then verify full-rebuild parity
+    stats = incremental.resume_refresh(spark, root)
+    assert stats is not None and stats["changed_days"] == ["2024-03-02"]
+    assert incremental.resume_refresh(spark, root) is None  # nothing pending
+
+    full_root = str(tmp_path / "full")
+    post = [r for r in _corpus() if not (DAY2 <= (r["timestamp"] or 0) < DAY3)]
+    post += _day2_replacement()
+    incremental.build_store(spark, to_df(spark, post), full_root)
+    for name in incremental.TABLES:
+        got = _rows(incremental.read_table(spark, root, name))
+        want = _rows(incremental.read_table(spark, full_root, name))
+        assert got == want, f"{name} diverged after crash+resume"
+    assert _rows(incremental.read_events(spark, root)) == _rows(
+        incremental.read_events(spark, full_root)
+    )

@@ -1,0 +1,137 @@
+"""Incremental ANN index maintenance (analytics/incremental_vectors.py).
+
+Parity contract: after any sequence of vector deliveries, the stored PQ
+codes and IVF assignments equal a from-scratch encode of the union corpus
+against the SAME frozen codebooks, each delivery's batch dirs hold only
+that delivery's vec_ids (only new vectors encode), and re-deliveries are
+rejected.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ph_ee_nats_importer_rdbms_spark.analytics import incremental_vectors as iv
+from ph_ee_nats_importer_rdbms_spark.analytics.similarity import (
+    ivf_assign_of,
+    pq_encode_of,
+)
+from ph_ee_nats_importer_rdbms_spark.sources.files import load_table, spread
+
+
+def _books(sf_dir):
+    """The corpus's shipped codebooks — frozen into the store at build."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.similarity import (
+        _codebook,
+        _pq_books,
+    )
+
+    return _codebook(sf_dir), _pq_books(sf_dir)
+
+
+def _codes(spark, root):
+    return {
+        (r["vec_id"], tuple(r["codes"]), r["approx_norm2"])
+        for r in iv.read_codes(spark, root).collect()
+    }
+
+
+def _assigns(spark, root):
+    return {
+        (r["vec_id"], r["cluster_id"])
+        for r in iv.read_assignments(spark, root).collect()
+    }
+
+
+def test_append_matches_full_build_and_encodes_only_new(spark, sf_dir, tmp_path):
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    first = e.filter(F.col("vec_id") % 3 != 0)
+    second = e.filter(F.col("vec_id") % 3 == 0)
+    ivf_cb, pq_cb = _books(sf_dir)
+
+    root = str(tmp_path / "vx")
+    iv.build_vector_index(spark, first, root, ivf_cb, pq_cb)
+    stats = iv.append_vectors(spark, second, root)
+    assert stats["new_vectors"] == second.count()
+
+    # full-build parity with the same frozen books
+    full = str(tmp_path / "full")
+    iv.build_vector_index(spark, e, full, ivf_cb, pq_cb)
+    assert _codes(spark, root) == _codes(spark, full)
+    assert _assigns(spark, root) == _assigns(spark, full)
+
+    # ...and equals the direct encode kernels over the union corpus
+    want_codes = {
+        (r["vec_id"], tuple(r["codes"]), r["approx_norm2"])
+        for r in pq_encode_of(e, pq_cb).collect()
+    }
+    assert _codes(spark, root) == want_codes
+
+    # only the delivery's vec_ids live in its batch dirs (structural)
+    batches = iv.committed_batches(root)
+    assert len(batches) == 2
+    second_ids = {r["vec_id"] for r in second.select("vec_id").collect()}
+    batch_dir = os.path.join(root, "pq_codes", batches[1]["batch"])
+    batch_ids = {
+        r["vec_id"] for r in spark.read.parquet(batch_dir).collect()
+    }
+    assert batch_ids == second_ids
+
+
+def test_append_rejects_redelivery_and_duplicate_batch(spark, sf_dir, tmp_path):
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    ivf_cb, pq_cb = _books(sf_dir)
+    root = str(tmp_path / "vx")
+    first = e.filter(F.col("vec_id") < 100)
+    iv.build_vector_index(spark, first, root, ivf_cb, pq_cb)
+    with pytest.raises(ValueError, match="already in the index"):
+        iv.append_vectors(spark, e.filter(F.col("vec_id") < 10), root)
+    batch2 = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    iv.append_vectors(spark, batch2, root)
+    with pytest.raises(ValueError, match="already committed"):
+        iv.append_vectors(spark, batch2, root)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(split=st.lists(st.integers(0, 2), min_size=30, max_size=30))
+def test_fuzz_delivery_sequences_match_full_build(
+    split, spark, sf_dir, tmp_path_factory
+):
+    """Random 1-3-batch partitions of a 30-vector slice: any delivery
+    order must reproduce the from-scratch encode bit-for-bit."""
+    e = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 30)
+    )
+    ivf_cb, pq_cb = _books(sf_dir)
+    base = tmp_path_factory.mktemp("vx")
+    root, full = str(base / "inc"), str(base / "full")
+
+    ids_by_batch: dict[int, list[int]] = {}
+    for vec_id, b in enumerate(split):
+        ids_by_batch.setdefault(b, []).append(vec_id)
+    batches = [v for _, v in sorted(ids_by_batch.items()) if v]
+
+    iv.build_vector_index(
+        spark, e.filter(F.col("vec_id").isin(batches[0])), root, ivf_cb, pq_cb
+    )
+    for ids in batches[1:]:
+        iv.append_vectors(spark, e.filter(F.col("vec_id").isin(ids)), root)
+
+    iv.build_vector_index(spark, e, full, ivf_cb, pq_cb)
+    assert _codes(spark, root) == _codes(spark, full)
+    assert _assigns(spark, root) == _assigns(spark, full)
