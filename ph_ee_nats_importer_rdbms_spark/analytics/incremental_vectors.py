@@ -163,15 +163,22 @@ def build_vector_index(
 
 
 def append_vectors(
-    spark: SparkSession, new_vectors: DataFrame, root: str
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    root: str,
+    skip_committed: bool = False,
 ) -> dict:
     """Fold a vector delivery into the index: encode ONLY the new batch
     against the store's frozen codebooks and append. Raises ``ValueError``
     on a re-delivered vec_id (committed ``delivered`` relation) or an
-    already-committed identical batch."""
+    already-committed identical batch — unless ``skip_committed``, which
+    turns the exact-batch replay into a no-op (the checkpoint-replay
+    semantics the streaming sink needs for exactly-once)."""
     committed = committed_batches(root)
     batch = _batch_id_of(new_vectors)
     if any(m["batch"] == batch for m in committed):
+        if skip_committed:
+            return {"new_vectors": 0, "skipped": True}
         raise ValueError(
             f"append_vectors: batch {batch} already committed — "
             "this exact delivery has been applied (retry after success?)"
@@ -191,3 +198,24 @@ def append_vectors(
     n = new_vectors.count()
     _commit(root, {"seq": len(committed), "batch": batch})
     return {"new_vectors": n}
+
+
+def streaming_append_sink(root: str):
+    """``foreachBatch`` sink: vector deliveries arriving as a STREAM
+    (readStream of (vec_id, embedding) rows — a landing zone the embedding
+    job drops files into) fold into the index micro-batch by micro-batch.
+
+    Exactly-once composition: Structured Streaming's checkpoint replays a
+    failed micro-batch with identical content, the batch id is a digest of
+    that content, and ``skip_committed`` turns the replay into a no-op —
+    so the index sees each delivery exactly once without any sink-side
+    offset bookkeeping (the same idempotent-sink pattern as the JDBC MERGE
+    sink, sinks/jdbc.py)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            append_vectors(
+                batch_df.sparkSession, batch_df, root, skip_committed=True
+            )
+
+    return sink

