@@ -23,8 +23,17 @@ reference's listener.
 
 Transports:
 
-- ``jetstream`` (default): real NATS, needs ``nats-py`` — import-gated, the
-  container used for tests has no broker or client lib.
+- ``jetstream`` (default): real NATS via the nats-py client — import-gated,
+  the container used for tests has no broker or client lib.
+- ``wire``: real NATS via the dependency-free socket client
+  (sources/nats_wire.py) — same JetStream API calls as ``jetstream``
+  (STREAM.INFO for offsets, STREAM.MSG.GET for ranged reads) with zero
+  third-party imports, so it runs anywhere Python runs, including Spark's
+  datasource worker processes. Exercised end-to-end over real TCP in
+  tests against a protocol double (tests/nats_mini_server.py).
+  ``missing=skip`` tolerates retention-purged sequences (each skipped
+  message is one row of honest data-loss accounting in the ``seq`` gap);
+  the default fails loudly on a purged range.
 - ``file``: a JSON-lines file treated as a pre-captured stream, line i ==
   sequence i+1. Deterministic, drives the FULL offset/partition/read/commit
   machinery in tests (the Spark-side plumbing is identical; only
@@ -140,11 +149,52 @@ class _JetStreamTransport:  # pragma: no cover - needs broker + nats-py
         return iter(self._run(go()))
 
 
+class _WireTransport:
+    """JetStream by stream sequence over the dependency-free wire client
+    (sources/nats_wire.py). One short-lived connection per call: ``latest``
+    runs on the driver each trigger; ``fetch`` runs inside a datasource
+    worker process per partition, so nothing needs to pickle a socket."""
+
+    def __init__(self, servers: str, stream: str, missing: str) -> None:
+        if missing not in ("fail", "skip"):
+            raise ValueError(f"missing must be fail|skip, got {missing!r}")
+        self.servers = servers
+        self.stream = stream
+        self.missing = missing
+
+    def latest(self) -> int:
+        from .nats_wire import NatsWireClient
+
+        with NatsWireClient(self.servers) as c:
+            return c.last_seq(self.stream)
+
+    def fetch(self, start: int, end: int) -> Iterator[tuple[str, str, int]]:
+        from .nats_wire import NatsWireClient, SeqOutOfRange
+
+        with NatsWireClient(self.servers) as c:
+            for seq in range(start + 1, end + 1):
+                try:
+                    subject, data = c.get_msg(self.stream, seq)
+                except SeqOutOfRange:
+                    if self.missing == "skip":
+                        # retention purged this sequence: the gap in the
+                        # output's seq column IS the data-loss record
+                        continue
+                    raise
+                yield (data.decode("utf-8"), subject, seq)
+
+
 def _transport(options: dict):
     kind = options.get("transport", "jetstream")
     subject = options.get("subject", DEFAULT_SUBJECT)
     if kind == "file":
         return _FileTransport(options["path"], subject)
+    if kind == "wire":
+        return _WireTransport(
+            options.get("servers", DEFAULT_SERVERS),
+            options.get("stream", subject),
+            options.get("missing", "fail"),
+        )
     if kind == "jetstream":
         return _JetStreamTransport(
             options.get("servers", DEFAULT_SERVERS),
@@ -205,9 +255,10 @@ class NatsDataSource(DataSource):
     """``spark.readStream.format("nats")``; register with
     :func:`register_nats_source`.
 
-    Options: ``transport`` (jetstream|file), ``subject``, ``servers``,
-    ``stream``, ``path`` (file transport), ``starting_seq``,
-    ``partition_target_rows``, ``max_rows_per_trigger``.
+    Options: ``transport`` (jetstream|wire|file), ``subject``, ``servers``,
+    ``stream``, ``path`` (file transport), ``missing`` (wire: fail|skip on
+    purged sequences), ``starting_seq``, ``partition_target_rows``,
+    ``max_rows_per_trigger``.
     """
 
     @classmethod

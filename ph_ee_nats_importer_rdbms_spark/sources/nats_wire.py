@@ -1,0 +1,250 @@
+"""Dependency-free NATS client speaking the public wire protocol.
+
+The container has neither a ``nats-server`` binary nor the ``nats-py``
+client, so the ``jetstream`` transport of the streaming source
+(nats_source.py) stays import-gated. This module closes the gap from the
+other side: a minimal, blocking, socket-level client for the documented
+NATS text protocol (INFO / CONNECT / PING / PONG / SUB / UNSUB / PUB /
+MSG / +OK / -ERR — see the public protocol reference at
+docs.nats.io/reference/reference-protocols/nats-protocol) plus the two
+JetStream JSON API calls the Spark source actually needs:
+
+- ``$JS.API.STREAM.INFO.<stream>``    -> ``state.last_seq`` / ``first_seq``
+  (offset discovery — what ``latestOffset`` polls)
+- ``$JS.API.STREAM.MSG.GET.<stream>`` with ``{"seq": n}`` -> one message
+  (random access by stream sequence — what ranged partition reads use)
+
+Request/reply is the standard core-NATS pattern: subscribe a unique
+``_INBOX.*`` subject, publish the request with that inbox as reply-to,
+wait for the matching MSG. JetStream's API is plain JSON over this
+pattern, so no binary protocol work is needed.
+
+Why this exists (vs nats-py): zero dependencies means the transport runs
+inside Spark's Python datasource worker processes with nothing to
+install, and the wire framing is simple enough (~150 lines) that owning
+it is cheaper than gating on an absent library. The reference consumes
+core NATS in-process (NatsConsumer.java:34-35, at-most-once); this
+client targets the JetStream durable upgrade of the same subject, same
+as the nats-py transport.
+
+Semantics matched to a real ``nats-server``:
+
+- CONNECT advertises ``"headers": false`` so the server never sends
+  HMSG frames (header framing is therefore out of scope here).
+- ``verbose: false`` — no +OK chatter; -ERR still raises.
+- MSG payloads are length-framed (``<#bytes>\\r\\n<payload>\\r\\n``),
+  read exactly, never split on newlines — payloads may contain any
+  bytes.
+- STREAM.MSG.GET returns the message body base64-encoded in
+  ``message.data``; a missing / purged sequence answers with an
+  ``error`` object (code 404, err_code 10037 "no message found") —
+  surfaced as :class:`SeqOutOfRange` so callers can distinguish data
+  loss from transport failure.
+
+Tested against an in-process protocol double (tests/nats_mini_server.py)
+over real TCP sockets, including from the separate Python worker
+processes Spark runs datasource reads in.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import socket
+import uuid
+
+_CRLF = b"\r\n"
+_MAX_CONTROL_LINE = 4096
+
+
+class NatsWireError(RuntimeError):
+    """Protocol-level failure (-ERR from the server, framing violation)."""
+
+
+class SeqOutOfRange(NatsWireError):
+    """STREAM.MSG.GET for a sequence the stream no longer (or does not
+    yet) hold — JetStream API error 404/10037. At-scale meaning: the
+    stream's retention policy purged data a checkpoint still references;
+    recovery is a policy decision (skip with accounting, or fail loudly),
+    made by the caller, not here."""
+
+    def __init__(self, stream: str, seq: int, api_error: dict) -> None:
+        super().__init__(
+            f"stream {stream!r} has no message at sequence {seq}: {api_error}"
+        )
+        self.stream = stream
+        self.seq = seq
+        self.api_error = api_error
+
+
+def _parse_url(url: str) -> tuple[str, int]:
+    """``nats://host:port`` (scheme optional) -> (host, port)."""
+    rest = url.split("://", 1)[-1]
+    if "@" in rest:  # user:pass@host — credentials unsupported, strip loudly
+        raise NatsWireError("credentials in URL are not supported by the wire client")
+    host, _, port = rest.partition(":")
+    return host or "127.0.0.1", int(port or 4222)
+
+
+class NatsWireClient:
+    """One blocking connection. Not thread-safe by design — each Spark
+    task / planning call opens its own (connections are cheap; the
+    protocol handshake is one round trip)."""
+
+    def __init__(self, url: str, timeout: float = 10.0) -> None:
+        host, port = _parse_url(url)
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._sock.settimeout(timeout)
+        self._buf = b""
+        self._sid = 0
+        info_line = self._read_line()
+        if not info_line.startswith(b"INFO "):
+            raise NatsWireError(f"expected INFO, got {info_line[:80]!r}")
+        self.server_info = json.loads(info_line[5:])
+        self._send(
+            b"CONNECT "
+            + json.dumps(
+                {
+                    "verbose": False,
+                    "pedantic": False,
+                    "headers": False,
+                    "no_responders": False,
+                    "lang": "python-wire",
+                    "version": "0",
+                    "protocol": 1,
+                }
+            ).encode()
+            + _CRLF
+            + b"PING"
+            + _CRLF
+        )
+        # drain until the handshake PONG (server may not send anything else)
+        while True:
+            line = self._read_line()
+            if line == b"PONG":
+                break
+            if line.startswith(b"-ERR"):
+                raise NatsWireError(line.decode(errors="replace"))
+
+    # -- framing -------------------------------------------------------------
+
+    def _send(self, data: bytes) -> None:
+        self._sock.sendall(data)
+
+    def _fill(self) -> None:
+        chunk = self._sock.recv(65536)
+        if not chunk:
+            raise NatsWireError("connection closed by server")
+        self._buf += chunk
+
+    def _read_line(self) -> bytes:
+        while _CRLF not in self._buf:
+            if len(self._buf) > _MAX_CONTROL_LINE:
+                raise NatsWireError("control line too long")
+            self._fill()
+        line, self._buf = self._buf.split(_CRLF, 1)
+        return line
+
+    def _read_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            self._fill()
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    # -- core ops --------------------------------------------------------------
+
+    def publish(self, subject: str, payload: bytes, reply: str | None = None) -> None:
+        head = f"PUB {subject} {reply + ' ' if reply else ''}{len(payload)}"
+        self._send(head.encode() + _CRLF + payload + _CRLF)
+
+    def flush(self) -> None:
+        """PING round-trip: the server processes a connection's frames in
+        order, so the PONG proves every prior ``publish`` was applied."""
+        self._send(b"PING" + _CRLF)
+        while True:
+            line = self._read_line()
+            if line == b"PONG":
+                return
+            if line == b"PING":
+                self._send(b"PONG" + _CRLF)
+                continue
+            if line.startswith(b"-ERR"):
+                raise NatsWireError(line.decode(errors="replace"))
+
+    def request(self, subject: str, payload: bytes) -> bytes:
+        """Core-NATS request/reply: ephemeral inbox, one reply."""
+        self._sid += 1
+        sid = str(self._sid)
+        inbox = f"_INBOX.{uuid.uuid4().hex}"
+        self._send(f"SUB {inbox} {sid}".encode() + _CRLF)
+        self.publish(subject, payload, reply=inbox)
+        while True:
+            line = self._read_line()
+            if line.startswith(b"MSG "):
+                parts = line.decode().split(" ")
+                # MSG <subject> <sid> [reply-to] <#bytes>
+                nbytes = int(parts[-1])
+                body = self._read_exact(nbytes)
+                if self._read_exact(2) != _CRLF:
+                    raise NatsWireError("bad MSG trailer")
+                if parts[2] == sid:
+                    self._send(f"UNSUB {sid}".encode() + _CRLF)
+                    return body
+                continue  # stale delivery for an earlier, abandoned sid
+            if line == b"PING":
+                self._send(b"PONG" + _CRLF)
+                continue
+            if line.startswith(b"-ERR"):
+                raise NatsWireError(line.decode(errors="replace"))
+            if line in (b"PONG", b"+OK"):
+                continue
+            raise NatsWireError(f"unexpected frame {line[:80]!r}")
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    def __enter__(self) -> "NatsWireClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- JetStream API ---------------------------------------------------------
+
+    def _js(self, subject: str, req: dict | None) -> dict:
+        body = json.dumps(req).encode() if req is not None else b""
+        resp = json.loads(self.request(subject, body))
+        return resp
+
+    def stream_info(self, stream: str) -> dict:
+        resp = self._js(f"$JS.API.STREAM.INFO.{stream}", None)
+        if "error" in resp:
+            raise NatsWireError(f"STREAM.INFO.{stream}: {resp['error']}")
+        return resp
+
+    def last_seq(self, stream: str) -> int:
+        return int(self.stream_info(stream)["state"]["last_seq"])
+
+    def first_seq(self, stream: str) -> int:
+        return int(self.stream_info(stream)["state"]["first_seq"])
+
+    def get_msg(self, stream: str, seq: int) -> tuple[str, bytes]:
+        """(subject, payload) of the message at stream sequence ``seq``."""
+        resp = self._js(f"$JS.API.STREAM.MSG.GET.{stream}", {"seq": seq})
+        err = resp.get("error")
+        if err:
+            if int(err.get("code", 0)) == 404:
+                raise SeqOutOfRange(stream, seq, err)
+            raise NatsWireError(f"MSG.GET.{stream} seq={seq}: {err}")
+        msg = resp["message"]
+        return msg["subject"], base64.b64decode(msg.get("data") or b"")
+
+
+__all__ = [
+    "NatsWireClient",
+    "NatsWireError",
+    "SeqOutOfRange",
+]

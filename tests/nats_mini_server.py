@@ -1,0 +1,259 @@
+"""In-process NATS/JetStream protocol double for transport tests.
+
+TEST DOUBLE, not a broker: just enough of the PUBLIC NATS wire protocol
+(docs.nats.io/reference/reference-protocols/nats-protocol) and the
+JetStream JSON API to exercise sources/nats_wire.py and the ``wire``
+transport of the streaming source over real TCP sockets — including from
+the separate Python worker processes Spark runs datasource ``read()`` in.
+
+Implements, faithfully to a real nats-server's observable behavior:
+
+- INFO on accept; CONNECT / PING→PONG / SUB / UNSUB / PUB / MSG framing
+  (length-framed payloads, arbitrary bytes).
+- ``$JS.API.STREAM.INFO.<stream>`` → ``{state: {first_seq, last_seq,
+  messages}}``.
+- ``$JS.API.STREAM.MSG.GET.<stream>`` ``{"seq": n}`` → base64 message, or
+  the 404/10037 "no message found" error object for purged/future
+  sequences (the shape nats_wire.SeqOutOfRange parses).
+- Core publishes to the stream's subject append to the stream (what a
+  Zeebe exporter's PUB would do); ``purge_up_to`` emulates a retention
+  policy advancing ``first_seq`` mid-run.
+
+Threading: one acceptor + one thread per connection; the store is a
+lock-guarded dict. Connections from any process on localhost.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import socket
+import threading
+
+_CRLF = b"\r\n"
+
+
+class MiniJetStream:
+    """The message store: seq -> (subject, payload bytes)."""
+
+    def __init__(self, stream: str, subject: str) -> None:
+        self.stream = stream
+        self.subject = subject
+        self._lock = threading.Lock()
+        self._msgs: dict[int, tuple[str, bytes]] = {}
+        self._first = 1
+        self._last = 0
+
+    def publish(self, subject: str, payload: bytes) -> int:
+        with self._lock:
+            self._last += 1
+            self._msgs[self._last] = (subject, payload)
+            return self._last
+
+    def purge_up_to(self, seq: int) -> None:
+        """Drop sequences <= seq (retention limit advancing first_seq)."""
+        with self._lock:
+            for s in [s for s in self._msgs if s <= seq]:
+                del self._msgs[s]
+            self._first = max(self._first, seq + 1)
+
+    def info(self) -> dict:
+        with self._lock:
+            return {
+                "config": {"name": self.stream, "subjects": [self.subject]},
+                "state": {
+                    "messages": len(self._msgs),
+                    "first_seq": self._first,
+                    "last_seq": self._last,
+                },
+            }
+
+    def get(self, seq: int) -> tuple[str, bytes] | None:
+        with self._lock:
+            return self._msgs.get(seq)
+
+
+class MiniNatsServer:
+    """``with MiniNatsServer(stream="zeebe", subject="zeebe-export") as s:``
+    — listens on an ephemeral localhost port (``s.port``)."""
+
+    def __init__(self, stream: str = "zeebe", subject: str = "zeebe-export") -> None:
+        self.js = MiniJetStream(stream, subject)
+        self._listener = socket.create_server(("127.0.0.1", 0))
+        self.port = self._listener.getsockname()[1]
+        self.url = f"nats://127.0.0.1:{self.port}"
+        self._stop = threading.Event()
+        self._accept_thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._accept_thread.start()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            self._listener.close()
+        except OSError:
+            pass
+
+    def __enter__(self) -> "MiniNatsServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- connection handling -------------------------------------------------
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._listener.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._serve, args=(conn,), daemon=True
+            ).start()
+
+    def _serve(self, conn: socket.socket) -> None:
+        try:
+            self._serve_inner(conn)
+        except (OSError, ValueError):
+            pass  # client went away mid-frame; a real server logs and moves on
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def _serve_inner(self, conn: socket.socket) -> None:
+        conn.sendall(
+            b"INFO "
+            + json.dumps(
+                {
+                    "server_id": "mini-test-double",
+                    "version": "0.0.0-test",
+                    "proto": 1,
+                    "headers": False,
+                    "max_payload": 1 << 20,
+                }
+            ).encode()
+            + _CRLF
+        )
+        buf = b""
+        subs: dict[str, str] = {}  # sid -> subject (exact match only)
+        lock = threading.Lock()  # serialize writes from this handler
+
+        def send(data: bytes) -> None:
+            with lock:
+                conn.sendall(data)
+
+        def read_line() -> bytes | None:
+            nonlocal buf
+            while _CRLF not in buf:
+                chunk = conn.recv(65536)
+                if not chunk:
+                    return None
+                buf += chunk
+            line, buf = buf.split(_CRLF, 1)
+            return line
+
+        def read_exact(n: int) -> bytes:
+            nonlocal buf
+            while len(buf) < n:
+                chunk = conn.recv(65536)
+                if not chunk:
+                    raise OSError("eof mid-payload")
+                buf += chunk
+            out, buf = buf[:n], buf[n:]
+            return out
+
+        def deliver(subject: str, payload: bytes) -> None:
+            for sid, sub_subject in list(subs.items()):
+                if sub_subject == subject:
+                    send(
+                        f"MSG {subject} {sid} {len(payload)}".encode()
+                        + _CRLF
+                        + payload
+                        + _CRLF
+                    )
+
+        while not self._stop.is_set():
+            line = read_line()
+            if line is None:
+                return
+            if not line:
+                continue
+            op = line.split(b" ", 1)[0].upper()
+            if op == b"CONNECT":
+                continue
+            if op == b"PING":
+                send(b"PONG" + _CRLF)
+                continue
+            if op == b"PONG":
+                continue
+            if op == b"SUB":
+                _, subject, sid = line.decode().split(" ")
+                subs[sid] = subject
+                continue
+            if op == b"UNSUB":
+                sid = line.decode().split(" ")[1]
+                subs.pop(sid, None)
+                continue
+            if op == b"PUB":
+                parts = line.decode().split(" ")
+                subject = parts[1]
+                reply = parts[2] if len(parts) == 4 else None
+                nbytes = int(parts[-1])
+                payload = read_exact(nbytes)
+                if read_exact(2) != _CRLF:
+                    raise ValueError("bad PUB trailer")
+                if subject.startswith("$JS.API."):
+                    if reply:
+                        deliver(reply, self._js_api(subject, payload))
+                elif subject == self.js.subject:
+                    self.js.publish(subject, payload)
+                    if reply:
+                        deliver(reply, b"")  # publish-with-reply ack (unused)
+                else:
+                    deliver(subject, payload)
+                continue
+            send(b"-ERR 'Unknown Protocol Operation'" + _CRLF)
+
+    # -- JetStream API double ---------------------------------------------------
+
+    def _js_api(self, subject: str, payload: bytes) -> bytes:
+        api = subject[len("$JS.API.") :]
+        if api == f"STREAM.INFO.{self.js.stream}":
+            return json.dumps(
+                {"type": "io.nats.jetstream.api.v1.stream_info_response"}
+                | self.js.info()
+            ).encode()
+        if api == f"STREAM.MSG.GET.{self.js.stream}":
+            seq = int(json.loads(payload or b"{}")["seq"])
+            got = self.js.get(seq)
+            if got is None:
+                # exact error shape a real server answers for a purged or
+                # not-yet-written sequence
+                return json.dumps(
+                    {
+                        "type": "io.nats.jetstream.api.v1.stream_msg_get_response",
+                        "error": {
+                            "code": 404,
+                            "err_code": 10037,
+                            "description": "no message found",
+                        },
+                    }
+                ).encode()
+            msg_subject, data = got
+            return json.dumps(
+                {
+                    "type": "io.nats.jetstream.api.v1.stream_msg_get_response",
+                    "message": {
+                        "subject": msg_subject,
+                        "seq": seq,
+                        "data": base64.b64encode(data).decode(),
+                    },
+                }
+            ).encode()
+        return json.dumps(
+            {"error": {"code": 404, "description": f"unknown api {api}"}}
+        ).encode()
