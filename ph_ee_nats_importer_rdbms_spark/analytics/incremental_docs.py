@@ -149,7 +149,9 @@ def _commit(root: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(mdir, name))
 
 
-def _read(spark: SparkSession, root: str, name: str) -> DataFrame:
+def _read(
+    spark: SparkSession, root: str, name: str, schema: T.StructType | None = None
+) -> DataFrame:
     """Union of the artifact across COMMITTED batches only — a crashed
     append's manifest-less directories are never read. Explicit schema: a
     store whose corpus has no near-dups yet has an empty pairs dir."""
@@ -157,7 +159,16 @@ def _read(spark: SparkSession, root: str, name: str) -> DataFrame:
         _batch_path(root, name, m["batch"])
         for m in committed_batches(root)
     ]
-    return spark.read.schema(_SCHEMAS[name]).parquet(*paths)
+    return spark.read.schema(schema or _SCHEMAS[name]).parquet(*paths)
+
+
+def read_artifact(
+    spark: SparkSession, root: str, name: str, schema: T.StructType
+) -> DataFrame:
+    """Committed union of an EXTRA (caller-defined) per-batch artifact —
+    the read side of the ``extra`` parameter of build_index/append_batch.
+    The caller owns the schema (it isn't in this module's registry)."""
+    return _read(spark, root, name, schema)
 
 
 def read_pairs(spark: SparkSession, root: str) -> DataFrame:
@@ -201,8 +212,20 @@ def _write_artifacts(
         df.write.mode("overwrite").parquet(_batch_path(root, name, batch))
 
 
-def build_index(spark: SparkSession, docs: DataFrame, root: str) -> None:
-    """Full build from a (doc_id, text) relation."""
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    extra: dict[str, DataFrame] | None = None,
+) -> None:
+    """Full build from a (doc_id, text) relation.
+
+    ``extra`` adds caller-defined per-batch artifacts (name -> relation
+    derived from THIS batch's docs) to the same transaction: they stage
+    into batch dirs with everything else and become visible atomically
+    with the one commit manifest. Read back with :func:`read_artifact`.
+    The curation store (incremental_curation.py) rides its per-doc
+    metrics on this."""
     sh = shingles_of(docs).localCheckpoint(eager=True)
     sigs = signatures_of(sh).localCheckpoint(eager=True)
     bands = bands_of(sigs).localCheckpoint(eager=True)
@@ -228,13 +251,17 @@ def build_index(spark: SparkSession, docs: DataFrame, root: str) -> None:
             "pairs": pairs,
             "delivered": docs.select("doc_id"),
             "labels": _cc_or_empty(spark, pairs),
+            **(extra or {}),
         },
     )
     _commit(root, {"seq": 0, "batch": _BASE_BATCH})
 
 
 def append_batch(
-    spark: SparkSession, new_docs: DataFrame, root: str
+    spark: SparkSession,
+    new_docs: DataFrame,
+    root: str,
+    extra: dict[str, DataFrame] | None = None,
 ) -> dict:
     """Fold a new document batch into the store; returns append stats.
 
@@ -313,6 +340,7 @@ def append_batch(
             "pairs": pairs_new,
             "delivered": new_docs.select("doc_id"),
             "labels": labels,
+            **(extra or {}),
         },
     )
     n_delivered = new_docs.count()

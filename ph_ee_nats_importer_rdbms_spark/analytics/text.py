@@ -99,7 +99,13 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     score, 'und' when every score is zero. Pure built-ins — the per-language
     score is a higher-order `filter` over the token array (no shuffle, no
     Python)."""
-    d = load_table(spark, sf_dir, "documents")
+    return lang_id_of(load_table(spark, sf_dir, "documents"))
+
+
+def lang_id_of(d: DataFrame) -> DataFrame:
+    """:func:`q_lang_id` as a relation transform — the form incremental
+    stores apply to one delivery batch at a time (map-only, so per-batch
+    application is trivially equal to whole-corpus application)."""
     toks = _tokens()
     scored = d.select(
         "doc_id",
@@ -163,7 +169,11 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score: length, punctuation ratio, stopword ratio,
     mean token length — the classic cheap pre-filters applied before
     expensive dedup/training steps."""
-    d = load_table(spark, sf_dir, "documents")
+    return quality_of(load_table(spark, sf_dir, "documents"))
+
+
+def quality_of(d: DataFrame) -> DataFrame:
+    """:func:`q_quality` as a relation transform (see lang_id_of)."""
     toks = _tokens()
     n_tokens = F.size(toks)
     n_chars = F.length("text")
@@ -313,7 +323,11 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _repetition_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    return repetition_of(load_table(spark, sf_dir, "documents"))
+
+
+def repetition_of(d: DataFrame) -> DataFrame:
+    """:func:`q_repetition` as a relation transform (see lang_id_of)."""
     staged = d.select(
         "doc_id", _tokens().alias("toks")
     ).localCheckpoint(eager=False)
@@ -512,6 +526,17 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "top_token_frac", "dup_bigram_frac"
     )
     dup = q_dup_clusters(spark, sf_dir).select("doc_id", "is_keeper")
+    return curation_verdict(
+        lang.join(qual, "doc_id").join(rep, "doc_id").join(dup, "doc_id", "left")
+    )
+
+
+def curation_verdict(joined: DataFrame) -> DataFrame:
+    """The keep/reject cascade over a relation carrying ``predicted_lang``,
+    ``quality_score``, ``top_token_frac``, ``dup_bigram_frac`` and nullable
+    ``is_keeper`` — shared by the whole-corpus query above and the
+    incremental curation store (analytics/incremental_curation.py), so the
+    policy cannot drift between the two."""
     reason = (
         F.when(F.col("predicted_lang") == "und", F.lit("lang"))
         .when(F.col("quality_score") < CURATION_MIN_QUALITY, F.lit("quality"))
@@ -522,15 +547,10 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .when(~F.coalesce(F.col("is_keeper"), F.lit(True)), F.lit("duplicate"))
     )
-    return (
-        lang.join(qual, "doc_id")
-        .join(rep, "doc_id")
-        .join(dup, "doc_id", "left")
-        .select(
-            "doc_id",
-            reason.alias("reject_reason"),
-            reason.isNull().alias("kept"),
-        )
+    return joined.select(
+        "doc_id",
+        reason.alias("reject_reason"),
+        reason.isNull().alias("kept"),
     )
 
 

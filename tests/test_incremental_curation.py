@@ -1,0 +1,159 @@
+"""Incremental curation store (analytics/incremental_curation.py).
+
+Parity contract: after any sequence of batch appends, ``read_curation``
+equals the from-scratch whole-corpus verdict — checked both against a
+one-batch store build AND against the oracle-checked registry query
+``q_curation`` itself (same metric transforms, same shared cascade, same
+near-dup pipeline), so the incremental path cannot drift from the
+verified batch path.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ph_ee_nats_importer_rdbms_spark.analytics import incremental_curation as cur
+from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
+
+
+def _verdicts(df) -> set:
+    return {
+        (r["doc_id"], r["reject_reason"], r["kept"]) for r in df.collect()
+    }
+
+
+def test_store_build_matches_registry_query_on_real_corpus(
+    spark, sf_dir, tmp_path
+):
+    """A store built from the whole sf0.001 corpus must reproduce the
+    oracle-checked q_curation verdict row for row."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.text import q_curation
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    root = str(tmp_path / "cur")
+    cur.build_curation_store(spark, docs, root)
+    assert _verdicts(cur.read_curation(spark, root)) == _verdicts(
+        q_curation(spark, sf_dir)
+    )
+
+
+def test_append_matches_full_rebuild_on_real_corpus(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    first = docs.filter(~docs.source.isin("src0", "src1")).drop("source")
+    second = docs.filter(docs.source.isin("src0", "src1")).drop("source")
+
+    root = str(tmp_path / "inc")
+    cur.build_curation_store(spark, first, root)
+    cur.append_curation_batch(spark, second, root)
+
+    full = str(tmp_path / "full")
+    cur.build_curation_store(spark, docs.drop("source"), full)
+
+    got = _verdicts(cur.read_curation(spark, root))
+    assert got == _verdicts(cur.read_curation(spark, full))
+    # the corpus actually exercises every branch worth having
+    reasons = {r for _, r, _ in got}
+    assert "duplicate" in reasons, "planted near-dups must reject"
+
+
+@st.composite
+def _batches(draw):
+    """Small synthetic corpora biased toward near-dup bridges and
+    every reject reason: lang (non-lexicon gibberish), repetition
+    (one token repeated), duplicate (template copies across batches)."""
+    vocab = ["the", "and", "is", "alpha", "beta", "gamma", "delta", "zeta"]
+    base = draw(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=5, max_size=8),
+            min_size=2,
+            max_size=3,
+        )
+    )
+    n_batches = draw(st.integers(2, 3))
+    batches = [[] for _ in range(n_batches)]
+    doc_id = 0
+
+    def put(words):
+        nonlocal doc_id
+        batches[draw(st.integers(0, n_batches - 1))].append(
+            (doc_id, " ".join(words), "en")
+        )
+        doc_id += 1
+
+    for words in base:
+        for _ in range(draw(st.integers(1, 3))):
+            w = list(words)
+            if draw(st.booleans()) and len(w) > 5:
+                w[draw(st.integers(0, len(w) - 1))] = draw(st.sampled_from(vocab))
+            put(w)
+    if draw(st.booleans()):
+        put(["xqzt", "vwpl", "qqrr", "zzyy", "wwkk"])  # lang reject
+    if draw(st.booleans()):
+        put(["the"] * 12)  # repetition reject
+    for i, b in enumerate(batches):
+        if not b:
+            put([f"filler{i}", "the", "is", "and", "alpha"])
+            # put() may have landed it in another batch; pad directly
+    return [b for b in batches if b]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=_batches())
+def test_fuzz_append_sequence_matches_full_rebuild(
+    batches, spark, tmp_path_factory
+):
+    base = tmp_path_factory.mktemp("inccur")
+    root, full = str(base / "inc"), str(base / "full")
+
+    schema = "doc_id long, text string, lang string"
+    cur.build_curation_store(
+        spark, spark.createDataFrame(batches[0], schema), root
+    )
+    for b in batches[1:]:
+        cur.append_curation_batch(spark, spark.createDataFrame(b, schema), root)
+
+    union = [d for b in batches for d in b]
+    cur.build_curation_store(spark, spark.createDataFrame(union, schema), full)
+
+    assert _verdicts(cur.read_curation(spark, root)) == _verdicts(
+        cur.read_curation(spark, full)
+    )
+
+
+def test_metrics_ride_the_same_transaction(spark, tmp_path):
+    """A crashed append (no manifest) must leave metrics invisible along
+    with everything else — simulated by writing artifacts without the
+    commit step via a batch that raises on the re-delivery guard."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import incremental_docs as inc
+
+    schema = "doc_id long, text string, lang string"
+    root = str(tmp_path / "cur")
+    cur.build_curation_store(
+        spark,
+        spark.createDataFrame([(1, "the quick alpha beta gamma", "en")], schema),
+        root,
+    )
+    n0 = cur.read_curation(spark, root).count()
+    # stage a second batch's dirs by hand (what a crash-before-commit
+    # leaves behind), then confirm readers ignore them
+    batch_docs = spark.createDataFrame(
+        [(2, "the quick alpha beta delta", "en")], schema
+    )
+    inc._write_artifacts(
+        root,
+        "deadbeefdeadbeef",
+        {
+            "metrics": cur.metrics_of(batch_docs),
+            "delivered": batch_docs.select("doc_id"),
+        },
+    )
+    assert cur.read_curation(spark, root).count() == n0
