@@ -472,3 +472,161 @@ FROM documents
 WHERE {duck_h32(f"'{MIXTURE_SALT}' || CAST(doc_id AS VARCHAR)")} % 10000
       < {_MIX_TIER_SQL}
 """
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted importance sampling (classifier-score thinning)
+# ---------------------------------------------------------------------------
+
+#: exponent sharpening the quality weight into a keep probability —
+#: p(keep) = quality_score², the FineWeb-edu/DCLM-style move of trusting
+#: the scorer more at the extremes (a 0.9 doc keeps at 81%, a 0.5 doc at
+#: 25%) without a hard threshold's cliff.
+IMPORTANCE_SALT = "imp:"
+
+
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted corpus thinning: keep a doc iff
+    h32(imp:doc_id) % 10000 < floor(quality_score² · 10000).
+
+    Same map-only hash-Bernoulli shape as :func:`q_mixture_sample` — no
+    shuffle, no RNG state, stable under re-runs and repartitioning — but
+    the keep probability is PER-DOCUMENT, driven by the (map-only,
+    oracle-checked) quality score instead of a per-source config. Samples
+    nest across scorer revisions exactly like mixture samples nest across
+    weight revisions: a doc whose score rises is strictly more likely to
+    stay kept, and the kept set at a given score is reproducible forever.
+    At 100 TB this composes with mixture sampling in the same single
+    scan (two filter predicates, both pushed down)."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.text import quality_of
+
+    scored = quality_of(load_table(spark, sf_dir, "documents"))
+    p_bp = F.floor(F.col("quality_score") * F.col("quality_score") * 10000)
+    keep = (
+        F.expr(spark_h32(f"concat('{IMPORTANCE_SALT}', CAST(doc_id AS STRING))"))
+        % 10000
+        < p_bp
+    )
+    return scored.filter(keep).select(
+        "doc_id", "quality_score", p_bp.cast("long").alias("keep_bp")
+    )
+
+
+def _importance_sample_oracle() -> str:
+    from ph_ee_nats_importer_rdbms_spark.analytics.text import QUALITY_ORACLE
+
+    return f"""
+WITH q AS ({QUALITY_ORACLE})
+SELECT doc_id, quality_score,
+       CAST(floor(quality_score * quality_score * 10000) AS BIGINT) AS keep_bp
+FROM q
+WHERE {duck_h32(f"'{IMPORTANCE_SALT}' || CAST(doc_id AS VARCHAR)")} % 10000
+      < floor(quality_score * quality_score * 10000)
+"""
+
+
+IMPORTANCE_SAMPLE_ORACLE = _importance_sample_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Corpus-unigram log-probability (statistical LM quality signal)
+# ---------------------------------------------------------------------------
+
+#: tokens in more documents than this are Zipf-head stopwords: their count
+#: rows broadcast to the exploded relation instead of shuffling with it,
+#: so no reducer ever keys on "the" (same split as dup_ngram_frac).
+UNIGRAM_HOT_DF = 64
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean corpus-unigram log-probability per document — the classic
+    cheap LM fluency proxy (CCNet's LM-perplexity filter with the corpus
+    itself as the model): score(d) = (Σ_tok c_d(tok)·ln c(tok))/|d| − ln N.
+    Gibberish and boilerplate-with-rare-symbols score low; stopword-rich
+    prose scores high.
+
+    Scale shape: within-doc token counts collapse per (doc_id, token)
+    BEFORE anything shuffles (rows on the wire = distinct tokens per doc,
+    not tokens); the corpus count table aggregates map-side-combinably
+    from those partials; the count join back splits hot tokens (document
+    frequency > UNIGRAM_HOT_DF — the Zipf head, a config-sized relation)
+    onto a broadcast join so the shuffle join's per-key rows are bounded
+    by the constant. The per-doc sum folds over the token-sorted term
+    array (left fold from 0.0) so both engines add in the same order —
+    float addition isn't associative, and an unordered SUM would be
+    nondeterministic run to run, let alone engine to engine."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.text import _tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        d.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c_doc"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = per_doc.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("c_doc").alias("c_tot")
+    ).localCheckpoint(eager=False)
+    hot = vocab.filter(F.col("n_docs") > UNIGRAM_HOT_DF).select("tok", "c_tot")
+    rare = vocab.filter(F.col("n_docs") <= UNIGRAM_HOT_DF).select("tok", "c_tot")
+    joined = (
+        per_doc.join(F.broadcast(hot), "tok")
+        .unionByName(per_doc.join(rare, "tok"))
+    )
+    term = (F.col("c_doc").cast("double") * F.log(F.col("c_tot").cast("double"))).alias(
+        "term"
+    )
+    folded = (
+        joined.select("doc_id", "tok", "c_doc", term)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_doc").alias("n_tokens"),
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(tok, term))),"
+                " cast(0.0 as double), (a, x) -> a + x.term)"
+            ).alias("total"),
+        )
+    )
+    n_corpus = vocab.agg(F.sum("c_tot").alias("n_corpus"))
+    score = F.floor(
+        (F.col("total") / F.col("n_tokens") - F.log(F.col("n_corpus").cast("double")))
+        * 10000
+    ) / 10000
+    return folded.crossJoin(F.broadcast(n_corpus)).select(
+        "doc_id", "n_tokens", score.alias("logprob")
+    )
+
+
+def _unigram_logprob_oracle() -> str:
+    from ph_ee_nats_importer_rdbms_spark.analytics.text import _duck_tokens
+
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, tok, count(*) AS c_doc
+  FROM (SELECT doc_id, unnest({_duck_tokens()}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+vocab AS (
+  SELECT tok, sum(c_doc) AS c_tot FROM per_doc GROUP BY tok
+),
+n AS (SELECT sum(c_tot) AS n_corpus FROM vocab),
+terms AS (
+  SELECT p.doc_id, p.tok, p.c_doc,
+         CAST(p.c_doc AS DOUBLE) * ln(CAST(v.c_tot AS DOUBLE)) AS term
+  FROM per_doc p JOIN vocab v USING (tok)
+),
+folded AS (
+  SELECT doc_id, CAST(sum(c_doc) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(term ORDER BY tok, term)),
+                     (a, b) -> a + b) AS total
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       floor((total / n_tokens - ln(CAST(n_corpus AS DOUBLE))) * 10000) / 10000
+         AS logprob
+FROM folded, n
+"""
+
+
+UNIGRAM_LOGPROB_ORACLE = _unigram_logprob_oracle()

@@ -928,6 +928,7 @@ from ph_ee_nats_importer_rdbms_spark.analytics import (  # noqa: E402
     similarity as _sim,
     text as _tx,
     training as _tr,
+    versioning as _ver,
 )
 
 _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
@@ -1007,6 +1008,12 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "balanced_sample": (_tr.q_balanced_sample, _tr.BALANCED_SAMPLE_ORACLE),
     "pack_sequences": (_tr.q_pack_sequences, _tr.PACK_SEQUENCES_ORACLE),
     "mixture_sample": (_tr.q_mixture_sample, _tr.MIXTURE_SAMPLE_ORACLE),
+    "importance_sample": (
+        _tr.q_importance_sample,
+        _tr.IMPORTANCE_SAMPLE_ORACLE,
+    ),
+    "unigram_logprob": (_tr.q_unigram_logprob, _tr.UNIGRAM_LOGPROB_ORACLE),
+    "corpus_diff": (_ver.q_corpus_diff, _ver.CORPUS_DIFF_ORACLE),
     "pii_redact": (_pii.q_pii_redact, _pii.PII_REDACT_ORACLE),
     "pii_redact_docs": (_pii.q_pii_redact_docs, _pii.PII_REDACT_DOCS_ORACLE),
     "curation": (_tx.q_curation, _tx._curation_oracle()),
@@ -1033,6 +1040,9 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
 
 _DRIVER_FIRST: tuple[str, ...] = (
     # new in round 4
+    "corpus_diff",
+    "importance_sample",
+    "unigram_logprob",
     "decontamination_capped",
     "pii_redact_docs",
     # round-4 output changes (M=16 PQ codebooks, multi-probe IVF-ADC):

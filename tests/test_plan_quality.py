@@ -57,6 +57,9 @@ def test_dimension_joins_broadcast(spark, sf_dir):
         "minhash_dups",
         "transfers_range_filter",
         "transfer_detail_join",
+        "importance_sample",
+        "unigram_logprob",
+        "corpus_diff",
     ],
 )
 def test_no_cartesian_or_stray_python(spark, sf_dir, name):
@@ -64,3 +67,10 @@ def test_no_cartesian_or_stray_python(spark, sf_dir, name):
     assert "CartesianProduct" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, f"{name} has Python in the hot path"
+
+
+def test_unigram_hot_tokens_take_the_broadcast_path(spark, sf_dir):
+    """The Zipf-head split must be visible in the plan: the hot-token
+    count join broadcasts (no reducer ever keys on a stopword)."""
+    plan = _plan(QUERIES["unigram_logprob"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
