@@ -1,0 +1,87 @@
+"""Manifest-transaction helpers for batch-versioned analytics stores.
+
+The minimal slice of a Delta/Iceberg commit the incremental stores need
+(single writer, append-mostly), extracted as a utility so new stores
+stop re-implementing it: per-batch artifact directories are INVISIBLE
+until a commit manifest lands; the manifest write is atomic
+(tmp + os.replace); a crashed append leaves only manifest-less garbage
+that the idempotent retry overwrites in place. Same discipline as
+incremental_docs/incremental_vectors (which predate this module and
+carry their own copies, cross-tested against full rebuilds).
+
+Batch ids are content digests (sha256 of the sorted key set, computed
+engine-side — one scalar to the driver), which is what makes a retried
+or checkpoint-replayed delivery map onto the same directories.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+BASE_BATCH = "base"
+
+
+def manifest_dir(root: str) -> str:
+    return os.path.join(root, "_batches")
+
+
+def batch_path(root: str, name: str, batch: str) -> str:
+    return os.path.join(root, name, batch)
+
+
+def committed_batches(root: str) -> list[dict]:
+    """Commit manifests in sequence order — the store's visible state."""
+    mdir = manifest_dir(root)
+    try:
+        names = sorted(n for n in os.listdir(mdir) if n.endswith(".json"))
+    except OSError:
+        return []
+    out = []
+    for n in names:
+        with open(os.path.join(mdir, n)) as f:
+            out.append(json.load(f))
+    return out
+
+
+def commit(root: str, manifest: dict) -> None:
+    """Write the commit marker atomically — the ONLY point at which a
+    batch becomes visible."""
+    mdir = manifest_dir(root)
+    os.makedirs(mdir, exist_ok=True)
+    name = f"{manifest['seq']:06d}_{manifest['batch']}.json"
+    tmp = os.path.join(mdir, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.write("\n")
+    os.replace(tmp, os.path.join(mdir, name))
+
+
+def write_artifacts(root: str, batch: str, dfs: dict[str, DataFrame]) -> None:
+    for name, df in dfs.items():
+        df.write.mode("overwrite").parquet(batch_path(root, name, batch))
+
+
+def read_union(
+    spark: SparkSession, root: str, name: str, schema: T.StructType | str
+) -> DataFrame:
+    """Union of an artifact across COMMITTED batches only."""
+    paths = [
+        batch_path(root, name, m["batch"]) for m in committed_batches(root)
+    ]
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def batch_id_of(df: DataFrame, key: str) -> str:
+    """Deterministic content digest of the batch's key set."""
+    row = df.agg(
+        F.sha2(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col(key).cast("string")))
+            ),
+            256,
+        ).alias("h")
+    ).collect()[0]
+    return row["h"][:16]

@@ -75,14 +75,40 @@ def build_curation_store(
 
 
 def append_curation_batch(
-    spark: SparkSession, new_docs: DataFrame, root: str
+    spark: SparkSession,
+    new_docs: DataFrame,
+    root: str,
+    skip_committed: bool = False,
 ) -> dict:
     """Fold one delivery in: batch metrics + near-dup append, one
     transaction. Inherits the re-delivery guard and crash-safety of the
     underlying store (a retried crashed batch overwrites its own dirs)."""
     return incremental_docs.append_batch(
-        spark, new_docs, root, extra={"metrics": metrics_of(new_docs)}
+        spark,
+        new_docs,
+        root,
+        extra={"metrics": metrics_of(new_docs)},
+        skip_committed=skip_committed,
     )
+
+
+def streaming_curation_sink(root: str):
+    """``foreachBatch`` sink: document deliveries arriving as a STREAM
+    (a landing zone the crawler/vendor drop lands in) fold into the
+    curation store micro-batch by micro-batch. Exactly-once by the same
+    composition as the vector-index sink (incremental_vectors): the
+    checkpoint replays a failed micro-batch with identical content, the
+    batch id is that content's digest, and ``skip_committed`` makes the
+    replay a no-op — each delivery curates exactly once with no sink-side
+    offset bookkeeping."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            append_curation_batch(
+                batch_df.sparkSession, batch_df, root, skip_committed=True
+            )
+
+    return sink
 
 
 def read_curation(spark: SparkSession, root: str) -> DataFrame:

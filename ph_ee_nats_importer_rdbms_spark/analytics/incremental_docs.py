@@ -262,6 +262,7 @@ def append_batch(
     new_docs: DataFrame,
     root: str,
     extra: dict[str, DataFrame] | None = None,
+    skip_committed: bool = False,
 ) -> dict:
     """Fold a new document batch into the store; returns append stats.
 
@@ -271,10 +272,16 @@ def append_batch(
     ``delivered`` relation (every doc_id ever accepted, pre-shingle-
     filter), so short docs that never reached the signature store still
     reject, and a batch that crashed BEFORE its commit manifest leaves no
-    trace the guard would trust — the retry overwrites its directories."""
+    trace the guard would trust — the retry overwrites its directories.
+
+    ``skip_committed`` turns an exact-batch replay (same content digest)
+    into a no-op instead of an error — the checkpoint-replay semantics a
+    ``foreachBatch`` streaming sink needs for exactly-once."""
     committed = committed_batches(root)
     batch = _batch_id_of(new_docs)
     if any(m["batch"] == batch for m in committed):
+        if skip_committed:
+            return {"new_docs": 0, "skipped": True}
         raise ValueError(
             f"append_batch: batch {batch} already committed — "
             "this exact delivery has been applied (retry after success?)"

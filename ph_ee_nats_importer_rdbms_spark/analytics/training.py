@@ -355,9 +355,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pack_sequences_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_of(load_table(spark, sf_dir, "documents"))
+
+
+def pack_of(d: DataFrame) -> DataFrame:
+    """:func:`q_pack_sequences`'s transform as a relation function —
+    applied to one delivery at a time by the append-only pack store
+    (analytics/incremental_training.py). seq_ids start at 0 per shard;
+    the store shifts them past its committed high-water mark."""
     import pandas as pd
 
-    d = load_table(spark, sf_dir, "documents")
     docs = d.select(
         F.expr(
             f"cast({spark_h32('cast(doc_id as string)')} % {PACK_SHARDS} as int)"

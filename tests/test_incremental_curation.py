@@ -157,3 +157,56 @@ def test_metrics_ride_the_same_transaction(spark, tmp_path):
         },
     )
     assert cur.read_curation(spark, root).count() == n0
+
+
+def test_streaming_deliveries_fold_into_curation_store(
+    spark, sf_dir, tmp_path
+):
+    """Document deliveries via Structured Streaming: parquet files landing
+    in a directory stream through the foreachBatch sink; the final verdict
+    equals a from-scratch store build, and replaying a committed batch is
+    a no-op (exactly-once under checkpoint replay)."""
+    import os
+
+    from ph_ee_nats_importer_rdbms_spark.analytics import (
+        incremental_docs as inc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    first = docs.filter(docs.doc_id < 250)
+    rest = docs.filter(docs.doc_id >= 250)
+    root = str(tmp_path / "cur")
+    cur.build_curation_store(spark, first, root)
+
+    landing = str(tmp_path / "landing")
+    rest.write.parquet(landing)
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .parquet(landing)
+        .writeStream.foreachBatch(cur.streaming_curation_sink(root))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(120)
+
+    full = str(tmp_path / "full")
+    cur.build_curation_store(spark, docs, full)
+    assert _verdicts(cur.read_curation(spark, root)) == _verdicts(
+        cur.read_curation(spark, full)
+    )
+
+    # committed-batch replay (what a checkpoint replay delivers) is a no-op
+    replay = next(
+        b for b in inc.committed_batches(root) if b["batch"] != "base"
+    )
+    replay_df = spark.read.parquet(
+        os.path.join(root, "delivered", replay["batch"])
+    ).join(docs, "doc_id")
+    out = cur.append_curation_batch(spark, replay_df, root, skip_committed=True)
+    assert out == {"new_docs": 0, "skipped": True}
+    assert _verdicts(cur.read_curation(spark, root)) == _verdicts(
+        cur.read_curation(spark, full)
+    )
