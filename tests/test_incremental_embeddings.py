@@ -1,0 +1,145 @@
+"""Incremental embedding near-dup store (analytics/incremental_embeddings.py).
+
+Parity contract: after any sequence of vector deliveries, pairs and
+labels equal a from-scratch build of the union corpus with the same
+frozen hyperplanes — and a whole-corpus store build reproduces the
+oracle-checked `embedding_dups` / `embedding_dup_clusters` registry
+outputs exactly.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ph_ee_nats_importer_rdbms_spark.analytics import (
+    incremental_embeddings as ie,
+)
+from ph_ee_nats_importer_rdbms_spark.sources.files import load_table, spread
+
+
+def _vectors(spark, sf_dir):
+    return spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+
+
+def _pairs(spark, root) -> set:
+    return {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in ie.read_pairs(spark, root).collect()
+    }
+
+
+def _labels(spark, root) -> set:
+    return {
+        (r["node"], r["label"]) for r in ie.read_labels(spark, root).collect()
+    }
+
+
+def test_store_build_matches_registry_queries(spark, sf_dir, tmp_path):
+    from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
+        q_embedding_dup_clusters,
+        q_embedding_dups,
+    )
+
+    root = str(tmp_path / "emb")
+    ie.build_embedding_store(spark, _vectors(spark, sf_dir), root)
+    assert _pairs(spark, root) == {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in q_embedding_dups(spark, sf_dir).collect()
+    }
+    got = {
+        tuple(r) for r in ie.read_clusters(spark, root).collect()
+    }
+    want = {
+        tuple(r) for r in q_embedding_dup_clusters(spark, sf_dir).collect()
+    }
+    assert got == want and got, "corpus contains embedding near-dups"
+
+
+def test_append_matches_full_rebuild(spark, sf_dir, tmp_path):
+    v = _vectors(spark, sf_dir)
+    first = v.filter(F.col("vec_id") % 3 != 0)
+    second = v.filter(F.col("vec_id") % 3 == 0)
+
+    root = str(tmp_path / "inc")
+    ie.build_embedding_store(spark, first, root)
+    stats = ie.append_embedding_batch(spark, second, root)
+    assert stats["new_vectors"] == second.count()
+
+    full = str(tmp_path / "full")
+    ie.build_embedding_store(
+        spark, v, full, planes=ie.frozen_planes(root)
+    )
+    assert _pairs(spark, root) == _pairs(spark, full)
+    assert _labels(spark, root) == _labels(spark, full)
+
+
+def test_redelivery_guard_and_replay_skip(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    v = _vectors(spark, sf_dir)
+    first = v.filter(F.col("vec_id") < 300)
+    second = v.filter(F.col("vec_id") >= 300)
+    root = str(tmp_path / "emb")
+    ie.build_embedding_store(spark, first, root)
+    ie.append_embedding_batch(spark, second, root)
+    with _pytest.raises(ValueError, match="already committed"):
+        ie.append_embedding_batch(spark, second, root)
+    assert ie.append_embedding_batch(
+        spark, second, root, skip_committed=True
+    ) == {"new_vectors": 0, "skipped": True}
+    with _pytest.raises(ValueError, match="already in the store"):
+        ie.append_embedding_batch(spark, v.filter(F.col("vec_id") == 0), root)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(salt=st.integers(0, 10**6), n_batches=st.integers(2, 3))
+def test_fuzz_delivery_splits_match_full_rebuild(
+    salt, n_batches, spark, sf_dir, tmp_path_factory
+):
+    base = tmp_path_factory.mktemp("incemb")
+    root, full = str(base / "inc"), str(base / "full")
+    v = _vectors(spark, sf_dir).filter(F.col("vec_id") < 200)
+    split = F.abs(F.hash(F.col("vec_id") + F.lit(salt))) % n_batches
+    batches = [v.filter(split == i) for i in range(n_batches)]
+    batches = [b for b in batches if b.count() > 0]
+
+    ie.build_embedding_store(spark, batches[0], root)
+    for b in batches[1:]:
+        ie.append_embedding_batch(spark, b, root)
+
+    ie.build_embedding_store(spark, v, full, planes=ie.frozen_planes(root))
+    assert _pairs(spark, root) == _pairs(spark, full)
+    assert _labels(spark, root) == _labels(spark, full)
+
+
+def test_streaming_deliveries_fold_into_store(spark, sf_dir, tmp_path):
+    v = _vectors(spark, sf_dir)
+    first = v.filter(F.col("vec_id") < 350)
+    rest = v.filter(F.col("vec_id") >= 350)
+    root = str(tmp_path / "emb")
+    ie.build_embedding_store(spark, first, root)
+
+    landing = str(tmp_path / "landing")
+    rest.write.parquet(landing)
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .parquet(landing)
+        .writeStream.foreachBatch(ie.streaming_append_sink(root))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(120)
+
+    full = str(tmp_path / "full")
+    ie.build_embedding_store(spark, v, full, planes=ie.frozen_planes(root))
+    assert _pairs(spark, root) == _pairs(spark, full)
+    assert _labels(spark, root) == _labels(spark, full)
