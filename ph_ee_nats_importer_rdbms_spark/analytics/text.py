@@ -846,3 +846,76 @@ FROM counts
 ORDER BY n_occurrences DESC, token ASC
 LIMIT {VOCAB_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (pretraining / retrieval preprocessing)
+# ---------------------------------------------------------------------------
+
+#: chunk geometry: fixed window with overlap (stride = window − overlap),
+#: the standard shape both pretraining (long docs → max-context pieces)
+#: and retrieval indexing use. Every token lands in ≥1 chunk; consecutive
+#: chunks share CHUNK_TOKENS − CHUNK_STRIDE tokens of context.
+CHUNK_TOKENS = 48
+CHUNK_STRIDE = 32
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows:
+    chunk k covers tokens [k·stride, k·stride + window); the last chunk
+    is the first whose window reaches the document's end (short docs get
+    exactly one chunk).
+
+    Scale shape: a pure per-row explode — `sequence` over the chunk
+    index, `slice` over the memoized token array, all JVM-side, no
+    shuffle anywhere; output rows ∝ input tokens (the transformation's
+    own size), and the operator composes with the packing/tokenizing
+    stages downstream exactly where a pipeline wants it (after curation,
+    before packing)."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", _tokens().alias("toks")).localCheckpoint(
+        eager=False
+    )
+    n = F.size("toks")
+    k_max = F.greatest(
+        F.lit(0),
+        F.ceil((n - CHUNK_TOKENS) / F.lit(float(CHUNK_STRIDE))).cast("int"),
+    )
+    chunks = staged.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        "toks",
+        F.explode(F.sequence(F.lit(0), k_max)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * CHUNK_STRIDE
+    piece = F.slice(F.col("toks"), start + 1, CHUNK_TOKENS)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        start.cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_tok"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+CHUNK_DOCUMENTS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_duck_tokens()} AS toks FROM documents
+),
+k AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(generate_series(0,
+             greatest(0, CAST(ceil((len(toks) - {CHUNK_TOKENS})
+                              / {CHUNK_STRIDE}.0) AS INT)))) AS chunk_id
+  FROM t
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(len(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                           chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}))
+            AS BIGINT) AS n_tok,
+       array_to_string(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                                  chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}),
+                       ' ') AS chunk_text
+FROM k
+"""

@@ -776,6 +776,80 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly flags per event type: a day is anomalous when
+    its count exceeds mean + 3·stddev of that type's daily counts; the
+    full per-day z-score series is returned (the dashboard relation), with
+    the 3σ exceedance as the ``is_alert`` flag.
+
+    Engine-stability is the design constraint: mean and variance derive
+    from EXACT integer moments (Σn, Σn², day count — all int64, immune to
+    aggregation order), so the double arithmetic that follows is
+    bit-identical in both engines and the >-threshold cut cannot flip on
+    a low-bit difference the way a distributed Welford stddev could. One
+    grouped count + one config-sized (event_type) aggregate + a broadcast
+    join back — the monitoring query a pipeline runs after every ingest
+    day, at any scale."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("days"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("days")
+    var = (F.col("days") * F.col("s2") - F.col("s1") * F.col("s1")) / (
+        F.col("days") * F.col("days")
+    )
+    z = F.floor((F.col("n") - mean) / F.sqrt(var) * 100) / 100
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter((F.col("days") >= 7) & (var > 0))
+        .select(
+            "event_type",
+            "day",
+            "n",
+            z.alias("z_score"),
+            (F.col("n") > mean + 3 * F.sqrt(var)).alias("is_alert"),
+        )
+    )
+
+
+_EVENTS_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, count(*) AS days,
+         CAST(sum(n) AS BIGINT) AS s1,
+         CAST(sum(n * n) AS BIGINT) AS s2
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.n,
+       floor((d.n - CAST(s1 AS DOUBLE) / days)
+             / sqrt((days * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+                    / (CAST(days AS DOUBLE) * days)) * 100) / 100 AS z_score,
+       d.n > CAST(s1 AS DOUBLE) / days
+             + 3 * sqrt((days * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+                        / (CAST(days AS DOUBLE) * days)) AS is_alert
+FROM daily d JOIN stats s USING (event_type)
+WHERE days >= 7
+  AND (days * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+      / (CAST(days AS DOUBLE) * days) > 0
+"""
+
+
 def _q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase: a user converts
     at stage k when their FIRST event of each stage is strictly ordered
@@ -1014,6 +1088,8 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "unigram_logprob": (_tr.q_unigram_logprob, _tr.UNIGRAM_LOGPROB_ORACLE),
     "corpus_diff": (_ver.q_corpus_diff, _ver.CORPUS_DIFF_ORACLE),
+    "chunk_documents": (_tx.q_chunk_documents, _tx.CHUNK_DOCUMENTS_ORACLE),
+    "events_anomaly": (_q_events_anomaly, _EVENTS_ANOMALY_ORACLE),
     "pii_redact": (_pii.q_pii_redact, _pii.PII_REDACT_ORACLE),
     "pii_redact_docs": (_pii.q_pii_redact_docs, _pii.PII_REDACT_DOCS_ORACLE),
     "curation": (_tx.q_curation, _tx._curation_oracle()),
@@ -1040,6 +1116,8 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
 
 _DRIVER_FIRST: tuple[str, ...] = (
     # new in round 4
+    "chunk_documents",
+    "events_anomaly",
     "corpus_diff",
     "importance_sample",
     "unigram_logprob",

@@ -60,6 +60,8 @@ def test_dimension_joins_broadcast(spark, sf_dir):
         "importance_sample",
         "unigram_logprob",
         "corpus_diff",
+        "chunk_documents",
+        "events_anomaly",
     ],
 )
 def test_no_cartesian_or_stray_python(spark, sf_dir, name):
