@@ -1207,3 +1207,107 @@ WHERE rank <= {SEMANTIC_SAMPLE_K}
 
 
 SEMANTIC_SAMPLE_ORACLE = _semantic_sample_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space outlier detection (noise screening over the IVF layout)
+# ---------------------------------------------------------------------------
+
+#: a vector is flagged when its similarity to its OWN centroid falls more
+#: than this many (population) standard deviations below the cluster mean
+OUTLIER_SIGMA = 2.0
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector distance-to-own-centroid z-scores with an outlier flag —
+    the embedding-space noise screen (mislabeled/garbage vectors sit far
+    from every centroid) a pipeline runs before training on or serving an
+    embedding corpus. Composes the STAGED IVF assignment: the only new
+    work is one broadcast join back to the centroid literals plus a
+    16-row stats aggregate.
+
+    Engine stability, same device as events_anomaly: the 6dp-rounded
+    similarity becomes an EXACT integer (×1e6, round-to-nearest), the
+    per-cluster moments (n, Σu, Σu²) aggregate as integers immune to
+    order, and the mean/σ/threshold doubles derive from those identical
+    exact inputs — so the flag cannot flip between engines on a low-bit
+    stddev difference. (Σu² stays inside int64 past 9M vectors per
+    cluster; beyond that a production run would aggregate Σu² as
+    DECIMAL(38,0) — same plan shape.)"""
+    assign = ivf_assignments(spark, sf_dir)
+    cent = _ivf_centroids(spark, sf_dir).withColumnRenamed("cid", "cluster_id")
+    sim = F.round(_cosine("embedding", "cemb"), 6)
+    scored = assign.join(cent, "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        sim.alias("centroid_cos"),
+        F.round(sim * 1000000).cast("long").alias("u"),
+    )
+    stats = scored.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u").alias("s1"),
+        F.sum(F.col("u") * F.col("u")).alias("s2"),
+    )
+    mean_u = F.col("s1").cast("double") / F.col("n")
+    var_u = (
+        F.col("n").cast("double") * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (F.col("n").cast("double") * F.col("n"))
+    sd_u = F.sqrt(var_u)
+    z = F.floor((F.col("u") - mean_u) / sd_u * 100) / 100
+    return (
+        scored.join(F.broadcast(stats), "cluster_id")
+        .filter(var_u > 0)
+        .select(
+            "vec_id",
+            "cluster_id",
+            "centroid_cos",
+            z.alias("z_score"),
+            (F.col("u") < mean_u - OUTLIER_SIGMA * sd_u).alias("is_outlier"),
+        )
+    )
+
+
+def _embedding_outliers_oracle() -> str:
+    rows = ",\n    ".join(
+        f"({cid}, CAST([{', '.join(repr(v) for v in vec)}] AS DOUBLE[]))"
+        for cid, vec in enumerate(IVF_CODEBOOKS[ORACLE_SF_BASE])
+    )
+    c6 = _duck_pair_cosine("e.embedding", "c.cemb").format(nd=6)
+    return f"""
+WITH cent(cid, cemb) AS (
+  VALUES {rows}
+),
+assign AS (
+  SELECT vec_id, cluster_id, ccos,
+         CAST(round(ccos * 1000000) AS BIGINT) AS u
+  FROM (
+    SELECT e.vec_id, c.cid AS cluster_id, {c6} AS ccos,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {c6} DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+stats AS (
+  SELECT cluster_id, count(*) AS n,
+         CAST(sum(u) AS BIGINT) AS s1,
+         CAST(sum(u * u) AS BIGINT) AS s2
+  FROM assign GROUP BY cluster_id
+)
+SELECT a.vec_id, a.cluster_id, a.ccos AS centroid_cos,
+       floor((a.u - CAST(s1 AS DOUBLE) / n)
+             / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * n)) * 100) / 100 AS z_score,
+       a.u < CAST(s1 AS DOUBLE) / n
+             - {OUTLIER_SIGMA} * sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * n)) AS is_outlier
+FROM assign a JOIN stats s USING (cluster_id)
+WHERE (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      / (CAST(n AS DOUBLE) * n) > 0
+"""
+
+
+EMBEDDING_OUTLIERS_ORACLE = _embedding_outliers_oracle()

@@ -1068,6 +1068,10 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "ann_ivf_pq": (_sim.q_ann_ivf_pq, _sim.ANN_IVF_PQ_ORACLE),
     "ann_recall": (_sim.q_ann_recall, _sim.ANN_RECALL_ORACLE),
     "semantic_sample": (_sim.q_semantic_sample, _sim.SEMANTIC_SAMPLE_ORACLE),
+    "embedding_outliers": (
+        _sim.q_embedding_outliers,
+        _sim.EMBEDDING_OUTLIERS_ORACLE,
+    ),
     # --- training-data pipeline (analytics/training.py) ---
     "train_test_split": (_tr.q_train_test_split, _tr.TRAIN_TEST_SPLIT_ORACLE),
     "decontamination": (_tr.q_decontamination, _tr.DECONTAMINATION_ORACLE),
@@ -1116,6 +1120,7 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
 
 _DRIVER_FIRST: tuple[str, ...] = (
     # new in round 4
+    "embedding_outliers",
     "chunk_documents",
     "events_anomaly",
     "corpus_diff",
