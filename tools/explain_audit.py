@@ -40,13 +40,16 @@ def audit(name: str, plan: str) -> list[str]:
         "ann_pq",
         "ann_ivf_pq",
         "ann_recall",
+        "unigram_logprob",
     ):
         # sanctioned: ann_bruteforce broadcasts its tiny query set;
         # ann_ivf cross-joins query/vector rows with the broadcast
         # centroid set (config-sized) for the distance argmax; ann_pq
         # broadcasts the query set against the compressed code table
         # (the linear ADC scan); ann_recall contains these as subplans
-        # (it compares the approximate top-k relations)
+        # (it compares the approximate top-k relations);
+        # unigram_logprob cross-joins the ONE-ROW corpus-total relation
+        # (the idiomatic scalar broadcast — ln(N) shipped to every task)
         flags.append("BNLJ")
     if ("BatchEvalPython" in plan or "ArrowEvalPython" in plan or
             "MapInPandas" in plan) and name not in PYTHON_OK:
