@@ -171,3 +171,81 @@ def test_readstream_end_to_end_over_tcp(spark, tmp_path) -> None:
             assert [r["seq"] for r in got] == list(range(1, 16))
         finally:
             q.stop()
+
+
+def test_full_deployment_over_wire_to_sqlite(spark, tmp_path):
+    """The complete deployed topology with NO file in the middle: raw
+    Zeebe envelopes PUBLISHED over the NATS wire protocol (real TCP),
+    pulled by the native source via the wire transport, through
+    resolve/rekey/entity hops, MERGE-upserted into real sqlite databases
+    per tenant — run twice with a mid-stream publish wave to cover the
+    checkpointed-restart exactly-once path on the wire source."""
+    from tests.test_streaming import _corpus, _raw_json
+    from ph_ee_nats_importer_rdbms_spark.sinks import dbapi, jdbc
+    from ph_ee_nats_importer_rdbms_spark.streaming import pipeline as sp
+
+    corpus = _corpus()
+    tenants = ("tn01", "tn02", "tn03")
+    dbdir = tmp_path / "dbs"
+    dbdir.mkdir()
+    conns = {t: str(dbdir / f"{t}.db") for t in tenants}
+    ex = dbapi.SqliteExecutor()
+    for url in conns.values():
+        jdbc.bootstrap_ddl(url, ex, dialect="sqlite")
+    resolve = jdbc.tenant_url_resolver(conns)
+    work = str(tmp_path / "wire_work")
+
+    with MiniNatsServer() as s:
+
+        def deploy():
+            return sp.run_deployment(
+                spark,
+                work,
+                resolve,
+                ex,
+                nats_options={
+                    "transport": "wire",
+                    "servers": s.url,
+                    "stream": "zeebe",
+                },
+                distributed=True,
+                dialect="sqlite",
+            )
+
+        with NatsWireClient(s.url) as c:
+            for e in corpus[:5]:
+                c.publish(s.js.subject, _raw_json(e).encode())
+            c.flush()
+        deploy()
+        rows = ex.fetchall(
+            conns["tn01"], "SELECT status, transaction_id FROM ph_transfers"
+        )
+        assert rows == [("IN_PROGRESS", "tx-A")]
+
+        # second wave lands on the broker; the restarted topology resumes
+        # from the checkpointed stream sequence and MERGEs the updates
+        with NatsWireClient(s.url) as c:
+            for e in corpus[5:]:
+                c.publish(s.js.subject, _raw_json(e).encode())
+            c.flush()
+        deploy()
+        t = ex.fetchall(
+            conns["tn01"],
+            "SELECT workflow_instance_key, transaction_id, status, amount"
+            " FROM ph_transfers",
+        )
+        assert len(t) == 1
+        wik, txid, status, amount = t[0]
+        assert (wik, txid, status) == (100, "tx-A", "COMPLETED")
+        assert float(amount) == 77.70
+        assert ex.fetchall(
+            conns["tn02"], "SELECT batch_id FROM ph_batches"
+        ) == [("B-9",)]
+
+        # third run with nothing new replays nothing (exactly-once)
+        before = ex.fetchall(conns["tn01"], "SELECT count(*) FROM ph_variables")
+        deploy()
+        assert (
+            ex.fetchall(conns["tn01"], "SELECT count(*) FROM ph_variables")
+            == before
+        )
