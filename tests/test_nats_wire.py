@@ -249,3 +249,32 @@ def test_full_deployment_over_wire_to_sqlite(spark, tmp_path):
             ex.fetchall(conns["tn01"], "SELECT count(*) FROM ph_variables")
             == before
         )
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=512), min_size=1, max_size=8
+    )
+)
+def test_fuzz_arbitrary_payloads_roundtrip_exactly(payloads) -> None:
+    """Protocol framing fuzz: ANY byte sequence — empty, CRLF-riddled,
+    frames-inside-payloads, NULs, high bytes — must round-trip exactly
+    through PUB length-framing and the MSG.GET base64 path."""
+    with MiniNatsServer() as s:
+        with NatsWireClient(s.url) as c:
+            for p in payloads:
+                c.publish(s.js.subject, p)
+            c.flush()
+            assert c.last_seq("zeebe") == len(payloads)
+            for i, p in enumerate(payloads, start=1):
+                subject, data = c.get_msg("zeebe", i)
+                assert data == p
