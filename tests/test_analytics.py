@@ -915,3 +915,82 @@ def test_length_percentiles_approx_within_rank_bound(spark, sf_dir):
                 abs(lo - target), abs(hi - target)
             )
             assert dist <= tol, (lang, col, got, target, lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operator properties (chunking coverage, sampling determinism)
+# ---------------------------------------------------------------------------
+
+
+def test_chunks_cover_every_token_with_promised_overlap(spark, sf_dir):
+    """Structural contract of chunk_documents: per doc, chunk k starts at
+    k·stride, windows tile the token range completely (every token index
+    in >=1 chunk), only the last chunk may be short, and its window
+    reaches the document's end."""
+    from pyspark.sql import functions as F
+
+    from ph_ee_nats_importer_rdbms_spark.analytics.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        q_chunk_documents,
+        q_token_counts,
+    )
+
+    chunks = q_chunk_documents(spark, sf_dir)
+    n_tok = q_token_counts(spark, sf_dir).select(
+        "doc_id", F.col("n_ws_tokens").alias("n")
+    )
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.max("start_tok").alias("last_start"),
+            F.max(F.col("start_tok") + F.col("n_tok")).alias("covered_end"),
+            F.min("n_tok").alias("min_len"),
+        )
+        .join(n_tok, "doc_id")
+    )
+    bad = per_doc.filter(
+        # starts are 0..(k-1)*stride — max start pins the ladder
+        (F.col("last_start") != (F.col("k") - 1) * CHUNK_STRIDE)
+        # full coverage: the furthest window end is exactly the doc end
+        | (F.col("covered_end") != F.col("n"))
+        # every non-final chunk is full-width: the shortest chunk is the
+        # last one, and the second-shortest must be CHUNK_TOKENS
+        | (
+            (F.col("k") > 1)
+            & (F.col("min_len") + CHUNK_STRIDE <= F.col("n"))
+            & (F.col("min_len") > CHUNK_TOKENS)
+        )
+    )
+    assert bad.count() == 0
+    # overlap really happens on this corpus: some doc has >1 chunk
+    assert per_doc.filter(F.col("k") > 1).count() > 0
+
+
+def test_importance_sample_is_partitioning_invariant(spark, sf_dir):
+    """The hash-Bernoulli keep set must be a pure function of the data —
+    identical under arbitrary repartitioning (no RNG state, no
+    rowid/partition dependence)."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.training import (
+        q_importance_sample,
+    )
+
+    from ph_ee_nats_importer_rdbms_spark.analytics import training as tr
+
+    base = {r["doc_id"] for r in q_importance_sample(spark, sf_dir).collect()}
+
+    orig = tr.load_table  # the binding q_importance_sample actually calls
+
+    def shuffled(spark_, sf_dir_, name):
+        df = orig(spark_, sf_dir_, name)
+        return df.repartition(7) if name == "documents" else df
+
+    try:
+        tr.load_table = shuffled
+        again = {
+            r["doc_id"] for r in tr.q_importance_sample(spark, sf_dir).collect()
+        }
+    finally:
+        tr.load_table = orig
+    assert again == base and base, "non-empty and partitioning-invariant"
