@@ -70,7 +70,13 @@ def build_curation_store(
 ) -> None:
     """Lay the store down from the initial corpus."""
     incremental_docs.build_index(
-        spark, docs, root, extra={"metrics": metrics_of(docs)}
+        spark,
+        docs,
+        root,
+        extra={
+            "metrics": metrics_of(docs),
+            "vocab_partial": vocab_partial_of(docs),
+        },
     )
 
 
@@ -87,7 +93,10 @@ def append_curation_batch(
         spark,
         new_docs,
         root,
-        extra={"metrics": metrics_of(new_docs)},
+        extra={
+            "metrics": metrics_of(new_docs),
+            "vocab_partial": vocab_partial_of(new_docs),
+        },
         skip_committed=skip_committed,
     )
 
@@ -125,3 +134,76 @@ def read_curation(spark: SparkSession, root: str) -> DataFrame:
         )
     )
     return curation_verdict(metrics.join(dup, "doc_id", "left"))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary partials (tokenizer-input statistic, maintained per delivery)
+# ---------------------------------------------------------------------------
+
+#: per-batch partial of the corpus vocabulary: each delivery's
+#: (token, occurrences, docs) rows — disjoint doc sets make both columns
+#: plainly summable at read, so the merge is one map-side-combinable agg
+#: over the committed partials, never a corpus re-tokenization.
+VOCAB_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("token", T.StringType()),
+        T.StructField("n_occurrences", T.LongType()),
+        T.StructField("n_docs", T.LongType()),
+    ]
+)
+
+
+def vocab_partial_of(docs: DataFrame) -> DataFrame:
+    """One delivery's vocabulary partial — the same two-level aggregate
+    as q_vocabulary's build (collapse per (token, doc) before the wire),
+    cut at the batch boundary instead of the corpus."""
+    per_doc = (
+        docs.select("doc_id", F.explode(_metric_tokens()).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_in_doc"))
+    )
+    return per_doc.groupBy("token").agg(
+        F.sum("n_in_doc").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def read_vocabulary(spark: SparkSession, root: str, top_k: int | None = None):
+    """The CURRENT corpus vocabulary from committed partials: sum the
+    per-delivery counts (valid because deliveries carry disjoint doc_ids
+    — the store's re-delivery guard enforces exactly that), then the same
+    deterministic (count desc, token asc) top-k cut as q_vocabulary."""
+    from pyspark.sql import Window
+
+    from ph_ee_nats_importer_rdbms_spark.analytics.text import VOCAB_TOP_K
+
+    k = top_k or VOCAB_TOP_K
+    merged = (
+        incremental_docs.read_artifact(
+            spark, root, "vocab_partial", VOCAB_PARTIAL_SCHEMA
+        )
+        .groupBy("token")
+        .agg(
+            F.sum("n_occurrences").alias("n_occurrences"),
+            F.sum("n_docs").alias("n_docs"),
+        )
+    )
+    return (
+        merged.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("n_occurrences").desc(), F.col("token").asc()
+                )
+            ),
+        )
+        .select("rank", "token", "n_occurrences", "n_docs")
+    )
+
+
+def _metric_tokens():
+    from ph_ee_nats_importer_rdbms_spark.analytics.text import _tokens
+
+    return _tokens()

@@ -210,3 +210,24 @@ def test_streaming_deliveries_fold_into_curation_store(
     assert _verdicts(cur.read_curation(spark, root)) == _verdicts(
         cur.read_curation(spark, full)
     )
+
+
+def test_vocabulary_partials_merge_to_registry_query(spark, sf_dir, tmp_path):
+    """Vocabulary from committed per-delivery partials equals the
+    oracle-checked whole-corpus q_vocabulary row for row — summability
+    rests on the store's disjoint-delivery guarantee."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.text import q_vocabulary
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    root = str(tmp_path / "cur")
+    cur.build_curation_store(spark, docs.filter(docs.doc_id < 200), root)
+    cur.append_curation_batch(
+        spark, docs.filter((docs.doc_id >= 200) & (docs.doc_id < 350)), root
+    )
+    cur.append_curation_batch(spark, docs.filter(docs.doc_id >= 350), root)
+
+    got = [tuple(r) for r in cur.read_vocabulary(spark, root).collect()]
+    want = [tuple(r) for r in q_vocabulary(spark, sf_dir).collect()]
+    assert got == want and len(got) > 0
