@@ -45,6 +45,9 @@ from ph_ee_nats_importer_rdbms_spark.analytics.text import (
 METRICS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_ws_tokens", T.LongType()),
         T.StructField("predicted_lang", T.StringType()),
         T.StructField("quality_score", T.DoubleType()),
         T.StructField("top_token_frac", T.DoubleType()),
@@ -54,15 +57,32 @@ METRICS_SCHEMA = T.StructType(
 
 
 def metrics_of(docs: DataFrame) -> DataFrame:
-    """The map-only per-doc curation inputs for ONE batch. Three
-    transforms over the same rows joined on doc_id — Catalyst collapses
-    this to a single pass when the inputs share the scan."""
+    """The map-only per-doc curation inputs for ONE batch — verdict
+    inputs plus the card dimensions (source, labeled lang, whitespace
+    token count) the report reader aggregates. Four transforms over the
+    same rows joined on doc_id — Catalyst collapses this to a single
+    pass when the inputs share the scan. ``source`` is optional in the
+    delivery (synthetic tests omit it); the card then groups under
+    null."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.text import _tokens
+
+    src = (
+        F.col("source") if "source" in docs.columns else F.lit(None).cast("string")
+    )
+    dims = docs.select(
+        "doc_id",
+        src.alias("source"),
+        F.col("lang"),
+        F.size(_tokens()).cast("long").alias("n_ws_tokens"),
+    )
     lang = lang_id_of(docs).select("doc_id", "predicted_lang")
     qual = quality_of(docs).select("doc_id", "quality_score")
     rep = repetition_of(docs).select(
         "doc_id", "top_token_frac", "dup_bigram_frac"
     )
-    return lang.join(qual, "doc_id").join(rep, "doc_id")
+    return (
+        dims.join(lang, "doc_id").join(qual, "doc_id").join(rep, "doc_id")
+    )
 
 
 def build_curation_store(
@@ -207,3 +227,19 @@ def _metric_tokens():
     from ph_ee_nats_importer_rdbms_spark.analytics.text import _tokens
 
     return _tokens()
+
+
+def read_corpus_report(spark: SparkSession, root: str) -> DataFrame:
+    """The CURRENT dataset card from the store: committed metrics joined
+    to the current verdict, through the aggregate SHARED with
+    q_corpus_report (text.corpus_report_of) — per-(source, lang) doc/kept
+    counts, rejection mix, mean quality, token budget before/after. Cost:
+    one join on doc_id + one config-sized grouped aggregate; never a
+    corpus re-scan."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.text import corpus_report_of
+
+    metrics = incremental_docs.read_artifact(
+        spark, root, "metrics", METRICS_SCHEMA
+    )
+    verdict = read_curation(spark, root)
+    return corpus_report_of(metrics.join(verdict, "doc_id"))

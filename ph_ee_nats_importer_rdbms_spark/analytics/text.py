@@ -602,6 +602,15 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     qual = q_quality(spark, sf_dir).select("doc_id", "quality_score")
     tok = q_token_counts(spark, sf_dir).select("doc_id", "n_ws_tokens")
     j = d.join(cur, "doc_id").join(qual, "doc_id").join(tok, "doc_id")
+    return corpus_report_of(j)
+
+
+def corpus_report_of(j: DataFrame) -> DataFrame:
+    """The dataset-card aggregate over a relation carrying ``source``,
+    ``lang``, ``kept``, ``reject_reason``, ``quality_score``,
+    ``n_ws_tokens`` — shared by the whole-corpus query above and the
+    incremental curation store's report reader, so the card cannot drift
+    between the two paths."""
     kept_l = F.col("kept").cast("long")
 
     def rej(r: str) -> Column:

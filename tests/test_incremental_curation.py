@@ -231,3 +231,23 @@ def test_vocabulary_partials_merge_to_registry_query(spark, sf_dir, tmp_path):
     got = [tuple(r) for r in cur.read_vocabulary(spark, root).collect()]
     want = [tuple(r) for r in q_vocabulary(spark, sf_dir).collect()]
     assert got == want and len(got) > 0
+
+
+def test_corpus_report_from_store_matches_registry_query(
+    spark, sf_dir, tmp_path
+):
+    """The dataset card read from a multi-delivery store equals the
+    oracle-checked q_corpus_report row for row (shared aggregate, shared
+    cascade, store-maintained inputs)."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.text import q_corpus_report
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    root = str(tmp_path / "cur")
+    cur.build_curation_store(spark, docs.filter(docs.doc_id < 250), root)
+    cur.append_curation_batch(spark, docs.filter(docs.doc_id >= 250), root)
+
+    got = {tuple(r) for r in cur.read_corpus_report(spark, root).collect()}
+    want = {tuple(r) for r in q_corpus_report(spark, sf_dir).collect()}
+    assert got == want and got
