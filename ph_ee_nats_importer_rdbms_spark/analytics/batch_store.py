@@ -9,9 +9,11 @@ that the idempotent retry overwrites in place. Same discipline as
 incremental_docs/incremental_vectors (which predate this module and
 carry their own copies, cross-tested against full rebuilds).
 
-Batch ids are content digests (sha256 of the sorted key set, computed
-engine-side — one scalar to the driver), which is what makes a retried
-or checkpoint-replayed delivery map onto the same directories.
+Batch ids are content digests (sha256 of the sorted (key, row-hash)
+pairs, computed engine-side — one scalar to the driver), which is what
+makes a retried or checkpoint-replayed delivery map onto the same
+directories while a same-ids-different-payload delivery gets a fresh id
+(and so hits the re-delivery guard instead of the replay skip).
 """
 
 from __future__ import annotations
@@ -75,13 +77,23 @@ def read_union(
 
 
 def batch_id_of(df: DataFrame, key: str) -> str:
-    """Deterministic content digest of the batch's key set."""
+    """Deterministic content digest of the batch: sha256 over the sorted
+    ``(key, xxhash64(all columns))`` pairs. Hashing the PAYLOAD, not just
+    the key set, is what lets ``skip_committed`` distinguish a true
+    checkpoint replay (byte-identical → same id → skipped) from a
+    delivery that reuses seen ids with DIFFERENT content (different id →
+    surfaced to the re-delivery guard instead of silently dropped).
+    Columns enter the row hash in sorted-name order so projection order
+    can't change the id."""
+    cols = sorted(df.columns)
+    pair = F.concat_ws(
+        ":",
+        F.col(key).cast("string"),
+        F.xxhash64(*[F.col(c) for c in cols]).cast("string"),
+    )
     row = df.agg(
         F.sha2(
-            F.concat_ws(
-                ",", F.sort_array(F.collect_list(F.col(key).cast("string")))
-            ),
-            256,
+            F.concat_ws(",", F.sort_array(F.collect_list(pair))), 256
         ).alias("h")
     ).collect()[0]
     return row["h"][:16]

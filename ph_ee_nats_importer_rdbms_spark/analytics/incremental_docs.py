@@ -193,13 +193,21 @@ def _cc_or_empty(spark: SparkSession, pairs: DataFrame) -> DataFrame:
 
 
 def _batch_id_of(docs: DataFrame) -> str:
-    """Deterministic batch id: digest of the sorted doc_id set, computed
-    engine-side (one scalar to the driver). A retried delivery of the same
-    docs maps to the same directories, which is what makes the retry an
-    idempotent overwrite."""
+    """Deterministic batch id: digest of the sorted (doc_id, xxhash64(row))
+    pairs, computed engine-side (one scalar to the driver). A retried
+    delivery of the same BYTES maps to the same directories (idempotent
+    overwrite); a delivery reusing seen ids with different text gets a
+    fresh id and is rejected by the re-delivery guard rather than
+    silently dropped as a replay."""
+    cols = sorted(docs.columns)
+    pair = F.concat_ws(
+        ":",
+        F.col("doc_id").cast("string"),
+        F.xxhash64(*[F.col(c) for c in cols]).cast("string"),
+    )
     row = docs.agg(
         F.sha2(
-            F.concat_ws(",", F.sort_array(F.collect_list(F.col("doc_id")))), 256
+            F.concat_ws(",", F.sort_array(F.collect_list(pair))), 256
         ).alias("h")
     ).collect()[0]
     return row["h"][:16]

@@ -119,9 +119,18 @@ def frozen_codebooks(root: str) -> dict:
 
 
 def _batch_id_of(vectors: DataFrame) -> str:
+    """Digest of the sorted (vec_id, xxhash64(row)) pairs — payload-aware,
+    so only byte-identical replays are skipped (see batch_store.batch_id_of
+    for the rationale)."""
+    cols = sorted(vectors.columns)
+    pair = F.concat_ws(
+        ":",
+        F.col("vec_id").cast("string"),
+        F.xxhash64(*[F.col(c) for c in cols]).cast("string"),
+    )
     row = vectors.agg(
         F.sha2(
-            F.concat_ws(",", F.sort_array(F.collect_list(F.col("vec_id")))), 256
+            F.concat_ws(",", F.sort_array(F.collect_list(pair))), 256
         ).alias("h")
     ).collect()[0]
     return row["h"][:16]

@@ -471,7 +471,7 @@ def ann_ivf_pq_from_store(
     )
     refine = (
         scored.withColumn("pr", F.row_number().over(w))
-        .filter(F.col("pr") <= PQ_REFINE)
+        .filter(F.col("pr") <= _pq_refine(store.count()))
     )
     cos = F.round(_cosine("q_emb", "embedding"), 4)
     return _ranked(refine.select("query_id", "vec_id", cos.alias("cosine")))
@@ -509,6 +509,13 @@ PQ_REFINE_DIVISOR = 16
 
 
 def _pq_refine(n_vectors: int) -> int:
+    """Corpus-proportional refine pool (floor ``PQ_REFINE``). Wired into
+    every ADC refine filter below; ``n_vectors`` comes from a parquet
+    metadata count of the codes/store relation (no data scan). At the
+    oracle scales the floor binds (sf0.01: 500/16=31, sf0.1: 2000/16=125,
+    both < 128), so the static 128 in the DuckDB oracle SQL stays exact;
+    beyond ~2048 vectors the pool grows with the corpus, which is what
+    restored sf1 recall 0.68 → 0.93 (BENCH_NOTES.md round-4 table)."""
     return max(PQ_REFINE, n_vectors // PQ_REFINE_DIVISOR)
 
 
@@ -686,7 +693,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         scored.withColumn("pr", F.row_number().over(w))
-        .filter(F.col("pr") <= PQ_REFINE)
+        .filter(F.col("pr") <= _pq_refine(codes_t.count()))
         .select("query_id", "q_emb", "vec_id")
     )
     rerank = cand.join(e, "vec_id")
@@ -731,7 +738,7 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     refine = (
         scored.withColumn("pr", F.row_number().over(w))
-        .filter(F.col("pr") <= PQ_REFINE)
+        .filter(F.col("pr") <= _pq_refine(codes_t.count()))
         .select("query_id", "q_emb", "vec_id")
         .join(e, "vec_id")
     )

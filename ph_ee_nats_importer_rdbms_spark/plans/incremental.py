@@ -448,26 +448,36 @@ def refresh_days(
         .write.mode("overwrite")
         .parquet(os.path.join(pend, "old_dim"))
     )
+    # the registry relation the refresh routes with — recovery MUST route
+    # identically, so it rides the WAL too (a resume that fell back to the
+    # default registry would silently rebuild the tables with different
+    # routing than the interrupted run intended)
+    if registry is not None:
+        registry.write.mode("overwrite").parquet(
+            os.path.join(pend, "registry")
+        )
     marker_tmp = _pending_marker(root) + ".tmp"
     with open(marker_tmp, "w") as f:
-        json.dump({"days": days}, f)
+        json.dump({"days": days, "has_registry": registry is not None}, f)
     os.replace(marker_tmp, _pending_marker(root))
 
-    stats = _apply_refresh(spark, root, days, registry, granularity)
+    stats = _apply_refresh(spark, root, days, granularity)
     # commit: drop the marker (and the WAL) only after the last write
     os.remove(_pending_marker(root))
     shutil.rmtree(pend, ignore_errors=True)
     return stats
 
 
-def resume_refresh(
-    spark: SparkSession, root: str, registry: DataFrame | None = None
-) -> dict[str, object] | None:
+def resume_refresh(spark: SparkSession, root: str) -> dict[str, object] | None:
     """Roll an interrupted refresh forward from its WAL. Every mutation in
     the refresh is an idempotent function of (unchanged store partitions,
     WAL inputs) — re-running a step that already completed rewrites the
     same bytes — so resume is simply re-applying from the persisted inputs.
-    Returns the refresh stats, or None if no refresh was pending."""
+    The registry the interrupted run routed with is part of those inputs
+    (persisted by :func:`refresh_days`), so resume takes no registry
+    parameter: recovery cannot be handed different routing than the run it
+    recovers. Returns the refresh stats, or None if no refresh was
+    pending."""
     import json
 
     if not os.path.exists(_pending_marker(root)):
@@ -475,9 +485,7 @@ def resume_refresh(
     with open(_pending_marker(root)) as f:
         manifest = json.load(f)
     granularity = _meta(root)["granularity"]
-    stats = _apply_refresh(
-        spark, root, manifest["days"], registry, granularity
-    )
+    stats = _apply_refresh(spark, root, manifest["days"], granularity)
     os.remove(_pending_marker(root))
     shutil.rmtree(_pending_dir(root), ignore_errors=True)
     return stats
@@ -487,13 +495,19 @@ def _apply_refresh(
     spark: SparkSession,
     root: str,
     days: list[str],
-    registry: DataFrame | None,
     granularity: str,
 ) -> dict[str, object]:
     """The mutation body, driven ENTIRELY from the WAL (pending dir) plus
     the store's unchanged partitions — never from state an earlier partial
-    run may have clobbered. Idempotence notes inline."""
+    run may have clobbered (that includes the ROUTING registry, read back
+    from the WAL below). Idempotence notes inline."""
     pend = _pending_dir(root)
+    registry_path = os.path.join(pend, "registry")
+    registry = (
+        spark.read.parquet(registry_path)
+        if os.path.isdir(registry_path)
+        else None
+    )
     delta = spark.read.schema(_EVENTS_SCHEMA).parquet(os.path.join(pend, "delta"))
     old = spark.read.schema(_EVENTS_SCHEMA).parquet(
         os.path.join(pend, "old_snapshot")

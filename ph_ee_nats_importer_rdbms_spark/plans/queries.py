@@ -805,10 +805,16 @@ def _q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("s1"),
         F.sum(F.col("n") * F.col("n")).alias("s2"),
     )
-    mean = F.col("s1") / F.col("days")
-    var = (F.col("days") * F.col("s2") - F.col("s1") * F.col("s1")) / (
-        F.col("days") * F.col("days")
-    )
+    # The moments are exact int64; the ARITHMETIC is double (cast before
+    # the products, matching the oracle's CAST(... AS DOUBLE) placement):
+    # days*s2 / s1*s1 in int64 would silently wrap (non-ANSI) once a
+    # type's total count passes ~3e9 — the double products lose low bits
+    # identically in both engines instead of flipping sign in one.
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    daysd = F.col("days").cast("double")
+    mean = s1d / daysd
+    var = (daysd * s2d - s1d * s1d) / (daysd * daysd)
     z = F.floor((F.col("n") - mean) / F.sqrt(var) * 100) / 100
     return (
         daily.join(F.broadcast(stats), "event_type")

@@ -155,12 +155,15 @@ class _WireTransport:
     runs on the driver each trigger; ``fetch`` runs inside a datasource
     worker process per partition, so nothing needs to pickle a socket."""
 
-    def __init__(self, servers: str, stream: str, missing: str) -> None:
+    def __init__(
+        self, servers: str, stream: str, missing: str, window: int = 64
+    ) -> None:
         if missing not in ("fail", "skip"):
             raise ValueError(f"missing must be fail|skip, got {missing!r}")
         self.servers = servers
         self.stream = stream
         self.missing = missing
+        self.window = window
 
     def latest(self) -> int:
         from .nats_wire import NatsWireClient
@@ -169,18 +172,16 @@ class _WireTransport:
             return c.last_seq(self.stream)
 
     def fetch(self, start: int, end: int) -> Iterator[tuple[str, str, int]]:
-        from .nats_wire import NatsWireClient, SeqOutOfRange
+        # pipelined ranged read: one wildcard-inbox subscription for the
+        # whole slice with `window` MSG.GETs in flight, so a partition's
+        # throughput is bounded by bandwidth, not by one RTT per message
+        # (missing=skip still surfaces purged sequences as seq-column gaps)
+        from .nats_wire import NatsWireClient
 
         with NatsWireClient(self.servers) as c:
-            for seq in range(start + 1, end + 1):
-                try:
-                    subject, data = c.get_msg(self.stream, seq)
-                except SeqOutOfRange:
-                    if self.missing == "skip":
-                        # retention purged this sequence: the gap in the
-                        # output's seq column IS the data-loss record
-                        continue
-                    raise
+            for seq, subject, data in c.get_msgs_pipelined(
+                self.stream, start, end, window=self.window, missing=self.missing
+            ):
                 yield (data.decode("utf-8"), subject, seq)
 
 
@@ -194,6 +195,7 @@ def _transport(options: dict):
             options.get("servers", DEFAULT_SERVERS),
             options.get("stream", subject),
             options.get("missing", "fail"),
+            int(options.get("pipeline_window", 64)),
         )
     if kind == "jetstream":
         return _JetStreamTransport(
@@ -257,8 +259,9 @@ class NatsDataSource(DataSource):
 
     Options: ``transport`` (jetstream|wire|file), ``subject``, ``servers``,
     ``stream``, ``path`` (file transport), ``missing`` (wire: fail|skip on
-    purged sequences), ``starting_seq``, ``partition_target_rows``,
-    ``max_rows_per_trigger``.
+    purged sequences), ``pipeline_window`` (wire: MSG.GETs in flight per
+    partition read, default 64), ``starting_seq``,
+    ``partition_target_rows``, ``max_rows_per_trigger``.
     """
 
     @classmethod

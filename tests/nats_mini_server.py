@@ -33,6 +33,23 @@ import threading
 _CRLF = b"\r\n"
 
 
+def _subject_matches(pattern: str, subject: str) -> bool:
+    """NATS subject matching (public semantics): dot-separated tokens,
+    ``*`` matches exactly one token, ``>`` matches one-or-more trailing
+    tokens. Needed by the pipelined ranged reads, which SUB one
+    ``_INBOX.<base>.*`` filter for a whole request window."""
+    pat = pattern.split(".")
+    sub = subject.split(".")
+    for i, tok in enumerate(pat):
+        if tok == ">":
+            return len(sub) > i
+        if i >= len(sub):
+            return False
+        if tok != "*" and tok != sub[i]:
+            return False
+    return len(sub) == len(pat)
+
+
 class MiniJetStream:
     """The message store: seq -> (subject, payload bytes)."""
 
@@ -139,7 +156,7 @@ class MiniNatsServer:
             + _CRLF
         )
         buf = b""
-        subs: dict[str, str] = {}  # sid -> subject (exact match only)
+        subs: dict[str, str] = {}  # sid -> subject filter (supports * and >)
         lock = threading.Lock()  # serialize writes from this handler
 
         def send(data: bytes) -> None:
@@ -168,7 +185,7 @@ class MiniNatsServer:
 
         def deliver(subject: str, payload: bytes) -> None:
             for sid, sub_subject in list(subs.items()):
-                if sub_subject == subject:
+                if _subject_matches(sub_subject, subject):
                     send(
                         f"MSG {subject} {sid} {len(payload)}".encode()
                         + _CRLF
