@@ -1125,34 +1125,31 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
 # ---------------------------------------------------------------------------
 
 _DRIVER_FIRST: tuple[str, ...] = (
-    # new in round 4
-    "embedding_outliers",
-    "chunk_documents",
-    "events_anomaly",
-    "corpus_diff",
-    "importance_sample",
-    "unigram_logprob",
-    "decontamination_capped",
-    "pii_redact_docs",
-    # round-4 output changes (M=16 PQ codebooks, multi-probe IVF-ADC):
-    # these had green r03 rows, but against the OLD codebooks — the new
-    # outputs need fresh driver rows more than unchanged entries need
-    # re-confirmation
-    "ann_pq",
-    "ann_ivf_pq",
-    "ann_recall",
-    # never driver-checked as of CORRECTNESS_r03.json
-    "balanced_sample",
-    "pack_sequences",
-    "mixture_sample",
-    "pii_redact",
-    "curation",
-    "corpus_report",
-    "dedup_spans",
-    "vocabulary",
-    "media_features",
-    "media_summary",
-    "length_percentiles_approx",  # no oracle by design (pytest rank bound)
+    # Round-6 rotation (VERDICT r5 task #1): these 19 entries last had a
+    # driver CORRECTNESS row in r03 — the r04/r05 head kept them past the
+    # driver's 50-row cap for two consecutive rounds while similarity.py
+    # and dedup.py changed underneath them. Promote all 19; every entry
+    # this pushes past the cap has >=2 cumulative green driver rows
+    # (r01-r05), so nothing loses its only driver signal.
+    "doc_fingerprints",
+    "doc_repetition",
+    "dup_ngram_frac",
+    "minhash_signatures",
+    "minhash_dups",
+    "dup_clusters",
+    "simhash",
+    "simhash_dups",
+    "ngram_jaccard",
+    "embedding_dups",
+    "embedding_dup_clusters",
+    "ann_bruteforce",
+    "ann_lsh",
+    "ann_lsh_multi",
+    "ann_ivf",
+    "semantic_sample",
+    "train_test_split",
+    "decontamination",
+    "length_percentiles",
 )
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {

@@ -54,10 +54,23 @@ def test_registry_entry_matches_oracle(spark, oracle_sf_dir, oracle_con, name):
 
 
 def test_driver_first_entries_lead_the_registry():
-    """The driver checks the registry in insertion order up to a cap; the
-    entries that have never had a driver CORRECTNESS row must come first
-    so round 4's snapshot covers them."""
+    """The driver checks the registry in insertion order up to a cap
+    (50 rows); the entries with the stalest driver signal must come
+    first. Round 6 rotation: the 19 entries whose last driver row was
+    r03 lead; everything this pushes past the cap has >=2 cumulative
+    green driver rows across r01-r05."""
     from ph_ee_nats_importer_rdbms_spark.plans.queries import _DRIVER_FIRST
 
     head = list(QUERIES)[: len(_DRIVER_FIRST)]
     assert head == list(_DRIVER_FIRST)
+    # The rotation's whole point: the r03-stale 19 are inside the cap.
+    stale_r03 = {
+        "doc_fingerprints", "doc_repetition", "dup_ngram_frac",
+        "minhash_signatures", "minhash_dups", "dup_clusters",
+        "simhash", "simhash_dups", "ngram_jaccard",
+        "embedding_dups", "embedding_dup_clusters",
+        "ann_bruteforce", "ann_lsh", "ann_lsh_multi", "ann_ivf",
+        "semantic_sample", "train_test_split", "decontamination",
+        "length_percentiles",
+    }
+    assert stale_r03 <= set(list(QUERIES)[:50])
