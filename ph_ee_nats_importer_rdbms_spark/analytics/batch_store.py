@@ -25,6 +25,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 BASE_BATCH = "base"
 
+#: Batch-id scheme version recorded in every commit manifest. Scheme 1
+#: (pre round 5) digested only the sorted key set; scheme 2 digests
+#: (key, row-hash) pairs so same-ids-different-payload deliveries get a
+#: fresh id. Manifests WITHOUT the field are scheme 1 by definition —
+#: :func:`replayed_manifest` matches those on the legacy digest so a
+#: checkpoint replay against a pre-upgrade store is still recognized as
+#: a replay instead of tripping the re-delivery guard (ADVICE r5).
+ID_SCHEME = 2
+
 
 def manifest_dir(root: str) -> str:
     return os.path.join(root, "_batches")
@@ -50,7 +59,10 @@ def committed_batches(root: str) -> list[dict]:
 
 def commit(root: str, manifest: dict) -> None:
     """Write the commit marker atomically — the ONLY point at which a
-    batch becomes visible."""
+    batch becomes visible. Stamps the current batch-id scheme version so
+    future readers know how the manifest's ``batch`` digest was
+    computed."""
+    manifest.setdefault("id_scheme", ID_SCHEME)
     mdir = manifest_dir(root)
     os.makedirs(mdir, exist_ok=True)
     name = f"{manifest['seq']:06d}_{manifest['batch']}.json"
@@ -74,6 +86,43 @@ def read_union(
         batch_path(root, name, m["batch"]) for m in committed_batches(root)
     ]
     return spark.read.schema(schema).parquet(*paths)
+
+
+def legacy_batch_id_of(df: DataFrame, key: str) -> str:
+    """The scheme-1 (pre round 5) id: digest of the sorted key-string
+    set only. Kept solely so :func:`replayed_manifest` can recognize
+    replays against manifests committed before the payload-aware scheme."""
+    row = df.agg(
+        F.sha2(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col(key).cast("string")))
+            ),
+            256,
+        ).alias("h")
+    ).collect()[0]
+    return row["h"][:16]
+
+
+def replayed_manifest(committed: list[dict], batch: str, legacy_id) -> dict | None:
+    """The committed manifest this delivery replays, or None.
+
+    ``batch`` is the current-scheme id; manifests recorded under an older
+    scheme (no ``id_scheme`` field, or a lower version) are matched on
+    the legacy digest instead — computed lazily via the ``legacy_id``
+    thunk, and only when such manifests exist, so upgraded stores pay
+    nothing. This is what lets a byte-identical checkpoint replay against
+    a pre-upgrade store skip cleanly instead of falling through to the
+    delivered-ids guard and raising."""
+    for m in committed:
+        if m["batch"] == batch:
+            return m
+    legacy = [m for m in committed if m.get("id_scheme", 1) < ID_SCHEME]
+    if legacy:
+        old = legacy_id()
+        for m in legacy:
+            if m["batch"] == old:
+                return m
+    return None
 
 
 def batch_id_of(df: DataFrame, key: str) -> str:

@@ -68,6 +68,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from ph_ee_nats_importer_rdbms_spark.analytics import batch_store as bs
 from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
     bands_of,
     connected_components,
@@ -139,6 +140,7 @@ def committed_batches(root: str) -> list[dict]:
 def _commit(root: str, manifest: dict) -> None:
     """Write the commit marker atomically (tmp + os.replace) — the ONLY
     point at which a batch becomes visible."""
+    manifest.setdefault("id_scheme", bs.ID_SCHEME)
     mdir = _manifest_dir(root)
     os.makedirs(mdir, exist_ok=True)
     name = f"{manifest['seq']:06d}_{manifest['batch']}.json"
@@ -190,6 +192,18 @@ def _cc_or_empty(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     if edges.count() == 0:
         return spark.createDataFrame([], _SCHEMAS["labels"])
     return connected_components(edges)
+
+
+def _legacy_batch_id_of(docs: DataFrame) -> str:
+    """The scheme-1 id this store used before round 5 (sorted doc_id set,
+    numeric sort, no row hash) — kept so replays against pre-upgrade
+    manifests are still recognized (batch_store.ID_SCHEME)."""
+    row = docs.agg(
+        F.sha2(
+            F.concat_ws(",", F.sort_array(F.collect_list(F.col("doc_id")))), 256
+        ).alias("h")
+    ).collect()[0]
+    return row["h"][:16]
 
 
 def _batch_id_of(docs: DataFrame) -> str:
@@ -287,7 +301,9 @@ def append_batch(
     ``foreachBatch`` streaming sink needs for exactly-once."""
     committed = committed_batches(root)
     batch = _batch_id_of(new_docs)
-    if any(m["batch"] == batch for m in committed):
+    if bs.replayed_manifest(
+        committed, batch, lambda: _legacy_batch_id_of(new_docs)
+    ):
         if skip_committed:
             return {"new_docs": 0, "skipped": True}
         raise ValueError(

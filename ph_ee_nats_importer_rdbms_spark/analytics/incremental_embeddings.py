@@ -173,7 +173,9 @@ def append_embedding_batch(
     planes, probe the committed bucket table, verify, merge labels."""
     committed = bs.committed_batches(root)
     batch = bs.batch_id_of(new_vectors, "vec_id")
-    if any(m["batch"] == batch for m in committed):
+    if bs.replayed_manifest(
+        committed, batch, lambda: bs.legacy_batch_id_of(new_vectors, "vec_id")
+    ):
         if skip_committed:
             return {"new_vectors": 0, "skipped": True}
         raise ValueError(

@@ -65,7 +65,9 @@ def append_pack_batch(
     cost (sequences opened vs a hypothetical top-up)."""
     committed = bs.committed_batches(root)
     batch = bs.batch_id_of(new_docs, "doc_id")
-    if any(m["batch"] == batch for m in committed):
+    if bs.replayed_manifest(
+        committed, batch, lambda: bs.legacy_batch_id_of(new_docs, "doc_id")
+    ):
         if skip_committed:
             return {"new_docs": 0, "skipped": True}
         raise ValueError(

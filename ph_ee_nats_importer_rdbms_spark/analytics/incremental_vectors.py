@@ -41,6 +41,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from ph_ee_nats_importer_rdbms_spark.analytics import batch_store as bs
 from ph_ee_nats_importer_rdbms_spark.analytics.similarity import (
     ivf_assign_of,
     pq_encode_of,
@@ -88,6 +89,7 @@ def committed_batches(root: str) -> list[dict]:
 
 
 def _commit(root: str, manifest: dict) -> None:
+    manifest.setdefault("id_scheme", bs.ID_SCHEME)
     mdir = _manifest_dir(root)
     os.makedirs(mdir, exist_ok=True)
     name = f"{manifest['seq']:06d}_{manifest['batch']}.json"
@@ -116,6 +118,18 @@ def read_assignments(spark: SparkSession, root: str) -> DataFrame:
 def frozen_codebooks(root: str) -> dict:
     with open(os.path.join(root, "codebooks.json")) as f:
         return json.load(f)
+
+
+def _legacy_batch_id_of(vectors: DataFrame) -> str:
+    """The scheme-1 id this store used before round 5 (sorted vec_id set,
+    numeric sort, no row hash) — kept so replays against pre-upgrade
+    manifests are still recognized (batch_store.ID_SCHEME)."""
+    row = vectors.agg(
+        F.sha2(
+            F.concat_ws(",", F.sort_array(F.collect_list(F.col("vec_id")))), 256
+        ).alias("h")
+    ).collect()[0]
+    return row["h"][:16]
 
 
 def _batch_id_of(vectors: DataFrame) -> str:
@@ -185,7 +199,9 @@ def append_vectors(
     semantics the streaming sink needs for exactly-once)."""
     committed = committed_batches(root)
     batch = _batch_id_of(new_vectors)
-    if any(m["batch"] == batch for m in committed):
+    if bs.replayed_manifest(
+        committed, batch, lambda: _legacy_batch_id_of(new_vectors)
+    ):
         if skip_committed:
             return {"new_vectors": 0, "skipped": True}
         raise ValueError(

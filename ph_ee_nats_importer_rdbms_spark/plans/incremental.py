@@ -503,6 +503,21 @@ def _apply_refresh(
     from the WAL below). Idempotence notes inline."""
     pend = _pending_dir(root)
     registry_path = os.path.join(pend, "registry")
+    # the pending marker records whether the interrupted run routed with a
+    # caller registry; a missing/corrupt WAL registry dir must FAIL, not
+    # silently fall back to default routing (the exact divergence the
+    # registry-in-WAL change exists to prevent)
+    if os.path.exists(_pending_marker(root)):
+        import json
+
+        with open(_pending_marker(root)) as f:
+            _marker = json.load(f)
+        if _marker.get("has_registry") and not os.path.isdir(registry_path):
+            raise RuntimeError(
+                "refresh WAL is marked has_registry but the pending "
+                f"registry dir is missing ({registry_path}) — refusing to "
+                "resume with default routing; restore the WAL or rebuild"
+            )
     registry = (
         spark.read.parquet(registry_path)
         if os.path.isdir(registry_path)

@@ -160,6 +160,10 @@ class _WireTransport:
     ) -> None:
         if missing not in ("fail", "skip"):
             raise ValueError(f"missing must be fail|skip, got {missing!r}")
+        if window < 1:
+            # surfaced here as a config error: a 0/negative window would
+            # send no requests and block in the socket read until timeout
+            raise ValueError(f"pipeline_window must be >= 1, got {window}")
         self.servers = servers
         self.stream = stream
         self.missing = missing

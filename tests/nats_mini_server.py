@@ -67,6 +67,12 @@ class MiniJetStream:
             self._msgs[self._last] = (subject, payload)
             return self._last
 
+    def purge_seq(self, seq: int) -> None:
+        """Drop ONE sequence (a mid-range hole, as after per-message
+        deletion / subject purge) without advancing first_seq."""
+        with self._lock:
+            self._msgs.pop(seq, None)
+
     def purge_up_to(self, seq: int) -> None:
         """Drop sequences <= seq (retention limit advancing first_seq)."""
         with self._lock:
@@ -94,7 +100,19 @@ class MiniNatsServer:
     """``with MiniNatsServer(stream="zeebe", subject="zeebe-export") as s:``
     — listens on an ephemeral localhost port (``s.port``)."""
 
-    def __init__(self, stream: str = "zeebe", subject: str = "zeebe-export") -> None:
+    def __init__(
+        self,
+        stream: str = "zeebe",
+        subject: str = "zeebe-export",
+        reorder_window: int = 0,
+        duplicate_replies: bool = False,
+    ) -> None:
+        # chaos knobs for the pipelined-read tests (a clustered JetStream
+        # API may answer out of order / redeliver): MSG.GET replies are
+        # held and flushed in REVERSED batches of `reorder_window`, and/or
+        # each sent twice. Deterministic by construction — no randomness.
+        self.reorder_window = reorder_window
+        self.duplicate_replies = duplicate_replies
         self.js = MiniJetStream(stream, subject)
         self._listener = socket.create_server(("127.0.0.1", 0))
         self.port = self._listener.getsockname()[1]
@@ -157,6 +175,7 @@ class MiniNatsServer:
         )
         buf = b""
         subs: dict[str, str] = {}  # sid -> subject filter (supports * and >)
+        held: list[tuple[str, bytes]] = []  # reorder_window reply buffer
         lock = threading.Lock()  # serialize writes from this handler
 
         def send(data: bytes) -> None:
@@ -225,7 +244,20 @@ class MiniNatsServer:
                     raise ValueError("bad PUB trailer")
                 if subject.startswith("$JS.API."):
                     if reply:
-                        deliver(reply, self._js_api(subject, payload))
+                        resp = self._js_api(subject, payload)
+                        is_get = subject.startswith("$JS.API.STREAM.MSG.GET.")
+                        if is_get and self.reorder_window > 1:
+                            held.append((reply, resp))
+                            if len(held) >= self.reorder_window:
+                                for r, p in reversed(held):
+                                    deliver(r, p)
+                                    if self.duplicate_replies:
+                                        deliver(r, p)
+                                held.clear()
+                        else:
+                            deliver(reply, resp)
+                            if is_get and self.duplicate_replies:
+                                deliver(reply, resp)
                 elif subject == self.js.subject:
                     self.js.publish(subject, payload)
                     if reply:
