@@ -152,20 +152,44 @@ def _batch_id_of(vectors: DataFrame) -> str:
 
 def _encode_and_write(
     spark: SparkSession, vectors: DataFrame, root: str, batch: str, books: dict
-) -> None:
+) -> dict:
     """Encode ONE batch against the frozen codebooks and write its dirs
-    (deterministic overwrite — a crashed append's retry rewrites them)."""
+    (deterministic overwrite — a crashed append's retry rewrites them).
+
+    Returns the batch's DRIFT STATISTICS — mean PQ quantization error and
+    IVF cluster occupancy — which the caller records in the commit
+    manifest. Frozen codebooks are the FAISS deployment contract, but a
+    frozen index silently degrades under distribution shift: vectors far
+    from every trained centroid quantize badly (recall decays) and pile
+    into few inverted lists (probe pruning stops helping). Both symptoms
+    are measurable per delivery at append time for one extra column and a
+    16-row count — no corpus rescan — so the manifest carries them and
+    :func:`drift_report` thresholds them into a needs_retrain signal."""
     vecs = vectors.select("vec_id", "embedding").localCheckpoint(eager=False)
-    codes = pq_encode_of(vecs, books["pq"])
+    codes = pq_encode_of(vecs, books["pq"], with_qerr=True).localCheckpoint(
+        eager=True
+    )
     assign = ivf_assign_of(spark, vecs, books["ivf"]).select(
         "vec_id", "cluster_id"
-    )
+    ).localCheckpoint(eager=True)
     for name, df in (
-        ("pq_codes", codes),
+        ("pq_codes", codes.select("vec_id", "codes", "approx_norm2")),
         ("ivf_assign", assign),
         ("delivered", vectors.select("vec_id")),
     ):
         df.write.mode("overwrite").parquet(_batch_path(root, name, batch))
+    agg = codes.agg(
+        F.count("*").alias("n"), F.avg("qerr").alias("mean_qerr")
+    ).collect()[0]
+    occ = {
+        str(r["cluster_id"]): r["c"]
+        for r in assign.groupBy("cluster_id").agg(F.count("*").alias("c")).collect()
+    }
+    return {
+        "n": int(agg["n"]),
+        "mean_qerr": float(agg["mean_qerr"]) if agg["mean_qerr"] is not None else None,
+        "occupancy": occ,
+    }
 
 
 def build_vector_index(
@@ -181,8 +205,8 @@ def build_vector_index(
     books = {"ivf": ivf_codebook, "pq": pq_books}
     with open(os.path.join(root, "codebooks.json"), "w") as f:
         json.dump(books, f)
-    _encode_and_write(spark, vectors, root, _BASE_BATCH, books)
-    _commit(root, {"seq": 0, "batch": _BASE_BATCH})
+    drift = _encode_and_write(spark, vectors, root, _BASE_BATCH, books)
+    _commit(root, {"seq": 0, "batch": _BASE_BATCH, "drift": drift})
 
 
 def append_vectors(
@@ -219,10 +243,100 @@ def append_vectors(
             f"append_vectors: vec_id {dup[0][0]} already in the index — "
             "deliveries must carry new vec_ids"
         )
-    _encode_and_write(spark, new_vectors, root, batch, frozen_codebooks(root))
-    n = new_vectors.count()
-    _commit(root, {"seq": len(committed), "batch": batch})
-    return {"new_vectors": n}
+    drift = _encode_and_write(
+        spark, new_vectors, root, batch, frozen_codebooks(root)
+    )
+    _commit(root, {"seq": len(committed), "batch": batch, "drift": drift})
+    return {"new_vectors": drift["n"], "drift": drift}
+
+
+#: Drift thresholds (overridable per call). A delivery whose mean PQ
+#: quantization error exceeds the BASE build's by 50%+ reconstructs
+#: poorly against the frozen books; an IVF occupancy total-variation
+#: distance above 0.25 means a quarter of the delivery's probability
+#: mass sits in different inverted lists than the trained distribution —
+#: either one is the retrain signal (FAISS guidance: retrain when the
+#: indexed distribution departs from the training sample).
+QERR_RATIO_THRESHOLD = 1.5
+OCCUPANCY_TVD_THRESHOLD = 0.25
+
+_DRIFT_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("batch", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("mean_qerr", T.DoubleType()),
+        T.StructField("qerr_ratio", T.DoubleType()),
+        T.StructField("occupancy_tvd", T.DoubleType()),
+        T.StructField("needs_retrain", T.BooleanType()),
+    ]
+)
+
+
+def _tvd(p: dict[str, int], q: dict[str, int]) -> float | None:
+    """Total variation distance between two occupancy histograms."""
+    np_, nq = sum(p.values()), sum(q.values())
+    if not np_ or not nq:
+        return None
+    keys = set(p) | set(q)
+    return 0.5 * sum(
+        abs(p.get(k, 0) / np_ - q.get(k, 0) / nq) for k in keys
+    )
+
+
+def drift_report(
+    spark: SparkSession,
+    root: str,
+    qerr_ratio_threshold: float = QERR_RATIO_THRESHOLD,
+    occupancy_tvd_threshold: float = OCCUPANCY_TVD_THRESHOLD,
+) -> DataFrame:
+    """Per-delivery codebook-drift relation, thresholded into a
+    ``needs_retrain`` flag — one row per committed batch, computed
+    entirely from the commit manifests (config-sized; no data scan).
+
+    The BASE build's statistics are the reference: its quantization error
+    is what the codebooks were trained to minimize, and its occupancy is
+    the trained list distribution. Deliveries committed by pre-upgrade
+    code carry no drift stats and surface as NULL metrics with a NULL
+    flag (unknown, not healthy)."""
+    rows = []
+    manifests = committed_batches(root)
+    base = next((m.get("drift") for m in manifests if m.get("drift")), None)
+    for m in manifests:
+        d = m.get("drift")
+        if not d or base is None or not base.get("mean_qerr"):
+            rows.append((m["seq"], m["batch"], None, None, None, None, None))
+            continue
+        ratio = (
+            d["mean_qerr"] / base["mean_qerr"]
+            if d.get("mean_qerr") is not None
+            else None
+        )
+        tvd = _tvd(d.get("occupancy", {}), base.get("occupancy", {}))
+        trip = (ratio is not None and ratio > qerr_ratio_threshold) or (
+            tvd is not None and tvd > occupancy_tvd_threshold
+        )
+        rows.append(
+            (m["seq"], m["batch"], d.get("n"), d.get("mean_qerr"), ratio, tvd, trip)
+        )
+    return spark.createDataFrame(rows, _DRIFT_SCHEMA)
+
+
+def needs_retrain(
+    spark: SparkSession,
+    root: str,
+    qerr_ratio_threshold: float = QERR_RATIO_THRESHOLD,
+    occupancy_tvd_threshold: float = OCCUPANCY_TVD_THRESHOLD,
+) -> bool:
+    """True when ANY committed delivery trips a drift threshold — the
+    operational answer to 'is this frozen index still serving the
+    distribution it was trained on'."""
+    report = drift_report(
+        spark, root, qerr_ratio_threshold, occupancy_tvd_threshold
+    )
+    return bool(
+        report.filter(F.col("needs_retrain")).limit(1).collect()
+    )
 
 
 def streaming_append_sink(root: str):

@@ -549,11 +549,19 @@ def _pq_cb_sql(books) -> str:
     )
 
 
-def pq_encode_of(vectors: DataFrame, books) -> DataFrame:
+def pq_encode_of(vectors: DataFrame, books, with_qerr: bool = False) -> DataFrame:
     """PQ encoding over ANY (vec_id, embedding) relation with explicit
     codebooks — the encode kernel behind :func:`pq_codes_table`, reused by
     the incremental vector index so appends encode against FROZEN books
-    (codes from two training runs are not comparable)."""
+    (codes from two training runs are not comparable).
+
+    ``with_qerr`` adds the per-vector quantization error (sum over
+    subspaces of the winning centroid's squared L2 distance — the
+    training objective of the codebooks). It is computed from the SAME
+    ``_dists`` arrays the encoding already materializes, so the extra
+    column costs one array_min fold, no second distance pass; the
+    incremental store aggregates it per delivery for codebook-drift
+    detection."""
     cb = _pq_cb_sql(books)
     m = len(books)
     k = len(books[0])
@@ -575,12 +583,21 @@ def pq_encode_of(vectors: DataFrame, books) -> DataFrame:
         f"element_at(element_at({cb}, m + 1), element_at(codes, m + 1) + 1), "
         f"cast(0.0 as double), (a, x) -> a + x * x))"
     )
-    return (
+    out = (
         vectors.withColumn("_dists", F.expr(dists))
         .withColumn("codes", F.expr(codes))
         .withColumn("approx_norm2", F.expr(norm2))
-        .select("vec_id", "codes", "approx_norm2")
     )
+    if with_qerr:
+        out = out.withColumn(
+            "qerr",
+            F.expr(
+                "aggregate(_dists, cast(0.0 as double), "
+                "(acc, d) -> acc + array_min(d))"
+            ),
+        )
+        return out.select("vec_id", "codes", "approx_norm2", "qerr")
+    return out.select("vec_id", "codes", "approx_norm2")
 
 
 def _pq_codes_build(spark: SparkSession, sf_dir: str) -> DataFrame:

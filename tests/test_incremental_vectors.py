@@ -137,6 +137,48 @@ def test_fuzz_delivery_sequences_match_full_build(
     assert _assigns(spark, root) == _assigns(spark, full)
 
 
+def test_drift_detection_trips_on_distribution_shift(spark, sf_dir, tmp_path):
+    """VERDICT r4/r5 carried task: the frozen-codebook store must DETECT
+    distribution shift instead of silently serving a stale index. An
+    in-distribution delivery stays under both thresholds; a delivery
+    pushed to a far region of the space (bad quantization against the
+    frozen books, occupancy collapsed onto few inverted lists) trips
+    needs_retrain."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    ivf_cb, pq_cb = _books(sf_dir)
+    root = str(tmp_path / "vx")
+    iv.build_vector_index(
+        spark, e.filter(F.col("vec_id") % 2 == 0), root, ivf_cb, pq_cb
+    )
+    in_dist = iv.append_vectors(
+        spark, e.filter(F.col("vec_id") % 2 == 1), root
+    )
+    assert in_dist["drift"]["mean_qerr"] is not None
+    report = {r["seq"]: r for r in iv.drift_report(spark, root).collect()}
+    assert report[0]["needs_retrain"] is False  # base vs itself
+    assert report[1]["needs_retrain"] is False  # same distribution
+    assert not iv.needs_retrain(spark, root)
+
+    # distribution-shifted delivery: same vectors scaled + offset into a
+    # region no trained centroid covers
+    shifted = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> cast(x * 7.0 + 3.0 as float))"
+        ).alias("embedding"),
+    )
+    out = iv.append_vectors(spark, shifted, root)
+    assert out["drift"]["n"] == 50
+    rows = iv.drift_report(spark, root).orderBy("seq").collect()
+    assert rows[-1]["needs_retrain"] is True
+    assert rows[-1]["qerr_ratio"] > 1.5 or rows[-1]["occupancy_tvd"] > 0.25
+    assert iv.needs_retrain(spark, root)
+    # the signal rides the commit manifest — no corpus rescan involved
+    assert all("drift" in m for m in iv.committed_batches(root))
+
+
 def test_streaming_deliveries_fold_into_index(spark, sf_dir, tmp_path):
     """Vector deliveries via Structured Streaming: files landing in a
     directory stream through the foreachBatch sink; the final index equals
