@@ -452,7 +452,7 @@ def run_deployment(
     available_now: bool = True,
     max_files_per_trigger: int = 64,
     state_store: str | None = None,
-    distributed: bool = False,
+    distributed: bool = True,
     dialect: str = "mysql",
 ) -> dict[str, str]:
     """The full deployed topology in one call — what a user of the
@@ -464,14 +464,15 @@ def run_deployment(
 
     ``resolve_url`` maps tenant -> JDBC url (sinks/jdbc.tenant_url_resolver
     over the master tenant_server_connections table); ``executor`` runs
-    (url, statements) batches (sinks/jdbc.jvm_executor in production, a
-    recording fake in tests). ``distributed``/``dialect`` pass through to
-    the sink (see changes_foreach_batch): at scale, set
-    ``distributed=True`` with a picklable DBAPI executor
-    (sinks/dbapi.py) so writes run on the executors. Every hop and the
-    sink query are independently checkpointed under ``work_dir`` —
-    restart resumes with exactly-once delivery into the idempotent
-    MERGE."""
+    (url, statements) batches (a picklable DBAPI executor from
+    sinks/dbapi.py in production, a recording fake in tests).
+    ``distributed``/``dialect`` pass through to the sink (see
+    changes_foreach_batch): the default is the DISTRIBUTED writer — rows
+    never traverse the driver — which requires a picklable executor;
+    pass ``distributed=False`` for the driver-collect topology (small
+    deployments, py4j ``jvm_executor``). Every hop and the sink query
+    are independently checkpointed under ``work_dir`` — restart resumes
+    with exactly-once delivery into the idempotent MERGE."""
     from ph_ee_nats_importer_rdbms_spark.sinks.jdbc import changes_foreach_batch
 
     if source_dir is None and nats_options is None:

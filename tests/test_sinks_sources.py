@@ -9,6 +9,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from ph_ee_nats_importer_rdbms_spark.sinks import jdbc
 from ph_ee_nats_importer_rdbms_spark.sources.nats import NatsFileBridge
 from ph_ee_nats_importer_rdbms_spark.streaming.pipeline import CHANGES_SCHEMA
@@ -38,7 +40,7 @@ def test_foreach_batch_routes_per_tenant(spark):
     resolve = jdbc.tenant_url_resolver(
         {"tn01": "jdbc:mysql://db1/tn01", "tn02": "jdbc:mysql://db2/tn02"}
     )
-    write = jdbc.changes_foreach_batch(resolve, executor)
+    write = jdbc.changes_foreach_batch(resolve, executor, distributed=False)
 
     rows = [
         ("transfer", 1, "tn01", json.dumps({"workflow_instance_key": 1, "amount": 5})),
@@ -50,6 +52,34 @@ def test_foreach_batch_routes_per_tenant(spark):
     write(batch, 0)
 
     assert sorted(calls) == [("jdbc:mysql://db1/tn01", 2), ("jdbc:mysql://db2/tn02", 1)]
+
+
+def test_distributed_is_the_default_and_rejects_driver_only_executors(spark):
+    """VERDICT r4 #7: the driver-collect writer must be the opt-in, not
+    the default. The default sink is the distributed (executor-side)
+    writer, and a driver-only executor (jvm_executor's py4j closure) is
+    rejected at construction with a config error, not a pickle stack
+    trace at runtime."""
+    import inspect
+
+    from ph_ee_nats_importer_rdbms_spark.streaming import pipeline as sp
+
+    assert (
+        inspect.signature(jdbc.changes_foreach_batch)
+        .parameters["distributed"]
+        .default
+        is True
+    )
+    assert (
+        inspect.signature(sp.run_deployment).parameters["distributed"].default
+        is True
+    )
+
+    ex = jdbc.jvm_executor(spark)
+    with pytest.raises(ValueError, match="driver_only"):
+        jdbc.changes_foreach_batch(lambda t: None, ex)
+    # explicitly driver-mode: accepted
+    jdbc.changes_foreach_batch(lambda t: None, ex, distributed=False)
 
 
 def test_tenant_resolver_sees_live_mapping_updates():

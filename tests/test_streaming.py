@@ -569,6 +569,7 @@ def test_run_deployment_end_to_end_jdbc(spark, tmp_path):
         resolve_url,
         executor,
         source_dir=str(src),
+        distributed=False,  # in-memory recording executor: driver mode
     )
 
     urls = {u for u, _ in writes}
@@ -586,5 +587,6 @@ def test_run_deployment_end_to_end_jdbc(spark, tmp_path):
         resolve_url,
         executor,
         source_dir=str(src),
+        distributed=False,
     )
     assert len(writes) == n
