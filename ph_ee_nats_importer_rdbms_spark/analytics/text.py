@@ -858,6 +858,48 @@ LIMIT {VOCAB_TOP_K}
 
 
 # ---------------------------------------------------------------------------
+# Per-source corpus statistics (skew-resistant aggregation)
+# ---------------------------------------------------------------------------
+
+
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus statistics via the SALTED two-phase aggregate
+    (operators/skew.py). ``source`` is the canonical hot-key groupBy of a
+    training-data pipeline: real corpora are dominated by one or two
+    crawl sources, so a plain groupBy funnels most of 100 TB's rows into
+    a handful of reducers — AQE re-splits skewed JOINS but not skewed
+    aggregations. The salted plan spreads each source over 16 salt
+    buckets for the map-side partial pass, then merges the (≤16 rows per
+    source) partials; output is bit-identical to the plain groupBy, which
+    is exactly what the oracle checks."""
+    from ph_ee_nats_importer_rdbms_spark.operators.skew import salted_agg
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return salted_agg(
+        d,
+        ["source"],
+        [
+            ("doc_id", "count", "n_docs"),
+            ("n_chars", "sum", "total_chars"),
+            ("n_chars", "min", "min_chars"),
+            ("n_chars", "max", "max_chars"),
+        ],
+    ).select("source", "n_docs", "total_chars", "min_chars", "max_chars")
+
+
+SOURCE_STATS_ORACLE = """
+SELECT source,
+       count(doc_id) AS n_docs,
+       -- DuckDB sums int64 into HUGEINT; Spark stays long
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Context-window chunking (pretraining / retrieval preprocessing)
 # ---------------------------------------------------------------------------
 

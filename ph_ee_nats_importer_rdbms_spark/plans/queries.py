@@ -1106,6 +1106,7 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_report": (_tx.q_corpus_report, _tx._corpus_report_oracle()),
     "dedup_spans": (_tx.q_dedup_spans, _tx.DEDUP_SPANS_ORACLE),
     "vocabulary": (_tx.q_vocabulary, _tx.VOCABULARY_ORACLE),
+    "source_stats": (_tx.q_source_stats, _tx.SOURCE_STATS_ORACLE),
     # --- multimodal (analytics/multimodal.py) ---
     "media_features": (_mm.q_media_features, _mm.MEDIA_FEATURES_ORACLE),
     "media_summary": (_mm.q_media_summary, _mm.MEDIA_SUMMARY_ORACLE),
@@ -1125,6 +1126,9 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
 # ---------------------------------------------------------------------------
 
 _DRIVER_FIRST: tuple[str, ...] = (
+    # new in round 6: the salted-aggregation query (operators/skew.py
+    # wired to an oracle — VERDICT r5 task #8) has never had a driver row
+    "source_stats",
     # Round-6 rotation (VERDICT r5 task #1): these 19 entries last had a
     # driver CORRECTNESS row in r03 — the r04/r05 head kept them past the
     # driver's 50-row cap for two consecutive rounds while similarity.py
