@@ -448,7 +448,9 @@ def ann_ivf_pq_from_store(
     (same candidates, scoring, rounding, tie-breaks)."""
     store = spark.read.parquet(store_path)
     probes = _pq_query_lut(
-        sf_dir, _ivf_probes(spark, sf_dir, store, nprobe=IVF_PQ_NPROBE)
+        sf_dir,
+        _ivf_probes(spark, sf_dir, store, nprobe=IVF_PQ_NPROBE),
+        n_queries=N_QUERIES * IVF_PQ_NPROBE,
     )
     probed_ids = sorted(
         {r["cluster_id"] for r in probes.select("cluster_id").distinct().collect()}
@@ -630,22 +632,70 @@ def pq_corpus_size(spark: SparkSession, sf_dir: str) -> int:
     )
 
 
-def _pq_query_lut(sf_dir: str, queries: DataFrame) -> DataFrame:
+#: LUT routing switch: query sets up to this size compute their ADC LUTs
+#: driver-side (one collect of an already-config-sized, about-to-be-
+#: broadcast relation — no codegen cost, no literal in the plan); larger
+#: sets — the many-query serving shape where |queries| approaches
+#: |corpus| — compute LUTs engine-side so no step is driver-proportional.
+PQ_LUT_DRIVER_MAX = 1024
+
+
+def _pq_query_lut_distributed(sf_dir: str, queries: DataFrame) -> DataFrame:
+    """Engine-side twin of the driver LUT (VERDICT r4/r5 carried task #3):
+    the M×K subspace dots and the query norm as ONE higher-order-function
+    expression over a single codebook literal (the round-2 codegen
+    discipline — the literal appears once per expression tree, never
+    unrolled per centroid). Bit-identical to :func:`_pq_query_lut`'s
+    driver fold: the SQL ``aggregate`` is the same left fold, each query
+    element widened float32→double per term, codebook elements are
+    already doubles — IEEE doubles both sides, same operation order,
+    same bits (pinned by test_round6_pins.test_distributed_lut_parity)."""
+    books = _pq_books(sf_dir)
+    cb = _pq_cb_sql(books)
+    k = len(books[0])
+    lut = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        f"transform(sequence(0, {k - 1}), c -> "
+        f"aggregate(sequence(1, {PQ_DSUB}), cast(0.0 as double), "
+        f"(acc, i) -> acc + cast(element_at(q_emb, m * {PQ_DSUB} + i) as double) "
+        f"* element_at(element_at(element_at({cb}, m + 1), c + 1), i))))"
+    )
+    qn = (
+        "sqrt(aggregate(q_emb, cast(0.0 as double), "
+        "(a, x) -> a + cast(x as double) * cast(x as double)))"
+    )
+    return queries.withColumn("lut", F.expr(lut)).withColumn(
+        "q_norm", F.expr(qn)
+    )
+
+
+def _pq_query_lut(
+    sf_dir: str, queries: DataFrame, n_queries: int | None = None
+) -> DataFrame:
     """The per-query ADC lookup table — the actual Jégou et al. search
     structure: ``lut[m][c] = <q_sub_m, centroid_{m,c}>`` plus the query
-    norm, computed ONCE per query. The query set is config-sized by
-    definition (it is what gets broadcast), so the M×K dots are computed
+    norm, computed ONCE per query. Size-routed: config-sized query sets
+    (the broadcastable shape every registry entry uses — callers pass the
+    size they already know, so no count job) compute the M×K dots
     DRIVER-side on the collected query vectors — query planning, like the
-    probe-id collects — and shipped back as a plain broadcast relation.
-    The per-candidate ADC becomes M array lookups, which is both the
-    100 TB shape (the scan does no dot products and no codebook literal
-    ever enters a plan — round 4 measured the inlined 1k-double literal
-    costing ~5s/query in parse+codegen) and bit-identical to the inline
+    probe-id collects — and ship back as a plain broadcast relation; sets
+    above ``PQ_LUT_DRIVER_MAX`` route to the ENGINE-side twin so the
+    many-query serving shape has no driver-proportional step. When the
+    caller does not know the size, one count job decides (serving-time
+    cost, never on a registry path). The per-candidate ADC is M array
+    lookups either way — the 100 TB shape (the scan does no dot products;
+    on the driver route no codebook literal enters a plan — round 4
+    measured the inlined 1k-double literal costing ~5s/query in
+    parse+codegen) — and both routes are bit-identical to the inline
     form: Python floats ARE IEEE doubles and the fold order (left fold
     over i within a subspace, float32 widened per element) matches the
     SQL ``aggregate`` exactly."""
     import math
 
+    if n_queries is None:
+        n_queries = queries.count()
+    if n_queries > PQ_LUT_DRIVER_MAX:
+        return _pq_query_lut_distributed(sf_dir, queries)
     books = _pq_books(sf_dir)
     rows = queries.collect()
     q_cols = queries.columns
@@ -709,6 +759,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
         ),
+        n_queries=N_QUERIES,
     )
     scored = (
         F.broadcast(queries)
@@ -748,7 +799,9 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     query is one pruned scan + one broadcast LUT pass + a tiny re-rank."""
     assign = ivf_assignments(spark, sf_dir)
     probes = _pq_query_lut(
-        sf_dir, _ivf_probes(spark, sf_dir, assign, nprobe=IVF_PQ_NPROBE)
+        sf_dir,
+        _ivf_probes(spark, sf_dir, assign, nprobe=IVF_PQ_NPROBE),
+        n_queries=N_QUERIES * IVF_PQ_NPROBE,
     )
     codes_t = pq_codes_table(spark, sf_dir)
     e = spread(load_table(spark, sf_dir, "embeddings")).select(

@@ -342,6 +342,65 @@ def test_commit_manifests_record_id_scheme(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# many-query ANN serving: engine-side ADC LUT (analytics/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def test_distributed_lut_is_bit_identical_to_driver_lut(spark, sf_dir):
+    """VERDICT r4/r5 carried task #3: the engine-side LUT must agree with
+    the driver fold BIT-FOR-BIT (IEEE doubles, same fold order), so the
+    many-query route serves the same ADC scores the oracle-pinned
+    driver route does."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import similarity as sim
+    from ph_ee_nats_importer_rdbms_spark.sources.files import load_table, spread
+
+    q = spread(load_table(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    driver = {
+        r["query_id"]: (r["lut"], r["q_norm"])
+        for r in sim._pq_query_lut(sf_dir, q, n_queries=1).collect()
+    }
+    dist = {
+        r["query_id"]: (r["lut"], r["q_norm"])
+        for r in sim._pq_query_lut_distributed(sf_dir, q).collect()
+    }
+    assert driver.keys() == dist.keys() and driver
+    for qid, (lut_d, norm_d) in driver.items():
+        lut_e, norm_e = dist[qid]
+        assert norm_d == norm_e  # exact, not approx
+        assert lut_d == lut_e
+
+
+def test_lut_router_switches_by_size_and_preserves_ann_output(
+    spark, sf_dir, monkeypatch
+):
+    """The size switch: above PQ_LUT_DRIVER_MAX the router must take the
+    engine-side path (no driver-proportional collect), and the full
+    q_ann_pq output under the forced engine route equals the oracle-
+    pinned driver-route output."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import similarity as sim
+
+    normal = {tuple(r) for r in sim.q_ann_pq(spark, sf_dir).collect()}
+
+    def no_collect(self, *a, **k):  # pragma: no cover - must not run
+        raise AssertionError("driver-side collect on the many-query route")
+
+    monkeypatch.setattr(sim, "PQ_LUT_DRIVER_MAX", 0)
+    monkeypatch.setattr(
+        "pyspark.sql.classic.dataframe.DataFrame.collect",
+        no_collect,
+        raising=True,
+    )
+    try:
+        forced_df = sim.q_ann_pq(spark, sf_dir)
+    finally:
+        monkeypatch.undo()
+    forced = {tuple(r) for r in forced_df.collect()}
+    assert forced == normal and normal
+
+
+# ---------------------------------------------------------------------------
 # registry-parameterized refresh recovery (plans/incremental.py)
 # ---------------------------------------------------------------------------
 
