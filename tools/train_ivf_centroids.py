@@ -85,7 +85,16 @@ def main() -> int:
     from ph_ee_nats_importer_rdbms_spark.session import build_session
 
     spark = build_session(app_name="ivf-codebook-training")
+    # MERGE into the existing artifact: training one new corpus (e.g. a
+    # scaled bench dir) must not clobber the shipped per-corpus books —
+    # the oracle SQL embeds sf0.01's literals and every staged dataset
+    # fingerprints this file.
     codebooks: dict[str, list[list[float]]] = {}
+    if os.path.exists(ARTIFACT):
+        with open(ARTIFACT) as f:
+            existing = json.load(f)
+        if existing.get("k") == args.k:
+            codebooks.update(existing["codebooks"])
     dim = None
     for sf_dir in args.sf_dirs:
         base = os.path.basename(os.path.normpath(sf_dir))
@@ -93,7 +102,9 @@ def main() -> int:
         codebooks[base] = cents
         dim = len(cents[0])
         print(f"trained {base}: {args.k}x{dim}")
-    codebooks["default"] = codebooks[args.default_from]
+    if args.default_from in codebooks:
+        codebooks["default"] = codebooks[args.default_from]
+    dim = dim or len(codebooks["default"][0])
     payload = {
         "k": args.k,
         "dim": dim,

@@ -118,14 +118,29 @@ def main() -> int:
     from ph_ee_nats_importer_rdbms_spark.session import build_session
 
     spark = build_session(app_name="pq-codebook-training")
+    # MERGE into the existing artifact (see train_ivf_centroids.py): a
+    # scaled-bench training run must not clobber the shipped books, and
+    # m/k must match the artifact or the merged books are incomparable.
     codebooks = {}
+    if os.path.exists(ARTIFACT):
+        with open(ARTIFACT) as f:
+            existing = json.load(f)
+        if existing.get("m") == args.m and existing.get("k") == args.k:
+            codebooks.update(existing["codebooks"])
+        else:
+            print(
+                f"m/k differ from artifact ({existing.get('m')}x"
+                f"{existing.get('k')} vs {args.m}x{args.k}): full retrain",
+                file=sys.stderr,
+            )
     for sf_dir in args.sf_dirs:
         base = os.path.basename(os.path.normpath(sf_dir))
         codebooks[base] = _train_corpus(
             spark, sf_dir, args.m, args.k, args.iters, args.seeds
         )
         print(f"trained {base}: {args.m} subspaces x {args.k} codes")
-    codebooks["default"] = codebooks[args.default_from]
+    if args.default_from in codebooks:
+        codebooks["default"] = codebooks[args.default_from]
     payload = {
         "m": args.m,
         "k": args.k,
