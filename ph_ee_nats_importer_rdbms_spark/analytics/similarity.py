@@ -77,14 +77,14 @@ def _codebook(sf_dir: str) -> list[list[float]]:
     return IVF_CODEBOOKS.get(base, IVF_CODEBOOKS["default"])
 
 
-def _ranked(pairs: DataFrame) -> DataFrame:
+def _ranked(pairs: DataFrame, k: int = TOP_K) -> DataFrame:
     """Deterministic top-k per query: rounded cosine desc, vec_id asc."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
     return (
         pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
 
@@ -312,19 +312,20 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _staged(spark, sf_dir, "ivf_assign", build)
 
 
-def _ivf_probes(
+def probes_for(
     spark: SparkSession,
     sf_dir: str,
-    assign: DataFrame,
+    queries: DataFrame,
     nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
-    """(query_id, q_emb, cluster_id): each query's ``nprobe`` nearest
-    inverted lists, by centroid cosine (deterministic tie-break)."""
+    """(query_id, q_emb, cluster_id) for an ARBITRARY (query_id, q_emb)
+    relation: each query's ``nprobe`` nearest inverted lists, by centroid
+    cosine (deterministic tie-break). The CENTROID side broadcasts (it is
+    nlist rows at any corpus size), so this scales with |queries| — the
+    many-query serving shape needs probe selection with no
+    query-set-proportional broadcast."""
     cent = _ivf_centroids(spark, sf_dir)
-    queries = assign.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    q_scored = F.broadcast(queries).crossJoin(cent).select(
+    q_scored = queries.crossJoin(F.broadcast(cent)).select(
         "query_id",
         "q_emb",
         "cid",
@@ -338,6 +339,19 @@ def _ivf_probes(
         .filter(F.col("pr") <= nprobe)
         .select("query_id", "q_emb", F.col("cid").alias("cluster_id"))
     )
+
+
+def _ivf_probes(
+    spark: SparkSession,
+    sf_dir: str,
+    assign: DataFrame,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Registry-shaped probes: the fixed vec_id < N_QUERIES query set."""
+    queries = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return probes_for(spark, sf_dir, queries, nprobe=nprobe)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,78 +756,60 @@ _ADC_FROM_LUT = (
 )
 
 
-def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ ANN with asymmetric distance + exact re-rank: score every
-    vector's CODES against the query's precomputed distance LUT (a linear
-    pass over the compressed index — the part that fits in RAM at 100 TB),
-    keep the top ``PQ_REFINE`` per query, then re-rank just those with
-    exact cosine on the raw vectors. Same output contract as the other
-    ANN paths."""
+def ann_search(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    n_queries: int | None = None,
+    variant: str = "auto",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Serve top-``k`` ANN for an ARBITRARY (query_id, q_emb) relation —
+    the user-facing search API the fixed registry entries are instances
+    of. Returns (query_id, rank, vec_id, cosine).
+
+    Routing (``variant="auto"``): a config-sized query set takes the
+    full-ADC-scan composition (:func:`q_ann_pq` — best measured recall;
+    the LUT relation broadcasts); a query set above ``PQ_LUT_DRIVER_MAX``
+    takes the IVF-ADC composition (:func:`q_ann_ivf_pq` — probes prune
+    each query to ``IVF_PQ_NPROBE`` inverted lists, so candidate volume
+    is |Q|·corpus·nprobe/nlist instead of |Q|·corpus) with the
+    ENGINE-side LUT, centroid-side-broadcast probe selection, and a plain
+    (AQE-planned) join instead of a broadcast hint — no step is
+    proportional to |Q| on the driver. ``exclude_self`` drops candidates
+    whose vec_id equals the query_id (the queries-drawn-from-the-corpus
+    convention every registry entry uses; turn it off when query ids are
+    not corpus ids)."""
+    if n_queries is None:
+        n_queries = queries.count()
+    small = n_queries <= PQ_LUT_DRIVER_MAX
+    if variant == "auto":
+        variant = "pq" if small else "ivf_pq"
     codes_t = pq_codes_table(spark, sf_dir)
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
-    queries = _pq_query_lut(
-        sf_dir,
-        e.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-        ),
-        n_queries=N_QUERIES,
-    )
-    scored = (
-        F.broadcast(queries)
-        .crossJoin(codes_t)
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .withColumn(
-            "approx_cos",
-            F.round(
-                F.expr(_ADC_FROM_LUT)
-                / (F.col("q_norm") * F.sqrt(F.col("approx_norm2"))),
-                6,
-            ),
+    if variant == "pq":
+        q = _pq_query_lut(sf_dir, queries, n_queries=n_queries)
+        cand = (F.broadcast(q) if small else q).crossJoin(codes_t)
+    elif variant == "ivf_pq":
+        probes = _pq_query_lut(
+            sf_dir,
+            probes_for(spark, sf_dir, queries, nprobe=IVF_PQ_NPROBE),
+            n_queries=n_queries * IVF_PQ_NPROBE,
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_cos").desc(), F.col("vec_id").asc()
-    )
-    cand = (
-        scored.withColumn("pr", F.row_number().over(w))
-        .filter(F.col("pr") <= _pq_refine(pq_corpus_size(spark, sf_dir)))
-        .select("query_id", "q_emb", "vec_id")
-    )
-    rerank = cand.join(e, "vec_id")
-    cos = F.round(_cosine("q_emb", "embedding"), 4)
-    return _ranked(rerank.select("query_id", "vec_id", cos.alias("cosine")))
-
-
-def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-ADC: the canonical 100 TB serving composition (FAISS
-    ``IndexIVFPQ``) — IVF probes prune the candidate set to ``nprobe``
-    inverted lists (a partition-pruned read against the cluster-partitioned
-    store), PQ codes score those candidates without touching raw vectors,
-    and only the ``PQ_REFINE`` survivors per query are re-ranked exactly.
-    Both index tables are the staged artifacts the standalone paths use
-    (``ivf_assign``, ``pq_codes``) — the composition is a join, which is
-    the point: at scale you store codes INSIDE the inverted lists and this
-    query is one pruned scan + one broadcast LUT pass + a tiny re-rank."""
-    assign = ivf_assignments(spark, sf_dir)
-    probes = _pq_query_lut(
-        sf_dir,
-        _ivf_probes(spark, sf_dir, assign, nprobe=IVF_PQ_NPROBE),
-        n_queries=N_QUERIES * IVF_PQ_NPROBE,
-    )
-    codes_t = pq_codes_table(spark, sf_dir)
-    e = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "embedding"
-    )
-    cand = (
-        F.broadcast(probes)
-        .join(assign.select("vec_id", "cluster_id"), "cluster_id")
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .select("query_id", "q_emb", "lut", "q_norm", "vec_id")
-    )
-    scored = cand.join(codes_t, "vec_id").withColumn(
+        assign = ivf_assignments(spark, sf_dir)
+        cand = (F.broadcast(probes) if small else probes).join(
+            assign.select("vec_id", "cluster_id"), "cluster_id"
+        ).join(
+            codes_t.select("vec_id", "codes", "approx_norm2"), "vec_id"
+        )
+    else:
+        raise ValueError(f"variant must be auto|pq|ivf_pq, got {variant!r}")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("vec_id"))
+    scored = cand.withColumn(
         "approx_cos",
         F.round(
             F.expr(_ADC_FROM_LUT)
@@ -831,7 +827,55 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e, "vec_id")
     )
     cos = F.round(_cosine("q_emb", "embedding"), 4)
-    return _ranked(refine.select("query_id", "vec_id", cos.alias("cosine")))
+    return _ranked(
+        refine.select("query_id", "vec_id", cos.alias("cosine")), k=k
+    )
+
+
+def _corpus_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry entries' fixed query set: the first N_QUERIES corpus
+    vectors."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    return e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with asymmetric distance + exact re-rank: score every
+    vector's CODES against the query's precomputed distance LUT (a linear
+    pass over the compressed index — the part that fits in RAM at 100 TB),
+    keep the top ``PQ_REFINE`` per query, then re-rank just those with
+    exact cosine on the raw vectors. An instance of :func:`ann_search`
+    (variant="pq") over the fixed registry query set."""
+    return ann_search(
+        spark,
+        sf_dir,
+        _corpus_queries(spark, sf_dir),
+        n_queries=N_QUERIES,
+        variant="pq",
+    )
+
+
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC: the canonical 100 TB serving composition (FAISS
+    ``IndexIVFPQ``) — IVF probes prune the candidate set to ``nprobe``
+    inverted lists (a partition-pruned read against the cluster-partitioned
+    store), PQ codes score those candidates without touching raw vectors,
+    and only the ``PQ_REFINE`` survivors per query are re-ranked exactly.
+    Both index tables are the staged artifacts the standalone paths use
+    (``ivf_assign``, ``pq_codes``) — the composition is a join, which is
+    the point: at scale you store codes INSIDE the inverted lists and this
+    query is one pruned scan + one broadcast LUT pass + a tiny re-rank.
+    An instance of :func:`ann_search` (variant="ivf_pq") over the fixed
+    registry query set."""
+    return ann_search(
+        spark,
+        sf_dir,
+        _corpus_queries(spark, sf_dir),
+        n_queries=N_QUERIES,
+        variant="ivf_pq",
+    )
 
 
 def _pq_cb_duck(books) -> str:

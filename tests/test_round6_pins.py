@@ -372,6 +372,38 @@ def test_distributed_lut_is_bit_identical_to_driver_lut(spark, sf_dir):
         assert lut_d == lut_e
 
 
+def test_ann_search_serves_arbitrary_query_relations(spark, sf_dir):
+    """ann_search is the user-facing serving API: top-k for ANY
+    (query_id, q_emb) relation on both compositions. A corpus vector
+    queried under a foreign id must find ITSELF at rank 1 with cosine
+    1.0 when self-matches are allowed (ids are not corpus ids, so
+    exclude_self=False), on the full-scan route and the IVF-pruned route
+    alike — the sharpest deterministic correctness probe of the search
+    path."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import similarity as sim
+    from ph_ee_nats_importer_rdbms_spark.sources.files import load_table, spread
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = e.filter(F.col("vec_id").isin(5, 7)).select(
+        (F.col("vec_id") + 900_000).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    for variant in ("pq", "ivf_pq"):
+        out = sim.ann_search(
+            spark, sf_dir, queries, k=3, n_queries=2,
+            variant=variant, exclude_self=False,
+        ).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert set(by_q) == {900_005, 900_007}, variant
+        for qid, rows in by_q.items():
+            assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+            top = min(rows, key=lambda r: r["rank"])
+            assert top["vec_id"] == qid - 900_000, variant
+            assert top["cosine"] == 1.0, variant
+
+
 def test_lut_router_switches_by_size_and_preserves_ann_output(
     spark, sf_dir, monkeypatch
 ):
