@@ -22,6 +22,8 @@ scale-up because no stage is quadratic in corpus size, only in bucket size.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ph_ee_nats_importer_rdbms_spark.analytics.hashing import (
@@ -776,21 +778,94 @@ def _cosine(a: str, b: str) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def embed_bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, embedding, bucket, norm) — the sign-LSH bucketed embedding
-    relation, staged per DATASET (parquet stage, ``emb`` domain): bucket
-    and norm are "computed at ingest" exactly as the docstrings promise,
-    so every session's near-dup join starts from the stored relation.
-    Per-vector norm computed ONCE here, not twice per candidate pair —
-    identical float value to inlining it in the pair expression."""
+#: banded sign-LSH sizing for the near-dup pair generator. A FIXED plane
+#: count is the quadratic trap the sf10 scaling bench exposed: 4 planes =
+#: 16 buckets forever, so per-bucket candidate volume grows n²/16 — at
+#: 200k vectors that is ~1.25e9 exact-cosine verifications for a linear-
+#: sized output. The scalable shape is the minhash family's: planes per
+#: band grow with log2(n) to hold bucket OCCUPANCY ~constant (candidate
+#: volume returns to ~linear), and extra bands recover the recall the
+#: longer keys give up (a pair collides if ANY band agrees on all its
+#: planes). At the oracle scales (sf0.001/sf0.01: n <= 512) the formula
+#: yields the original single 4-plane table, so the static DuckDB oracle
+#: stays exact — larger corpora trade IDENTICAL-semantics for bounded
+#: cost, the same per-corpus deployment model as the learned codebooks.
+EMBED_TARGET_OCC = 32
+EMBED_MAX_PLANES = 16
+#: 12 bands covers the recall floor up to the 16-plane key cap (at r=16
+#: the design point needs 9 bands to match the 4-plane table's recall)
+EMBED_MAX_BANDS = 12
+#: per-plane agreement probability at the design near-dup angle
+#: (cos >= 0.9 -> theta ~ 25.8deg -> p = 1 - theta/pi ~ 0.857); bands are
+#: sized so banded recall at the design point >= the 4-plane table's.
+_EMBED_DESIGN_P = 0.857
+
+
+def embed_bands_for(n_vectors: int) -> tuple[int, int]:
+    """(bands, planes_per_band) for a corpus of ``n_vectors``."""
+    import math
+
+    r = max(
+        EMBED_PLANES,
+        math.ceil(
+            math.log2(max(n_vectors, EMBED_TARGET_OCC) / EMBED_TARGET_OCC)
+        ),
+    )
+    r = min(r, EMBED_MAX_PLANES)
+    if r == EMBED_PLANES:
+        return 1, r
+    base = _EMBED_DESIGN_P ** EMBED_PLANES
+    per_band = _EMBED_DESIGN_P ** r
+    b = math.ceil(math.log(1 - base) / math.log(1 - per_band))
+    return max(1, min(b, EMBED_MAX_BANDS)), r
+
+
+def _embed_corpus_size(sf_dir: str) -> int:
+    """Vector count from the parquet footer (zero jobs) — sizes the band
+    structure before any plan is built."""
+    n = staging.parquet_row_count(os.path.join(sf_dir, "embeddings.parquet"))
+    return n if n is not None else EMBED_TARGET_OCC
+
+
+def embed_vector_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, norm) — per-vector norm computed ONCE at
+    ingest, staged per dataset; the verify join reads this, so bands
+    never duplicate embedding payloads."""
+
     def build() -> DataFrame:
-        planes = hyperplanes(EMBED_PLANES, EMBED_DIM)
         e = spread(load_table(spark, sf_dir, "embeddings")).select(
             "vec_id", "embedding"
         )
-        return e.withColumn(
-            "bucket", _embed_bucket_col("embedding", planes)
-        ).withColumn("norm", _norm("embedding"))
+        return e.withColumn("norm", _norm("embedding"))
+
+    return staging.load_memoized(
+        spark, sf_dir, "embed_vectors", build, domain="emb"
+    )
+
+
+def embed_bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, band, bucket) — the banded sign-LSH keys, corpus-sized
+    via :func:`embed_bands_for`, staged per dataset (``emb`` domain). One
+    deterministic plane draw of bands*planes_per_band hyperplanes; band i
+    signs against its own slice, so the single-band small-corpus case
+    uses EXACTLY the original 4 planes (same salt, same order) and the
+    static oracle literal stays valid."""
+
+    def build() -> DataFrame:
+        bands, r = embed_bands_for(_embed_corpus_size(sf_dir))
+        planes = hyperplanes(bands * r, EMBED_DIM)
+        e = spread(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
+        )
+        per_band = F.array(
+            *[
+                _embed_bucket_col("embedding", planes[i * r : (i + 1) * r])
+                for i in range(bands)
+            ]
+        )
+        return e.select(
+            "vec_id", F.posexplode(per_band).alias("band", "bucket")
+        )
 
     return staging.load_memoized(
         spark, sf_dir, "embed_buckets", build, domain="emb"
@@ -798,10 +873,13 @@ def embed_bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate embedding pairs: random-hyperplane LSH bucket join,
-    exact cosine on candidates, threshold filter. The bucket key collapses
-    the candidate space from O(n²) to per-bucket quadratics. Verified
-    pairs staged per dataset (``emb`` domain) like the minhash pair list."""
+    """Near-duplicate embedding pairs: banded random-hyperplane LSH
+    bucket join, exact cosine on candidates, threshold filter. Band keys
+    hold bucket occupancy ~constant as the corpus grows (candidate volume
+    ~linear, see ``embed_bands_for``); candidates dedup across bands
+    BEFORE the exact-cosine verify so each pair is scored once. Verified
+    pairs staged per dataset (``emb`` domain) like the minhash pair
+    list."""
     return staging.load_memoized(
         spark,
         sf_dir,
@@ -812,30 +890,46 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_dups_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bucketed = embed_bucket_table(spark, sf_dir)
-    a = bucketed.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
+    bands, _r = embed_bands_for(_embed_corpus_size(sf_dir))
+    bk = embed_bucket_table(spark, sf_dir)
+    a = bk.select(
+        "band", "bucket", F.col("vec_id").alias("vec_a")
     )
-    b = bucketed.select(
+    b = bk.select(
+        F.col("band").alias("band_b"),
         F.col("bucket").alias("bucket_b"),
         F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("norm").alias("norm_b"),
+    )
+    cand = a.join(
+        b,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("bucket") == F.col("bucket_b"))
+        & (F.col("vec_a") < F.col("vec_b")),
+    ).select("vec_a", "vec_b")
+    if bands > 1:
+        # a pair colliding in several bands must verify once, not B times
+        cand = cand.distinct()
+    v = embed_vector_table(spark, sf_dir)
+    pairs = cand.join(
+        v.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("emb_a"),
+            F.col("norm").alias("norm_a"),
+        ),
+        "vec_a",
+    ).join(
+        v.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("emb_b"),
+            F.col("norm").alias("norm_b"),
+        ),
+        "vec_b",
     )
     cos = F.round(
         _dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 4
     )
-    return (
-        a.join(
-            b,
-            (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= EMBED_COSINE_THRESHOLD)
+    return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= EMBED_COSINE_THRESHOLD
     )
 
 

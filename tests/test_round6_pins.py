@@ -372,6 +372,34 @@ def test_distributed_lut_is_bit_identical_to_driver_lut(spark, sf_dir):
         assert lut_d == lut_e
 
 
+def test_embed_band_sizing_holds_occupancy_and_oracle_contract():
+    """The sf10 scaling bench exposed the fixed-plane quadratic: 4 planes
+    = 16 buckets forever, so candidates grow n²/16. The band formula must
+    (a) reproduce the original single 4-plane table at the oracle scales
+    (sf0.001 n=200, sf0.01 n=500 — the static DuckDB literal's validity
+    contract) and (b) grow planes with log2(n) so bucket occupancy stays
+    bounded, with bands recovering design-point recall."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
+        EMBED_TARGET_OCC,
+        _EMBED_DESIGN_P,
+        embed_bands_for,
+    )
+
+    assert embed_bands_for(200) == (1, 4)
+    assert embed_bands_for(500) == (1, 4)
+    prev_r = 4
+    for n in (2_000, 20_000, 200_000, 2_000_000):
+        bands, r = embed_bands_for(n)
+        assert r >= prev_r
+        prev_r = r
+        # occupancy bound: buckets = 2^r, expected occupancy <= 2x target
+        assert n / (1 << r) <= 2 * EMBED_TARGET_OCC or r == 16
+        # recall floor: banded >= the original 4-plane single table
+        single4 = _EMBED_DESIGN_P**4
+        banded = 1 - (1 - _EMBED_DESIGN_P**r) ** bands
+        assert banded >= single4 - 1e-9, (n, bands, r)
+
+
 def test_ann_search_serves_arbitrary_query_relations(spark, sf_dir):
     """ann_search is the user-facing serving API: top-k for ANY
     (query_id, q_emb) relation on both compositions. A corpus vector
