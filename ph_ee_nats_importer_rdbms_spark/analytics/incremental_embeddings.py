@@ -43,10 +43,23 @@ from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
     _embed_bucket_col,
     _norm,
     connected_components,
+    embed_bands_for,
     hyperplanes,
 )
 
-BUCKETS_SCHEMA = "vec_id long, embedding array<float>, bucket long, norm double"
+#: round-6 layout: band keys are slim (vec_id, band, bucket) and the
+#: embedding payload lives ONCE per vector in a separate ``vectors``
+#: artifact — bands never duplicate embeddings. Pre-round-6 stores (a
+#: plain plane LIST in planes.json, single-band buckets carrying
+#: embedding+norm, no vectors artifact) stay readable and appendable:
+#: the read paths normalize both layouts to the same relations, and
+#: appends to a legacy store keep writing its layout so read_union
+#: schemas stay uniform across that store's batch dirs.
+BUCKETS_SCHEMA = "vec_id long, band int, bucket long"
+LEGACY_BUCKETS_SCHEMA = (
+    "vec_id long, embedding array<float>, bucket long, norm double"
+)
+VECTORS_SCHEMA = "vec_id long, embedding array<float>, norm double"
 PAIRS_SCHEMA = "vec_a long, vec_b long, cosine double"
 LABELS_SCHEMA = "node long, label long"
 _DELIVERED = "vec_id long"
@@ -56,12 +69,44 @@ def _planes_path(root: str) -> str:
     return os.path.join(root, "planes.json")
 
 
-def frozen_planes(root: str) -> list[list[float]]:
+def frozen_planes(root: str):
+    """The frozen band structure: a dict {bands, planes_per_band, planes}
+    for round-6 stores, a plain plane list for pre-round-6 stores (both
+    forms are accepted everywhere a structure is taken)."""
     with open(_planes_path(root)) as f:
         return json.load(f)
 
 
-def _bucketed(vectors: DataFrame, planes: list[list[float]]) -> DataFrame:
+def _structure_of(planes_or_structure) -> dict:
+    if isinstance(planes_or_structure, dict):
+        return planes_or_structure
+    return {
+        "bands": 1,
+        "planes_per_band": len(planes_or_structure),
+        "planes": planes_or_structure,
+    }
+
+
+def _is_legacy(root: str) -> bool:
+    return isinstance(frozen_planes(root), list)
+
+
+def _bucketed(vectors: DataFrame, structure) -> DataFrame:
+    """(vec_id, band, bucket) — banded sign-LSH keys (dedup.py shape)."""
+    s = _structure_of(structure)
+    b, r, planes = s["bands"], s["planes_per_band"], s["planes"]
+    per_band = F.array(
+        *[
+            _embed_bucket_col("embedding", planes[i * r : (i + 1) * r])
+            for i in range(b)
+        ]
+    )
+    return vectors.select(
+        "vec_id", F.posexplode(per_band).alias("band", "bucket")
+    )
+
+
+def _bucketed_legacy(vectors: DataFrame, planes: list) -> DataFrame:
     return vectors.select(
         "vec_id",
         "embedding",
@@ -70,36 +115,76 @@ def _bucketed(vectors: DataFrame, planes: list[list[float]]) -> DataFrame:
     )
 
 
-def _verified_pairs(new_b: DataFrame, all_b: DataFrame) -> DataFrame:
-    """Exact-cosine-verified near-dup pairs between the new batch and the
-    whole bucketed corpus (bucket-join candidates only; old↔old pairs
-    never regenerate because one side is always new)."""
-    a = new_b.select(
-        "bucket",
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
+def _vectors_of(vectors: DataFrame) -> DataFrame:
+    return vectors.select(
+        "vec_id", "embedding", _norm("embedding").alias("norm")
     )
-    b = all_b.select(
+
+
+def _store_buckets(spark: SparkSession, root: str) -> DataFrame:
+    """(vec_id, band, bucket) across committed batches, any layout."""
+    if _is_legacy(root):
+        return bs.read_union(
+            spark, root, "buckets", LEGACY_BUCKETS_SCHEMA
+        ).select("vec_id", F.lit(0).alias("band"), "bucket")
+    return bs.read_union(spark, root, "buckets", BUCKETS_SCHEMA)
+
+
+def _store_vectors(spark: SparkSession, root: str) -> DataFrame:
+    """(vec_id, embedding, norm) across committed batches, any layout."""
+    if _is_legacy(root):
+        return bs.read_union(
+            spark, root, "buckets", LEGACY_BUCKETS_SCHEMA
+        ).select("vec_id", "embedding", "norm")
+    return bs.read_union(spark, root, "vectors", VECTORS_SCHEMA)
+
+
+def _verified_pairs(
+    new_bk: DataFrame, all_bk: DataFrame, all_vec: DataFrame
+) -> DataFrame:
+    """Exact-cosine-verified near-dup pairs between the new batch and the
+    whole bucketed corpus: (band, bucket)-join candidates only (old↔old
+    pairs never regenerate because one side is always new), deduped
+    across bands BEFORE the verify so each pair scores once."""
+    a = new_bk.select(
+        "band", "bucket", F.col("vec_id").alias("id_a")
+    )
+    b = all_bk.select(
+        F.col("band").alias("band_b"),
         F.col("bucket").alias("bucket_b"),
         F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("norm").alias("norm_b"),
     )
-    cos = F.round(_dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 4)
-    return (
+    cand = (
         a.join(
             b,
-            (F.col("bucket") == F.col("bucket_b"))
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
             & (F.col("id_a") != F.col("id_b")),
         )
         .select(
             F.least("id_a", "id_b").alias("vec_a"),
             F.greatest("id_a", "id_b").alias("vec_b"),
-            cos.alias("cosine"),
         )
         .distinct()
-        .filter(F.col("cosine") >= EMBED_COSINE_THRESHOLD)
+    )
+    pairs = cand.join(
+        all_vec.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("emb_a"),
+            F.col("norm").alias("norm_a"),
+        ),
+        "vec_a",
+    ).join(
+        all_vec.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("emb_b"),
+            F.col("norm").alias("norm_b"),
+        ),
+        "vec_b",
+    )
+    cos = F.round(_dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 4)
+    return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= EMBED_COSINE_THRESHOLD
     )
 
 
@@ -114,21 +199,46 @@ def build_embedding_store(
     spark: SparkSession,
     vectors: DataFrame,
     root: str,
-    planes: list[list[float]] | None = None,
+    planes=None,
 ) -> None:
-    """Full build from a (vec_id, embedding) relation; freezes the
-    hyperplanes into the store (an append must never redraw them)."""
-    planes = planes or hyperplanes(EMBED_PLANES, EMBED_DIM)
+    """Full build from a (vec_id, embedding) relation; freezes the band
+    structure into the store (an append must never redraw it — same
+    contract as the PQ/IVF codebooks). ``planes`` accepts a structure
+    dict, a plain plane list (single band — the pre-round-6 shape), or
+    None, which sizes the structure from the corpus via
+    :func:`dedup.embed_bands_for` so the store's candidate volume stays
+    ~linear as corpora grow (the fixed-plane quadratic caught by the
+    sf10 scaling bench)."""
+    if planes is None:
+        bands, r = embed_bands_for(vectors.count())
+        structure = {
+            "bands": bands,
+            "planes_per_band": r,
+            "planes": hyperplanes(bands * r, EMBED_DIM),
+        }
+    else:
+        structure = _structure_of(planes)
     os.makedirs(root, exist_ok=True)
     with open(_planes_path(root), "w") as f:
-        json.dump(planes, f)
-    bucketed = _bucketed(vectors, planes).localCheckpoint(eager=True)
-    pairs = _verified_pairs(bucketed, bucketed).localCheckpoint(eager=True)
+        # a plain list round-trips as a plain list (legacy-layout build)
+        json.dump(planes if isinstance(planes, list) else structure, f)
+    if isinstance(planes, list):
+        bucketed = _bucketed_legacy(vectors, planes).localCheckpoint(
+            eager=True
+        )
+        slim = bucketed.select("vec_id", F.lit(0).alias("band"), "bucket")
+        vec = bucketed.select("vec_id", "embedding", "norm")
+        artifacts = {"buckets": bucketed}
+    else:
+        slim = _bucketed(vectors, structure).localCheckpoint(eager=True)
+        vec = _vectors_of(vectors).localCheckpoint(eager=True)
+        artifacts = {"buckets": slim, "vectors": vec}
+    pairs = _verified_pairs(slim, slim, vec).localCheckpoint(eager=True)
     bs.write_artifacts(
         root,
         bs.BASE_BATCH,
         {
-            "buckets": bucketed,
+            **artifacts,
             "pairs": pairs,
             "delivered": vectors.select("vec_id"),
             "labels": _labels_or_empty(
@@ -197,13 +307,24 @@ def append_embedding_batch(
             f"append_embedding_batch: vec_id {dup[0][0]} already in the "
             "store — deliveries must carry new vec_ids"
         )
-    new_b = _bucketed(new_vectors, frozen_planes(root)).localCheckpoint(
+    structure = frozen_planes(root)
+    if _is_legacy(root):
+        # keep a pre-round-6 store's layout uniform across its batch dirs
+        legacy_b = _bucketed_legacy(new_vectors, structure).localCheckpoint(
+            eager=True
+        )
+        new_bk = legacy_b.select("vec_id", F.lit(0).alias("band"), "bucket")
+        new_vec = legacy_b.select("vec_id", "embedding", "norm")
+        artifacts = {"buckets": legacy_b}
+    else:
+        new_bk = _bucketed(new_vectors, structure).localCheckpoint(eager=True)
+        new_vec = _vectors_of(new_vectors).localCheckpoint(eager=True)
+        artifacts = {"buckets": new_bk, "vectors": new_vec}
+    all_bk = _store_buckets(spark, root).unionByName(new_bk)
+    all_vec = _store_vectors(spark, root).unionByName(new_vec)
+    pairs_new = _verified_pairs(new_bk, all_bk, all_vec).localCheckpoint(
         eager=True
     )
-    all_b = bs.read_union(spark, root, "buckets", BUCKETS_SCHEMA).unionByName(
-        new_b
-    )
-    pairs_new = _verified_pairs(new_b, all_b).localCheckpoint(eager=True)
     old_label_edges = read_labels(spark, root).select(
         F.col("node").alias("doc_a"), F.col("label").alias("doc_b")
     )
@@ -219,7 +340,7 @@ def append_embedding_batch(
         root,
         batch,
         {
-            "buckets": new_b,
+            **artifacts,
             "pairs": pairs_new,
             "delivered": new_vectors.select("vec_id"),
             "labels": labels,

@@ -38,6 +38,41 @@ def _labels(spark, root) -> set:
     }
 
 
+def test_legacy_plane_list_store_reads_and_appends(spark, sf_dir, tmp_path):
+    """A pre-round-6 store (plain plane LIST in planes.json, single-band
+    buckets carrying embedding+norm, no vectors artifact) must stay
+    readable AND appendable by the banded code, producing the same pairs
+    and labels as a round-6 store frozen to the identical single-band
+    structure."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
+        EMBED_DIM,
+        EMBED_PLANES,
+        hyperplanes,
+    )
+
+    planes = hyperplanes(EMBED_PLANES, EMBED_DIM)
+    v = _vectors(spark, sf_dir)
+    first = v.filter(v.vec_id % 2 == 0)
+    second = v.filter(v.vec_id % 2 == 1)
+
+    legacy = str(tmp_path / "legacy")
+    ie.build_embedding_store(spark, first, legacy, planes=planes)  # list -> legacy layout
+    assert ie._is_legacy(legacy)
+    ie.append_embedding_batch(spark, second, legacy)
+
+    modern = str(tmp_path / "modern")
+    ie.build_embedding_store(
+        spark, first, modern,
+        planes={"bands": 1, "planes_per_band": EMBED_PLANES, "planes": planes},
+    )
+    assert not ie._is_legacy(modern)
+    ie.append_embedding_batch(spark, second, modern)
+
+    assert _pairs(spark, legacy) == _pairs(spark, modern)
+    assert _labels(spark, legacy) == _labels(spark, modern)
+    assert _pairs(spark, legacy), "corpus contains embedding near-dups"
+
+
 def test_store_build_matches_registry_queries(spark, sf_dir, tmp_path):
     from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
         q_embedding_dup_clusters,
