@@ -43,10 +43,22 @@ def main() -> int:
         spark.range(1).write.mode("overwrite").parquet(_p)
         spark.read.parquet(_p).count()
 
+    # At the 100x bench scale, 70 queries share one JVM heap: a query
+    # scheduled after a multi-GB aggregation pays its neighbor's GC wave
+    # (measured at sf10: 4 entries looked supralinear in sequence but
+    # were linear in isolation — BENCH_NOTES round 6). Opt-in GC barrier
+    # between queries attributes heap pressure to the query that caused
+    # it instead of whoever runs next.
+    gc_between = os.environ.get("SPARK_GRAFT_BENCH_GC", "0").strip() not in (
+        "0", "", "false", "no", "off",
+    )
+
     timings: dict[str, float] = {}
     for name, (fn, _) in QUERIES.items():
         if only and name not in only:
             continue
+        if gc_between:
+            spark._jvm.System.gc()  # noqa: SLF001
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
