@@ -179,6 +179,40 @@ def test_drift_detection_trips_on_distribution_shift(spark, sf_dir, tmp_path):
     assert all("drift" in m for m in iv.committed_batches(root))
 
 
+def test_drift_report_surfaces_pre_upgrade_batches_as_unknown(
+    spark, sf_dir, tmp_path
+):
+    """Batches committed by pre-drift code (no 'drift' in the manifest)
+    must surface as NULL-metric rows — unknown, not healthy and not
+    tripped — and must not poison the store-level needs_retrain answer."""
+    import json as _json
+    import os as _os
+
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    ivf_cb, pq_cb = _books(sf_dir)
+    root = str(tmp_path / "vx")
+    iv.build_vector_index(
+        spark, e.filter(F.col("vec_id") % 2 == 0), root, ivf_cb, pq_cb
+    )
+    iv.append_vectors(spark, e.filter(F.col("vec_id") % 2 == 1), root)
+    # strip the append's drift stats, simulating a pre-upgrade commit
+    mdir = _os.path.join(root, "_batches")
+    name = sorted(_os.listdir(mdir))[-1]
+    with open(_os.path.join(mdir, name)) as f:
+        m = _json.load(f)
+    m.pop("drift")
+    with open(_os.path.join(mdir, name), "w") as f:
+        _json.dump(m, f)
+
+    rows = {r["seq"]: r for r in iv.drift_report(spark, root).collect()}
+    assert rows[0]["needs_retrain"] is False
+    assert rows[1]["mean_qerr"] is None
+    assert rows[1]["needs_retrain"] is None
+    assert not iv.needs_retrain(spark, root)
+
+
 def test_streaming_deliveries_fold_into_index(spark, sf_dir, tmp_path):
     """Vector deliveries via Structured Streaming: files landing in a
     directory stream through the foreachBatch sink; the final index equals
