@@ -637,3 +637,79 @@ FROM folded, n
 
 
 UNIGRAM_LOGPROB_ORACLE = _unigram_logprob_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split (near-dup-cluster-aware train/test assignment)
+# ---------------------------------------------------------------------------
+
+#: distinct salt so cluster-keyed buckets are independent of the per-doc split.
+CLUSTER_SPLIT_SALT = "csplit:"
+
+_SPARK_CSALTED = f"concat('{CLUSTER_SPLIT_SALT}', CAST(split_key AS STRING))"
+_DUCK_CSALTED = f"'{CLUSTER_SPLIT_SALT}' || CAST(split_key AS VARCHAR)"
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid/test assignment where near-duplicate documents can never
+    straddle the split boundary.
+
+    ``q_train_test_split`` buckets each doc independently, so two near-dup
+    docs (same boilerplate, one edit apart) can land one in train and one in
+    test — silent benchmark leakage that per-doc decontamination then has to
+    detect after the fact. This operator closes the hole structurally: the
+    hash-bucket key is the document's MinHash-LSH duplicate-CLUSTER label
+    (``q_dup_clusters``: min doc id of the verified near-dup component),
+    falling back to the doc's own id for singletons. Every member of a
+    near-dup cluster shares one key, hence one bucket, hence one split —
+    the cluster moves atomically.
+
+    Scale shape: the cluster-label relation is dup-rate-sized (only docs in
+    a verified pair appear) and is already staged per corpus snapshot by
+    ``q_dup_clusters``; the assignment itself is one left join on doc_id
+    (AQE broadcasts it when the dup rate is low; at high dup rates a hash
+    join on the narrow (id, label) pair is the right plan) followed by
+    map-only bucketing — no new corpus-sized state, no window, no RNG.
+    """
+    from ph_ee_nats_importer_rdbms_spark.analytics.dedup import q_dup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    labels = q_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    bucket = F.expr(f"{spark_h32(_SPARK_CSALTED)} % 100")
+    return (
+        d.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .withColumn("split_key", F.coalesce("cluster_id", "doc_id"))
+        .select(
+            "doc_id",
+            "split_key",
+            F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+            .when(bucket < SPLIT_VALID_PCT, F.lit("valid"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+
+
+def _leakage_safe_split_oracle() -> str:
+    from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
+        DUP_CLUSTERS_ORACLE,
+    )
+
+    return f"""
+WITH clusters AS (
+{DUP_CLUSTERS_ORACLE}
+),
+keyed AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, split_key,
+       CASE WHEN {duck_h32(_DUCK_CSALTED)} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN {duck_h32(_DUCK_CSALTED)} % 100 < {SPLIT_VALID_PCT} THEN 'valid'
+            ELSE 'test' END AS split
+FROM keyed
+"""
+
+
+LEAKAGE_SAFE_SPLIT_ORACLE = _leakage_safe_split_oracle()

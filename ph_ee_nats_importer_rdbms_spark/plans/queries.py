@@ -1080,6 +1080,10 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # --- training-data pipeline (analytics/training.py) ---
     "train_test_split": (_tr.q_train_test_split, _tr.TRAIN_TEST_SPLIT_ORACLE),
+    "leakage_safe_split": (
+        _tr.q_leakage_safe_split,
+        _tr.LEAKAGE_SAFE_SPLIT_ORACLE,
+    ),
     "decontamination": (_tr.q_decontamination, _tr.DECONTAMINATION_ORACLE),
     "decontamination_capped": (
         _tr.q_decontamination_capped,
@@ -1127,8 +1131,10 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
 
 _DRIVER_FIRST: tuple[str, ...] = (
     # new in round 6: the salted-aggregation query (operators/skew.py
-    # wired to an oracle — VERDICT r5 task #8) has never had a driver row
+    # wired to an oracle — VERDICT r5 task #8) and the near-dup-cluster-aware
+    # split have never had a driver row
     "source_stats",
+    "leakage_safe_split",
     # Round-6 rotation (VERDICT r5 task #1): these 19 entries last had a
     # driver CORRECTNESS row in r03 — the r04/r05 head kept them past the
     # driver's 50-row cap for two consecutive rounds while similarity.py

@@ -314,6 +314,50 @@ def test_split_is_deterministic_partition_of_corpus(spark, sf_dir, n_docs):
     assert {r["doc_id"]: r["split"] for r in a.collect()} == b
 
 
+def test_leakage_safe_split_moves_dup_clusters_atomically(spark, sf_dir):
+    """The cluster-aware split's contract: (1) it is a total assignment
+    (every doc, exactly one label); (2) NO verified near-dup pair straddles
+    a split boundary — the structural leakage guarantee; (3) the guarantee
+    is not vacuous on this corpus: the plain per-doc split DOES place some
+    near-dup pairs across the boundary, so the cluster keying is what
+    closes them; (4) singletons (docs in no verified pair) keep a bucket
+    that is a pure function of their own id — adding/removing OTHER docs'
+    duplicates cannot move them."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import training
+
+    lss = {
+        r["doc_id"]: r["split"]
+        for r in training.q_leakage_safe_split(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(lss) == docs.count()
+    assert set(lss.values()) <= {"train", "valid", "test"}
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.q_minhash_dups(spark, sf_dir).collect()
+    ]
+    assert pairs, "corpus must contain verified near-dup pairs"
+    assert all(lss[a] == lss[b] for a, b in pairs)
+
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in training.q_train_test_split(spark, sf_dir).collect()
+    }
+    assert any(plain[a] != plain[b] for a, b in pairs), (
+        "per-doc split splits no cluster on this corpus - property vacuous"
+    )
+
+    clustered = {d for a, b in pairs for d in (a, b)}
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.q_dup_clusters(spark, sf_dir).collect()
+    }
+    for doc, split in lss.items():
+        if doc not in clustered:
+            assert doc not in labels or labels[doc] == doc
+
+
 def test_decontamination_pairs_cross_splits_and_meet_threshold(spark, sf_dir):
     from ph_ee_nats_importer_rdbms_spark.analytics import training
 
