@@ -32,13 +32,14 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ph_ee_nats_importer_rdbms_spark.analytics import batch_store as bs
 from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
     EMBED_COSINE_THRESHOLD,
     EMBED_DIM,
     EMBED_PLANES,
+    EMBED_TARGET_OCC,
     _dot,
     _embed_bucket_col,
     _norm,
@@ -188,6 +189,32 @@ def _verified_pairs(
     )
 
 
+def _structure_stats(structure, n_total: int, n_delivery: int) -> dict:
+    """Per-delivery band-structure drift statistic for the commit
+    manifest (config-sized — derived from counts and the frozen
+    structure, never a corpus rescan).
+
+    The frozen structure was sized by :func:`dedup.embed_bands_for` to
+    hold expected bucket occupancy at ``EMBED_TARGET_OCC`` for the BUILD
+    corpus. Under the store's uniform md5-derived bucket keys, expected
+    occupancy after a delivery is ``n_total / 2^planes_per_band`` — the
+    exact quantity the sizing formula controls, so its ratio to the
+    target is the candidate-load multiplier the frozen structure now
+    pays versus its design point (the fixed-plane quadratic the sf10
+    scaling bench caught, creeping back one delivery at a time)."""
+    s = _structure_of(structure)
+    r = s["planes_per_band"]
+    exp_occ = n_total / float(2**r)
+    return {
+        "n": int(n_delivery),
+        "n_total": int(n_total),
+        "expected_occupancy": exp_occ,
+        "occupancy_ratio": exp_occ / EMBED_TARGET_OCC,
+        "bands": int(s["bands"]),
+        "planes_per_band": int(r),
+    }
+
+
 def _labels_or_empty(spark: SparkSession, edges: DataFrame) -> DataFrame:
     e = edges.localCheckpoint(eager=True)
     if e.count() == 0:
@@ -248,7 +275,15 @@ def build_embedding_store(
             ),
         },
     )
-    bs.commit(root, {"seq": 0, "batch": bs.BASE_BATCH})
+    n = vec.count()
+    bs.commit(
+        root,
+        {
+            "seq": 0,
+            "batch": bs.BASE_BATCH,
+            "structure_drift": _structure_stats(structure, n, n),
+        },
+    )
 
 
 def read_pairs(spark: SparkSession, root: str) -> DataFrame:
@@ -346,9 +381,103 @@ def append_embedding_batch(
             "labels": labels,
         },
     )
-    n = new_vectors.count()
-    bs.commit(root, {"seq": len(committed), "batch": batch})
+    n = new_vec.count()
+    # prior corpus size from the committed delivered relation (a slim
+    # vec_id parquet — the count folds from footer metadata, no scan);
+    # counting it directly keeps totals correct on stores with
+    # pre-upgrade manifests that carry no running total.
+    n_prior = bs.read_union(spark, root, "delivered", _DELIVERED).count()
+    bs.commit(
+        root,
+        {
+            "seq": len(committed),
+            "batch": batch,
+            "structure_drift": _structure_stats(structure, n_prior + n, n),
+        },
+    )
     return {"new_vectors": n, "new_pairs": pairs_new.count()}
+
+
+#: A delivery whose expected bucket occupancy exceeds 4x the design
+#: target means the frozen bands now generate ~4x the candidate-verify
+#: load per vector that the structure was sized for — two corpus
+#: doublings past the freeze point. The flag additionally requires that
+#: a rebuild would actually change the structure (embed_bands_for at
+#: the current corpus size picks different bands/planes); a store whose
+#: planes_per_band sits at EMBED_MAX_PLANES cannot reduce occupancy by
+#: rebuilding, so flagging it would demand a rebuild that changes
+#: nothing.
+OCCUPANCY_RATIO_THRESHOLD = 4.0
+
+_STRUCTURE_DRIFT_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("batch", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("n_total", T.LongType()),
+        T.StructField("expected_occupancy", T.DoubleType()),
+        T.StructField("occupancy_ratio", T.DoubleType()),
+        T.StructField("structure_changed", T.BooleanType()),
+        T.StructField("needs_rebuild", T.BooleanType()),
+    ]
+)
+
+
+def structure_drift_report(
+    spark: SparkSession,
+    root: str,
+    occupancy_ratio_threshold: float = OCCUPANCY_RATIO_THRESHOLD,
+) -> DataFrame:
+    """Per-delivery band-structure drift relation, thresholded into a
+    ``needs_rebuild`` flag — one row per committed batch, computed
+    entirely from the commit manifests (config-sized; no data scan).
+    The vectors analog of the ANN store's codebook ``drift_report``
+    (incremental_vectors.py), for the OTHER frozen artifact: the sign-LSH
+    band structure, whose candidate load grows with the corpus while the
+    planes stay fixed.
+
+    ``structure_changed`` is whether :func:`dedup.embed_bands_for` at
+    that delivery's cumulative corpus size picks a different structure
+    than the frozen one — i.e. whether a rebuild would do anything;
+    ``needs_rebuild`` = occupancy past threshold AND a rebuild helps.
+    Deliveries committed by pre-upgrade code carry no stats and surface
+    as NULL metrics with a NULL flag (unknown, not healthy) — the same
+    contract as ``drift_report``."""
+    s = _structure_of(frozen_planes(root))
+    frozen = (s["bands"], s["planes_per_band"])
+    rows = []
+    for m in bs.committed_batches(root):
+        d = m.get("structure_drift")
+        if not d:
+            rows.append((m["seq"], m["batch"], None, None, None, None, None, None))
+            continue
+        changed = embed_bands_for(d["n_total"]) != frozen
+        ratio = d["occupancy_ratio"]
+        rows.append(
+            (
+                m["seq"],
+                m["batch"],
+                d["n"],
+                d["n_total"],
+                d["expected_occupancy"],
+                ratio,
+                changed,
+                bool(changed and ratio > occupancy_ratio_threshold),
+            )
+        )
+    return spark.createDataFrame(rows, _STRUCTURE_DRIFT_SCHEMA)
+
+
+def needs_rebuild(
+    spark: SparkSession,
+    root: str,
+    occupancy_ratio_threshold: float = OCCUPANCY_RATIO_THRESHOLD,
+) -> bool:
+    """True when ANY committed delivery trips the structure threshold —
+    occupancy only grows as deliveries accumulate, so the latest known
+    delivery dominates and an ANY fold equals the current state."""
+    report = structure_drift_report(spark, root, occupancy_ratio_threshold)
+    return bool(report.filter(F.col("needs_rebuild")).limit(1).collect())
 
 
 def streaming_append_sink(root: str):

@@ -178,3 +178,80 @@ def test_streaming_deliveries_fold_into_store(spark, sf_dir, tmp_path):
     ie.build_embedding_store(spark, v, full, planes=ie.frozen_planes(root))
     assert _pairs(spark, root) == _pairs(spark, full)
     assert _labels(spark, root) == _labels(spark, full)
+
+
+def _synth(spark, n, start=0):
+    """Deterministic pseudo-random 64-dim vectors: cosines concentrate
+    near 0, so the corpus contributes essentially no near-dup pairs and
+    the tests isolate the structure-drift bookkeeping."""
+    import random
+
+    rows = []
+    for i in range(start, start + n):
+        rng = random.Random(i)
+        rows.append((i, [rng.uniform(-1.0, 1.0) for _ in range(64)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_structure_drift_report_trips_on_corpus_growth(spark, tmp_path):
+    """The frozen-band analog of the ANN store's codebook drift test: a
+    store built (and auto-sized) for 256 vectors accumulates deliveries
+    to 3x that size; expected occupancy grows past the design point AND
+    embed_bands_for at the grown corpus picks a different structure, so
+    the report flags the store for rebuild — at a thresholded ratio, not
+    before, and never while a rebuild would change nothing."""
+    import pytest
+
+    root = str(tmp_path / "store")
+    ie.build_embedding_store(spark, _synth(spark, 256), root)
+    ie.append_embedding_batch(spark, _synth(spark, 256, 256), root)
+    ie.append_embedding_batch(spark, _synth(spark, 256, 512), root)
+
+    rows = (
+        ie.structure_drift_report(spark, root, occupancy_ratio_threshold=1.2)
+        .orderBy("seq")
+        .collect()
+    )
+    assert [r["n_total"] for r in rows] == [256, 512, 768]
+    assert [r["n"] for r in rows] == [256, 256, 256]
+    # frozen structure is (1 band, 4 planes) for n=256; embed_bands_for
+    # flips to 5 planes only past 512 vectors
+    assert [r["structure_changed"] for r in rows] == [False, False, True]
+    assert [r["needs_rebuild"] for r in rows] == [False, False, True]
+    assert rows[2]["occupancy_ratio"] == pytest.approx(768 / 16 / 32)
+
+    assert ie.needs_rebuild(spark, root, occupancy_ratio_threshold=1.2)
+    # default threshold (4x design occupancy) is two more doublings away
+    assert not ie.needs_rebuild(spark, root)
+
+
+def test_structure_drift_unknown_for_pre_upgrade_manifests(spark, tmp_path):
+    """Deliveries committed by pre-upgrade code carry no structure stats:
+    their report rows surface as NULL metrics with a NULL flag (unknown,
+    not healthy) and never trip needs_rebuild — the same contract pinned
+    for the ANN store's drift_report."""
+    import json
+    import os
+
+    from ph_ee_nats_importer_rdbms_spark.analytics import batch_store as bs
+
+    root = str(tmp_path / "store")
+    ie.build_embedding_store(spark, _synth(spark, 64), root)
+    ie.append_embedding_batch(spark, _synth(spark, 64, 64), root)
+
+    mdir = bs.manifest_dir(root)
+    first = sorted(n for n in os.listdir(mdir) if n.endswith(".json"))[0]
+    path = os.path.join(mdir, first)
+    with open(path) as f:
+        manifest = json.load(f)
+    del manifest["structure_drift"]
+    with open(path, "w") as f:
+        json.dump(manifest, f)
+
+    rows = ie.structure_drift_report(spark, root).orderBy("seq").collect()
+    assert rows[0]["n_total"] is None
+    assert rows[0]["occupancy_ratio"] is None
+    assert rows[0]["needs_rebuild"] is None
+    assert rows[1]["n_total"] == 128
+    assert rows[1]["needs_rebuild"] is False
+    assert not ie.needs_rebuild(spark, root)
