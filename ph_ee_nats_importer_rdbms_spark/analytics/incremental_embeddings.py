@@ -480,6 +480,25 @@ def needs_rebuild(
     return bool(report.filter(F.col("needs_rebuild")).limit(1).collect())
 
 
+def rebuild_store(
+    spark: SparkSession, old_root: str, new_root: str, planes=None
+) -> None:
+    """The action ``needs_rebuild`` calls for: a full rebuild of the
+    store over its own committed corpus into ``new_root``, re-sizing the
+    band structure for the corpus as it now is (``planes=None`` →
+    :func:`dedup.embed_bands_for` auto-sizing, like a fresh build).
+
+    Build-over-union is the only correct response to structure drift:
+    buckets from two plane draws are not comparable, so an in-place
+    restructure could not reuse any committed bucket artifact — the same
+    reason the ANN store retrains codebooks offline rather than patching
+    them. The old store stays intact until the caller swaps readers to
+    ``new_root`` (stores are directories; the swap is a pointer update,
+    never an in-place mutation)."""
+    vectors = _store_vectors(spark, old_root).select("vec_id", "embedding")
+    build_embedding_store(spark, vectors, new_root, planes=planes)
+
+
 def streaming_append_sink(root: str):
     """``foreachBatch`` sink — same exactly-once composition as the
     vector-index and curation sinks (content-digest batch ids +

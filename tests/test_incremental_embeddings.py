@@ -255,3 +255,29 @@ def test_structure_drift_unknown_for_pre_upgrade_manifests(spark, tmp_path):
     assert rows[1]["n_total"] == 128
     assert rows[1]["needs_rebuild"] is False
     assert not ie.needs_rebuild(spark, root)
+
+
+def test_rebuild_resolves_structure_drift(spark, tmp_path):
+    """rebuild_store is the action the flag calls for: rebuilding the
+    grown store re-sizes the band structure to the current corpus, the
+    drift ratio returns under threshold, and the corpus carries over
+    intact."""
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    ie.build_embedding_store(spark, _synth(spark, 256), old)
+    ie.append_embedding_batch(spark, _synth(spark, 512, 256), old)
+    assert ie.needs_rebuild(spark, old, occupancy_ratio_threshold=1.2)
+
+    ie.rebuild_store(spark, old, new)
+    assert not ie.needs_rebuild(spark, new, occupancy_ratio_threshold=1.2)
+    row = ie.structure_drift_report(spark, new).collect()[0]
+    assert row["n_total"] == 768
+    assert not row["structure_changed"]
+    s = ie._structure_of(ie.frozen_planes(new))
+    assert s["planes_per_band"] == 5  # re-sized for 768, was 4 for 256
+
+    old_ids = {r["vec_id"] for r in
+               ie._store_vectors(spark, old).select("vec_id").collect()}
+    new_ids = {r["vec_id"] for r in
+               ie._store_vectors(spark, new).select("vec_id").collect()}
+    assert new_ids == old_ids
