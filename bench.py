@@ -43,6 +43,17 @@ def main() -> int:
         spark.range(1).write.mode("overwrite").parquet(_p)
         spark.read.parquet(_p).count()
 
+    # Warm the Python/Arrow worker pool too: the first Arrow-exchange
+    # stage in a session pays python.daemon fork + Arrow serializer init
+    # (measured: the registry's first applyInPandas query swings 0.2s vs
+    # ~4s between runs depending on whether a prior session's pool is
+    # alive). One trivial mapInPandas puts that cost here, not on
+    # whichever query happens to hit Python first.
+    def _ident(it):
+        yield from it
+
+    spark.range(32).repartition(4).mapInPandas(_ident, "id long").count()
+
     # At the 100x bench scale, 70 queries share one JVM heap: a query
     # scheduled after a multi-GB aggregation pays its neighbor's GC wave
     # (measured at sf10: 4 entries looked supralinear in sequence but
