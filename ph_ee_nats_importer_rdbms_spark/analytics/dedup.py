@@ -22,6 +22,7 @@ scale-up because no stage is quadratic in corpus size, only in bucket size.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
@@ -784,7 +785,8 @@ def _cosine(a: str, b: str) -> Column:
 #: 200k vectors that is ~1.25e9 exact-cosine verifications for a linear-
 #: sized output. The scalable shape is the minhash family's: planes per
 #: band grow with log2(n) to hold bucket OCCUPANCY ~constant (candidate
-#: volume returns to ~linear), and extra bands recover the recall the
+#: volume returns to ~linear), and extra bands recover — at the stated
+#: recall-floor cosine, see EMBED_RECALL_FLOOR_COS — the recall the
 #: longer keys give up (a pair collides if ANY band agrees on all its
 #: planes). At the oracle scales (sf0.001/sf0.01: n <= 512) the formula
 #: yields the original single 4-plane table, so the static DuckDB oracle
@@ -792,19 +794,33 @@ def _cosine(a: str, b: str) -> Column:
 #: cost, the same per-corpus deployment model as the learned codebooks.
 EMBED_TARGET_OCC = 32
 EMBED_MAX_PLANES = 16
-#: 12 bands covers the recall floor up to the 16-plane key cap (at r=16
-#: the design point needs 9 bands to match the 4-plane table's recall)
-EMBED_MAX_BANDS = 12
-#: per-plane agreement probability at the design near-dup angle
-#: (cos >= 0.9 -> theta ~ 25.8deg -> p = 1 - theta/pi ~ 0.857); bands are
-#: sized so banded recall at the design point >= the 4-plane table's.
-_EMBED_DESIGN_P = 0.857
+#: 24 bands covers the recall floor up to the 16-plane key cap (at r=16
+#: the recall-floor cosine needs 20 bands to match the 4-plane table)
+EMBED_MAX_BANDS = 24
+#: the RECALL-FLOOR cosine: bands are sized so banded recall at this
+#: similarity >= the original 4-plane table's recall at the same
+#: similarity. The operator VERIFIES at EMBED_COSINE_THRESHOLD=0.40,
+#: but calibrating the floor there is not affordable (p(0.40)=0.631,
+#: so matching the 4-plane table at r=13 would take ~69 bands); 0.80 is
+#: the stated floor — near-dup pairs at cos >= 0.8 are found at least
+#: as often as the fixed table found them, and recall for moderate-
+#: similarity pairs (0.40..0.80) degrades with key length like every
+#: bounded-cost sign-LSH. test_embed_band_sizing_holds_occupancy_and_
+#: oracle_contract pins the analytic guarantee; band cost at the caps
+#: is 20 bands * occ 32 ~ 640 candidate comparisons per vector — linear.
+EMBED_RECALL_FLOOR_COS = 0.80
+#: per-plane agreement probability at the recall-floor cosine
+#: (cos >= 0.8 -> theta ~ 36.9deg -> p = 1 - theta/pi ~ 0.795)
+_EMBED_DESIGN_P = 1.0 - math.acos(EMBED_RECALL_FLOOR_COS) / math.pi
 
 
 def embed_bands_for(n_vectors: int) -> tuple[int, int]:
-    """(bands, planes_per_band) for a corpus of ``n_vectors``."""
-    import math
+    """(bands, planes_per_band) for a corpus of ``n_vectors``.
 
+    Bands are sized so that banded collision probability at the
+    recall-floor cosine (``EMBED_RECALL_FLOOR_COS``) is at least the
+    original 4-plane table's: 1-(1-p^r)^b >= p^4 with
+    p = 1 - acos(floor)/pi."""
     r = max(
         EMBED_PLANES,
         math.ceil(
@@ -822,9 +838,21 @@ def embed_bands_for(n_vectors: int) -> tuple[int, int]:
 
 def _embed_corpus_size(sf_dir: str) -> int:
     """Vector count from the parquet footer (zero jobs) — sizes the band
-    structure before any plan is built."""
+    structure before any plan is built. When the footer is unreadable
+    (non-local dir, renamed file) the sizing falls back to the single
+    4-plane band — correct but quadratic at scale, so it WARNS."""
     n = staging.parquet_row_count(os.path.join(sf_dir, "embeddings.parquet"))
-    return n if n is not None else EMBED_TARGET_OCC
+    if n is None:
+        import warnings
+
+        warnings.warn(
+            f"embeddings.parquet footer unreadable under {sf_dir}: "
+            "falling back to the single 4-plane LSH table (quadratic "
+            "candidate volume at scale)",
+            stacklevel=2,
+        )
+        return EMBED_TARGET_OCC
+    return n
 
 
 def embed_vector_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -890,8 +918,13 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_dups_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands, _r = embed_bands_for(_embed_corpus_size(sf_dir))
     bk = embed_bucket_table(spark, sf_dir)
+    # Band count from the STAGED relation itself, never recomputed from
+    # the corpus-size estimate: a staged multi-band table built in an
+    # earlier session must not meet a skipped .distinct() because the
+    # footer read failed this time (duplicate pair rows). max(band) over
+    # the staged narrow parquet is footer-stats cheap.
+    bands = (bk.agg(F.max("band")).first()[0] or 0) + 1
     a = bk.select(
         "band", "bucket", F.col("vec_id").alias("vec_a")
     )

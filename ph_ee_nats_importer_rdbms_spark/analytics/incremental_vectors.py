@@ -304,14 +304,21 @@ def drift_report(
     base = next((m.get("drift") for m in manifests if m.get("drift")), None)
     for m in manifests:
         d = m.get("drift")
-        if not d or base is None or not base.get("mean_qerr"):
+        if not d or base is None:
             rows.append((m["seq"], m["batch"], None, None, None, None, None))
             continue
-        ratio = (
-            d["mean_qerr"] / base["mean_qerr"]
-            if d.get("mean_qerr") is not None
-            else None
-        )
+        # mean_qerr == 0.0 is a LEGITIMATE reference (tiny corpora where
+        # codes reconstruct exactly), not a missing one — only a None
+        # reference disables the ratio, and a zero reference with a
+        # nonzero delivery is infinite drift, not no drift. The TVD
+        # signal never depends on qerr availability.
+        bq, dq = base.get("mean_qerr"), d.get("mean_qerr")
+        if bq is None or dq is None:
+            ratio = None
+        elif bq > 0:
+            ratio = dq / bq
+        else:
+            ratio = float("inf") if dq > 0 else 1.0
         tvd = _tvd(d.get("occupancy", {}), base.get("occupancy", {}))
         trip = (ratio is not None and ratio > qerr_ratio_threshold) or (
             tvd is not None and tvd > occupancy_tvd_threshold

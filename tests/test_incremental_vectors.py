@@ -254,3 +254,47 @@ def test_streaming_deliveries_fold_into_index(spark, sf_dir, tmp_path):
     out = iv.append_vectors(spark, replay_df, root, skip_committed=True)
     assert out == {"new_vectors": 0, "skipped": True}
     assert _codes(spark, root) == _codes(spark, full)
+
+
+def test_drift_report_zero_qerr_reference_is_not_missing(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r6: a base build whose mean_qerr is exactly 0.0 (tiny
+    corpora where codes reconstruct exactly) is a LEGITIMATE reference,
+    not a missing one — rows must not all null out, the occupancy-TVD
+    signal must survive, and a nonzero delivery against a zero reference
+    is infinite drift (trips), not undefined."""
+    import json as _json
+    import math as _math
+    import os as _os
+
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    ivf_cb, pq_cb = _books(sf_dir)
+    root = str(tmp_path / "vx")
+    iv.build_vector_index(
+        spark, e.filter(F.col("vec_id") % 2 == 0), root, ivf_cb, pq_cb
+    )
+    iv.append_vectors(spark, e.filter(F.col("vec_id") % 2 == 1), root)
+
+    # rewrite the BASE manifest's qerr to exactly 0.0 — the reconstructed-
+    # exactly case — leaving its occupancy histogram intact
+    mdir = _os.path.join(root, "_batches")
+    base_name = sorted(_os.listdir(mdir))[0]
+    with open(_os.path.join(mdir, base_name)) as f:
+        m = _json.load(f)
+    assert m["seq"] == 0
+    m["drift"]["mean_qerr"] = 0.0
+    with open(_os.path.join(mdir, base_name), "w") as f:
+        _json.dump(m, f)
+
+    rows = {r["seq"]: r for r in iv.drift_report(spark, root).collect()}
+    # base vs itself: 0/0 ratio reports 1.0, no trip
+    assert rows[0]["qerr_ratio"] == 1.0
+    assert rows[0]["needs_retrain"] is False
+    # nonzero delivery vs zero reference: infinite ratio, trips
+    assert _math.isinf(rows[1]["qerr_ratio"])
+    assert rows[1]["needs_retrain"] is True
+    # the TVD signal is computed regardless of the qerr pathologies
+    assert rows[1]["occupancy_tvd"] is not None

@@ -95,6 +95,13 @@ def main() -> int:
             existing = json.load(f)
         if existing.get("k") == args.k:
             codebooks.update(existing["codebooks"])
+        else:
+            print(
+                f"WARNING: existing artifact has k={existing.get('k')}, "
+                f"requested k={args.k}: shipped per-corpus books will be "
+                "dropped (full clobber)",
+                file=sys.stderr,
+            )
     dim = None
     for sf_dir in args.sf_dirs:
         base = os.path.basename(os.path.normpath(sf_dir))
@@ -104,7 +111,13 @@ def main() -> int:
         print(f"trained {base}: {args.k}x{dim}")
     if args.default_from in codebooks:
         codebooks["default"] = codebooks[args.default_from]
-    dim = dim or len(codebooks["default"][0])
+    if dim is None:
+        if "default" not in codebooks:
+            raise SystemExit(
+                "no corpus trained (empty --sf-dirs) and the existing "
+                "artifact carries no 'default' codebook — nothing to write"
+            )
+        dim = len(codebooks["default"][0])
     payload = {
         "k": args.k,
         "dim": dim,
