@@ -20,6 +20,7 @@ Store layout mirrors incremental_docs' manifest-transaction shape::
     pq_codes/<batch>/             (vec_id, codes, approx_norm2)
     ivf_assign/<batch>/           (vec_id, cluster_id)
     delivered/<batch>/            (vec_id)  re-delivery guard input
+    vectors/<batch>/              (vec_id, embedding)  retrain corpus
 
 Crash safety and the re-delivery guard follow incremental_docs exactly:
 per-batch writes are deterministic overwrites into batch-named dirs, a
@@ -62,6 +63,12 @@ _SCHEMAS = {
         ]
     ),
     "delivered": T.StructType([T.StructField("vec_id", T.LongType())]),
+    "vectors": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    ),
 }
 
 _BASE_BATCH = "base"
@@ -176,6 +183,15 @@ def _encode_and_write(
         ("pq_codes", codes.select("vec_id", "codes", "approx_norm2")),
         ("ivf_assign", assign),
         ("delivered", vectors.select("vec_id")),
+        # the store CARRIES its corpus (like the embedding store): raw
+        # vectors are what a retrain re-trains and re-encodes against —
+        # codes from the frozen books cannot be transcoded to new books
+        (
+            "vectors",
+            vecs.select(
+                "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+            ),
+        ),
     ):
         df.write.mode("overwrite").parquet(_batch_path(root, name, batch))
     agg = codes.agg(
@@ -268,6 +284,7 @@ _DRIFT_SCHEMA = T.StructType(
         T.StructField("mean_qerr", T.DoubleType()),
         T.StructField("qerr_ratio", T.DoubleType()),
         T.StructField("occupancy_tvd", T.DoubleType()),
+        T.StructField("tvd_noise_floor", T.DoubleType()),
         T.StructField("needs_retrain", T.BooleanType()),
     ]
 )
@@ -282,6 +299,21 @@ def _tvd(p: dict[str, int], q: dict[str, int]) -> float | None:
     return 0.5 * sum(
         abs(p.get(k, 0) / np_ - q.get(k, 0) / nq) for k in keys
     )
+
+
+def _tvd_noise_floor(n: int | None, k: int) -> float | None:
+    """Expected TVD of an n-sample empirical histogram against its own
+    k-category source distribution — the SAMPLING NOISE a small delivery
+    shows even with zero real drift (E|p̂-p| ~ sqrt(2p(1-p)/(pi n)) per
+    cell, ~ 0.5*sqrt(2k/(pi n)) summed at uniform p). A 30-vector
+    delivery over 16 lists measures ~0.29 TVD by chance alone, which
+    would false-trip the 0.25 threshold; the trip rule therefore
+    requires tvd > threshold + noise_floor(n)."""
+    import math
+
+    if not n:
+        return None
+    return 0.5 * math.sqrt(2.0 * k / (math.pi * n))
 
 
 def drift_report(
@@ -305,7 +337,9 @@ def drift_report(
     for m in manifests:
         d = m.get("drift")
         if not d or base is None:
-            rows.append((m["seq"], m["batch"], None, None, None, None, None))
+            rows.append(
+                (m["seq"], m["batch"], None, None, None, None, None, None)
+            )
             continue
         # mean_qerr == 0.0 is a LEGITIMATE reference (tiny corpora where
         # codes reconstruct exactly), not a missing one — only a None
@@ -320,11 +354,25 @@ def drift_report(
         else:
             ratio = float("inf") if dq > 0 else 1.0
         tvd = _tvd(d.get("occupancy", {}), base.get("occupancy", {}))
+        noise = _tvd_noise_floor(
+            d.get("n"), max(len(base.get("occupancy", {})), 1)
+        )
         trip = (ratio is not None and ratio > qerr_ratio_threshold) or (
-            tvd is not None and tvd > occupancy_tvd_threshold
+            tvd is not None
+            and noise is not None
+            and tvd > occupancy_tvd_threshold + noise
         )
         rows.append(
-            (m["seq"], m["batch"], d.get("n"), d.get("mean_qerr"), ratio, tvd, trip)
+            (
+                m["seq"],
+                m["batch"],
+                d.get("n"),
+                d.get("mean_qerr"),
+                ratio,
+                tvd,
+                noise,
+                trip,
+            )
         )
     return spark.createDataFrame(rows, _DRIFT_SCHEMA)
 
@@ -365,3 +413,167 @@ def streaming_append_sink(root: str):
             )
 
     return sink
+
+
+def store_vectors(spark: SparkSession, root: str) -> DataFrame:
+    """(vec_id, embedding) across committed batches — the corpus the
+    store carries for retraining. Raises ``ValueError`` on a store with
+    pre-upgrade batches (committed before the store carried vectors):
+    those cannot self-retrain; pass the corpus explicitly to
+    :func:`retrain_store`."""
+    missing = [
+        m["batch"]
+        for m in committed_batches(root)
+        if not os.path.isdir(_batch_path(root, "vectors", m["batch"]))
+    ]
+    if missing:
+        raise ValueError(
+            f"store at {root} carries no vectors for batches {missing} "
+            "(committed by pre-upgrade code) — pass retrain_store a "
+            "corpus relation instead"
+        )
+    return _read(spark, root, "vectors")
+
+
+#: PQ sub-codebook training is SAMPLE-based by contract (the FAISS
+#: train-then-add model: training wants a representative sample, typically
+#: 1e4-1e6 vectors, never the full corpus) — so the driver-side Lloyd
+#: kernel stays memory-bounded at any corpus size. IVF centroids train
+#: distributed (pyspark.ml KMeans), no bound needed.
+PQ_TRAIN_SAMPLE_MAX = 100_000
+
+
+def train_codebooks(
+    spark: SparkSession,
+    vectors: DataFrame,
+    k_ivf: int = 16,
+    m: int = 8,
+    k_pq: int = 16,
+    seeds=(7, 11, 13),
+    max_iter: int = 40,
+    sample_max: int = PQ_TRAIN_SAMPLE_MAX,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train fresh (IVF centroids, PQ sub-codebooks) over a
+    (vec_id, embedding) relation — the package-level twin of
+    tools/train_{ivf_centroids,pq_codebooks}.py, for stores that must
+    retrain from their own corpus rather than a shipped artifact.
+
+    IVF: distributed cosine k-means (``pyspark.ml.clustering.KMeans``),
+    best training cost over ``seeds`` — scales with the cluster. PQ: the
+    same per-subspace Lloyd fold the shipped-artifact tool uses, over a
+    seed-deterministic sample capped at ``sample_max`` rows (training on
+    a sample IS the PQ contract; the ENCODE of the full corpus stays
+    distributed in :func:`build_vector_index`)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = vectors.select(array_to_vector("embedding").alias("features"))
+    emb = emb.localCheckpoint(eager=True)  # several seeds off one scan
+    best_cost, best = float("inf"), None
+    for seed in seeds:
+        model = KMeans(
+            k=k_ivf, seed=seed, maxIter=max_iter, distanceMeasure="cosine"
+        ).fit(emb)
+        if model.summary.trainingCost < best_cost:
+            best_cost, best = model.summary.trainingCost, model
+    ivf_cb = [
+        [float(v) for v in np.asarray(c, dtype=np.float32)]
+        for c in best.clusterCenters()
+    ]
+
+    n = vectors.count()
+    sample = vectors.select("embedding")
+    if n > sample_max:
+        sample = sample.sample(fraction=min(1.0, sample_max / n), seed=seeds[0])
+    rows = sample.toPandas()["embedding"]
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in rows])
+    dim = x.shape[1]
+    dsub = dim // m
+    pq_cb = []
+    for mi in range(m):
+        sub = x[:, mi * dsub : (mi + 1) * dsub]
+        best_c, best_cost = None, float("inf")
+        for seed in seeds:
+            c, cost = _lloyd(sub, k_pq, max_iter, seed)
+            if cost < best_cost:
+                best_c, best_cost = c, cost
+        pq_cb.append(
+            [[float(v) for v in np.asarray(c, dtype=np.float32)] for c in best_c]
+        )
+    return ivf_cb, pq_cb
+
+
+def _lloyd(x, k: int, iters: int, seed: int):
+    """k-means++ init + Lloyd iterations on one PQ subspace (numpy,
+    sample-bounded input). Same kernel as tools/train_pq_codebooks.py."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cents = [x[rng.choice(len(x))]]
+    for _ in range(k - 1):
+        d2 = np.min(
+            ((x[:, None, :] - np.asarray(cents)[None, :, :]) ** 2).sum(-1),
+            axis=1,
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(x[rng.choice(len(x), p=probs)])
+    c = np.asarray(cents, dtype=np.float64)
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(axis=1)
+        new_c = np.vstack(
+            [
+                x[assign == j].mean(axis=0) if np.any(assign == j) else c[j]
+                for j in range(k)
+            ]
+        )
+        if np.allclose(new_c, c):
+            c = new_c
+            break
+        c = new_c
+    d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    return c, float(d2.min(axis=1).sum())
+
+
+def retrain_store(
+    spark: SparkSession,
+    old_root: str,
+    new_root: str,
+    corpus: DataFrame | None = None,
+    seeds=(7, 11, 13),
+    sample_max: int = PQ_TRAIN_SAMPLE_MAX,
+) -> None:
+    """The action ``needs_retrain`` calls for: regenerate the store over
+    its own committed corpus into ``new_root`` with FRESHLY TRAINED
+    codebooks/centroids sized like the frozen ones (same k, m) — the
+    remedy twin of ``incremental_embeddings.rebuild_store`` for the OTHER
+    frozen artifact, the quantizers.
+
+    Train-then-add makes in-place repair impossible: codes produced by
+    two training runs are not comparable, so no committed pq_codes /
+    ivf_assign artifact can be transcoded — the only correct response to
+    codebook drift is retrain + full re-encode, which is exactly a fresh
+    :func:`build_vector_index` over the union corpus. The new store's
+    base drift statistics are measured against the new books, so
+    ``needs_retrain(new_root)`` starts False and subsequent deliveries
+    are judged against the re-trained reference. The old store stays
+    intact until the caller swaps readers to ``new_root`` (a pointer
+    update, never an in-place mutation).
+
+    ``corpus``: override for pre-upgrade stores that don't carry their
+    vectors — any (vec_id, embedding) relation covering the store."""
+    vectors = (
+        corpus if corpus is not None else store_vectors(spark, old_root)
+    ).select("vec_id", "embedding").localCheckpoint(eager=False)
+    old = frozen_codebooks(old_root)
+    ivf_cb, pq_cb = train_codebooks(
+        spark,
+        vectors,
+        k_ivf=len(old["ivf"]),
+        m=len(old["pq"]),
+        k_pq=len(old["pq"][0]),
+        seeds=seeds,
+        sample_max=sample_max,
+    )
+    build_vector_index(spark, vectors, new_root, ivf_cb, pq_cb)

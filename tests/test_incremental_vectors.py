@@ -298,3 +298,89 @@ def test_drift_report_zero_qerr_reference_is_not_missing(
     assert rows[1]["needs_retrain"] is True
     # the TVD signal is computed regardless of the qerr pathologies
     assert rows[1]["occupancy_tvd"] is not None
+
+
+def test_retrain_resolves_codebook_drift(spark, sf_dir, tmp_path):
+    """retrain_store is the action needs_retrain calls for (the remedy
+    twin of incremental_embeddings.rebuild_store): retraining over the
+    store's own carried corpus produces a new store whose books fit the
+    corpus as it now is — the flag clears, the corpus carries over
+    intact, and the new codes equal a fresh encode against the new
+    books."""
+    import shutil
+
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    ivf_cb, pq_cb = _books(sf_dir)
+    root = str(tmp_path / "old")
+    iv.build_vector_index(
+        spark, e.filter(F.col("vec_id") < 200), root, ivf_cb, pq_cb
+    )
+    shifted = e.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> cast(x * 7.0 + 3.0 as float))"
+        ).alias("embedding"),
+    )
+    iv.append_vectors(spark, shifted, root)
+    assert iv.needs_retrain(spark, root)
+
+    new = str(tmp_path / "new")
+    iv.retrain_store(spark, root, new, seeds=(7,))
+    assert not iv.needs_retrain(spark, new)
+
+    old_ids = {r["vec_id"] for r in iv.store_vectors(spark, root).collect()}
+    new_ids = {r["vec_id"] for r in iv.store_vectors(spark, new).collect()}
+    assert new_ids == old_ids and len(new_ids) == 300
+
+    # new codes = fresh encode of the carried corpus with the NEW books
+    books = iv.frozen_codebooks(new)
+    assert books["ivf"] != ivf_cb  # actually retrained, not recopied
+    want = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode_of(
+            iv.store_vectors(spark, new), books["pq"]
+        ).collect()
+    }
+    got = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in iv.read_codes(spark, new).collect()
+    }
+    assert got == want
+
+    # pre-upgrade stores (no carried vectors) fail loud and retrain via
+    # an explicit corpus relation instead
+    shutil.rmtree(os.path.join(root, "vectors"))
+    with pytest.raises(ValueError, match="carries no vectors"):
+        iv.store_vectors(spark, root)
+    legacy_corpus = e.filter(F.col("vec_id") < 200).unionByName(shifted)
+    new2 = str(tmp_path / "new2")
+    iv.retrain_store(spark, root, new2, corpus=legacy_corpus, seeds=(7,))
+    assert not iv.needs_retrain(spark, new2)
+    assert {
+        r["vec_id"] for r in iv.store_vectors(spark, new2).collect()
+    } == old_ids
+
+
+def test_small_in_distribution_delivery_does_not_false_trip(
+    spark, sf_dir, tmp_path
+):
+    """A 30-vector in-distribution delivery over 16 lists measures ~0.29
+    occupancy TVD by sampling noise alone — the trip rule must charge the
+    threshold plus the noise floor, not false-flag every small healthy
+    delivery (found by driving the retrain lifecycle end-to-end)."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    ivf_cb, pq_cb = _books(sf_dir)
+    root = str(tmp_path / "vx")
+    iv.build_vector_index(
+        spark, e.filter(F.col("vec_id") >= 30), root, ivf_cb, pq_cb
+    )
+    iv.append_vectors(spark, e.filter(F.col("vec_id") < 30), root)
+    rows = iv.drift_report(spark, root).orderBy("seq").collect()
+    assert rows[-1]["n"] == 30
+    assert rows[-1]["tvd_noise_floor"] > 0.2
+    assert rows[-1]["needs_retrain"] is False
+    assert not iv.needs_retrain(spark, root)
