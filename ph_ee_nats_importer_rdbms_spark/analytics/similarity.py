@@ -684,7 +684,11 @@ def _pq_query_lut_distributed(sf_dir: str, queries: DataFrame) -> DataFrame:
 
 
 def _pq_query_lut(
-    sf_dir: str, queries: DataFrame, n_queries: int | None = None
+    sf_dir: str,
+    queries: DataFrame,
+    n_queries: int | None = None,
+    rows: list | None = None,
+    site: str = "auto",
 ) -> DataFrame:
     """The per-query ADC lookup table — the actual Jégou et al. search
     structure: ``lut[m][c] = <q_sub_m, centroid_{m,c}>`` plus the query
@@ -703,15 +707,24 @@ def _pq_query_lut(
     parse+codegen) — and both routes are bit-identical to the inline
     form: Python floats ARE IEEE doubles and the fold order (left fold
     over i within a subspace, float32 widened per element) matches the
-    SQL ``aggregate`` exactly."""
+    SQL ``aggregate`` exactly.
+
+    ``rows``: the already-collected query rows, when the caller peeked
+    them for routing (saves the second collect). ``site`` pins the
+    computation site ("driver"|"engine") instead of size-routing."""
     import math
 
-    if n_queries is None:
-        n_queries = queries.count()
-    if n_queries > PQ_LUT_DRIVER_MAX:
+    if site not in ("auto", "driver", "engine"):
+        raise ValueError(f"site must be auto|driver|engine, got {site!r}")
+    if site == "auto":
+        if n_queries is None:
+            n_queries = queries.count()
+        site = "driver" if n_queries <= PQ_LUT_DRIVER_MAX else "engine"
+    if site == "engine":
         return _pq_query_lut_distributed(sf_dir, queries)
     books = _pq_books(sf_dir)
-    rows = queries.collect()
+    if rows is None:
+        rows = queries.collect()
     q_cols = queries.columns
     out = []
     for r in rows:
@@ -764,6 +777,7 @@ def ann_search(
     n_queries: int | None = None,
     variant: str = "auto",
     exclude_self: bool = True,
+    lut: str = "auto",
 ) -> DataFrame:
     """Serve top-``k`` ANN for an ARBITRARY (query_id, q_emb) relation —
     the user-facing search API the fixed registry entries are instances
@@ -780,9 +794,21 @@ def ann_search(
     proportional to |Q| on the driver. ``exclude_self`` drops candidates
     whose vec_id equals the query_id (the queries-drawn-from-the-corpus
     convention every registry entry uses; turn it off when query ids are
-    not corpus ids)."""
+    not corpus ids). ``lut`` pins the ADC-LUT computation site
+    ("driver"|"engine", bit-identical twins) instead of size-routing it.
+
+    When ``n_queries`` is unknown the router peeks at most
+    ``PQ_LUT_DRIVER_MAX + 1`` rows — never a COUNT over the query
+    relation (VERDICT r6 #4): on the small path the peeked rows ARE the
+    rows the driver LUT folds (no second job), on the large path the
+    peek is bounded at 1025 rows regardless of |Q|."""
+    qrows = None
     if n_queries is None:
-        n_queries = queries.count()
+        head = queries.limit(PQ_LUT_DRIVER_MAX + 1).collect()
+        if len(head) <= PQ_LUT_DRIVER_MAX:
+            n_queries, qrows = len(head), head
+        else:
+            n_queries = PQ_LUT_DRIVER_MAX + 1  # only "large" is known
     small = n_queries <= PQ_LUT_DRIVER_MAX
     if variant == "auto":
         variant = "pq" if small else "ivf_pq"
@@ -791,13 +817,16 @@ def ann_search(
         "vec_id", "embedding"
     )
     if variant == "pq":
-        q = _pq_query_lut(sf_dir, queries, n_queries=n_queries)
+        q = _pq_query_lut(
+            sf_dir, queries, n_queries=n_queries, rows=qrows, site=lut
+        )
         cand = (F.broadcast(q) if small else q).crossJoin(codes_t)
     elif variant == "ivf_pq":
         probes = _pq_query_lut(
             sf_dir,
             probes_for(spark, sf_dir, queries, nprobe=IVF_PQ_NPROBE),
             n_queries=n_queries * IVF_PQ_NPROBE,
+            site=lut,
         )
         assign = ivf_assignments(spark, sf_dir)
         cand = (F.broadcast(probes) if small else probes).join(
@@ -878,6 +907,52 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _search_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-API registry entries' NON-corpus query relation:
+    foreign query ids (vec_id + 100000) and REVERSED embeddings —
+    deterministic and arithmetic-free, so the DuckDB oracle's
+    ``list_reverse`` reproduces the exact same float32 payload Spark's
+    ``reverse()`` feeds the engine (no rounding hazard to reconcile)."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    return e.filter(F.col("vec_id") < N_QUERIES).select(
+        (F.col("vec_id") + 100000).alias("query_id"),
+        F.reverse("embedding").alias("q_emb"),
+    )
+
+
+def q_ann_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`ann_search` as a user would call it: an arbitrary
+    (query_id, q_emb) relation whose ids are NOT corpus ids
+    (``exclude_self=False``), served on the full-ADC-scan route with the
+    DRIVER-side LUT (the config-sized-query-set shape). ``n_queries`` is
+    deliberately omitted — the entry also exercises the count-free
+    router peek."""
+    return ann_search(
+        spark,
+        sf_dir,
+        _search_queries(spark, sf_dir),
+        variant="pq",
+        exclude_self=False,
+    )
+
+
+def q_ann_search_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`ann_search` on the many-query serving route: IVF-pruned
+    candidates, ENGINE-side LUT (``lut="engine"`` pins the route the
+    size-router picks above ``PQ_LUT_DRIVER_MAX`` — bit-identical to the
+    driver fold, so the same oracle gates both), non-corpus query ids,
+    ``exclude_self=False``."""
+    return ann_search(
+        spark,
+        sf_dir,
+        _search_queries(spark, sf_dir),
+        n_queries=N_QUERIES,
+        variant="ivf_pq",
+        exclude_self=False,
+        lut="engine",
+    )
+
+
 def _pq_cb_duck(books) -> str:
     """The codebook as one nested DuckDB list literal. The explicit DOUBLE
     cast matters: bare decimal literals infer as DECIMAL, and float32
@@ -897,7 +972,24 @@ def _pq_cb_duck(books) -> str:
     )
 
 
-def _ann_pq_oracle() -> str:
+#: the default oracle query CTE: the first N_QUERIES corpus vectors
+_Q_CTE_CORPUS = f"""
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+"""
+
+#: the serving-API oracle query CTE: NON-corpus queries — foreign ids,
+#: reversed embeddings (deterministic, arithmetic-free, so Spark's
+#: reverse() and DuckDB's list_reverse() agree bit-for-bit)
+_Q_CTE_REVERSED = f"""
+  SELECT vec_id + 100000 AS query_id, list_reverse(embedding) AS q_emb
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+"""
+
+
+def _ann_pq_oracle(
+    q_cte: str = _Q_CTE_CORPUS, exclude_self: bool = True
+) -> str:
     # sf0.01 codebook literals: the driver's oracle gate runs at sf0.01
     cb = _pq_cb_duck(PQ_CODEBOOKS[ORACLE_SF_BASE])
     l2 = (
@@ -941,15 +1033,12 @@ assign AS (
 codes AS (
   SELECT vec_id, list(cid ORDER BY m) AS codes FROM assign GROUP BY vec_id
 ),
-q AS (
-  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-  WHERE vec_id < {N_QUERIES}
-),
+q AS ({q_cte}),
 scored AS (
   SELECT q.query_id, q.q_emb, c.vec_id,
          round({adot} / ({qn} * sqrt({anorm2})), 6) AS approx_cos
   FROM q CROSS JOIN codes c CROSS JOIN cbl l
-  WHERE q.query_id <> c.vec_id
+  {"WHERE q.query_id <> c.vec_id" if exclude_self else ""}
 ),
 cand AS (
   SELECT query_id, q_emb, vec_id FROM (
@@ -1035,7 +1124,9 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def _ann_ivf_pq_oracle() -> str:
+def _ann_ivf_pq_oracle(
+    q_cte: str = _Q_CTE_CORPUS, exclude_self: bool = True
+) -> str:
     """IVF-ADC mirror: the IVF oracle's centroid assignment/probes compose
     with the PQ oracle's code assignment and ADC scoring, then the refine
     pool re-ranks exactly — CTE-for-CTE the same dataflow as the Spark
@@ -1086,10 +1177,7 @@ ivf_assign AS (
     FROM embeddings e CROSS JOIN cent c
   ) WHERE rn = 1
 ),
-q AS (
-  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-  WHERE vec_id < {N_QUERIES}
-),
+q AS ({q_cte}),
 probes AS (
   SELECT query_id, q_emb, cid AS cluster_id FROM (
     SELECT q.query_id, q.q_emb, c.cid,
@@ -1116,7 +1204,7 @@ scored AS (
          round({adot} / ({qn} * sqrt({anorm2})), 6) AS approx_cos
   FROM probes p
   JOIN ivf_assign ia ON ia.cluster_id = p.cluster_id
-   AND p.query_id <> ia.vec_id
+   {"AND p.query_id <> ia.vec_id" if exclude_self else ""}
   JOIN codes c ON c.vec_id = ia.vec_id
   CROSS JOIN cbl l
 ),
@@ -1147,6 +1235,14 @@ ANN_IVF_ORACLE = _ann_ivf_oracle()
 ANN_PQ_ORACLE = _ann_pq_oracle()
 
 ANN_IVF_PQ_ORACLE = _ann_ivf_pq_oracle()
+
+ANN_SEARCH_PQ_ORACLE = _ann_pq_oracle(
+    q_cte=_Q_CTE_REVERSED, exclude_self=False
+)
+
+ANN_SEARCH_IVF_PQ_ORACLE = _ann_ivf_pq_oracle(
+    q_cte=_Q_CTE_REVERSED, exclude_self=False
+)
 
 
 def _ann_lsh_oracle() -> str:

@@ -1072,6 +1072,11 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "ann_ivf": (_sim.q_ann_ivf, _sim.ANN_IVF_ORACLE),
     "ann_pq": (_sim.q_ann_pq, _sim.ANN_PQ_ORACLE),
     "ann_ivf_pq": (_sim.q_ann_ivf_pq, _sim.ANN_IVF_PQ_ORACLE),
+    "ann_search_pq": (_sim.q_ann_search_pq, _sim.ANN_SEARCH_PQ_ORACLE),
+    "ann_search_ivf_pq": (
+        _sim.q_ann_search_ivf_pq,
+        _sim.ANN_SEARCH_IVF_PQ_ORACLE,
+    ),
     "ann_recall": (_sim.q_ann_recall, _sim.ANN_RECALL_ORACLE),
     "semantic_sample": (_sim.q_semantic_sample, _sim.SEMANTIC_SAMPLE_ORACLE),
     "embedding_outliers": (
