@@ -1122,52 +1122,68 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 # ---------------------------------------------------------------------------
-# Driver-snapshot ordering. The per-round correctness driver snapshots the
-# registry in insertion order with a cap (round 3: first 50 of 61 entries, so
-# the 11 newest operators shipped without a driver CORRECTNESS row). Entries
-# that have never had a driver row — the round-3 gap plus anything added this
-# round — are promoted to the FRONT of the registry; previously
-# driver-verified entries (green in CORRECTNESS_r01–r03) fill the remaining
-# slots in their original family order. The full registry is additionally
-# gated by tests/test_full_registry.py (every entry vs its DuckDB oracle at
-# sf0.001 on every pytest run), so entries past any driver cap cannot regress
-# silently.
+# Driver-snapshot ROTATION (the standing policy, VERDICT r6 task #2). The
+# per-round correctness driver snapshots the registry in insertion order
+# with a cap (observed: 50 rows), so with 70+ entries some ship each round
+# without a fresh driver CORRECTNESS row. Rounds 3-6 hand-curated a
+# promotion list; the policy is now COMPUTED: order the registry by
+# STALENESS — entries that have never had a driver row first, then
+# ascending round-of-last-driver-row, ties in family (definition) order.
+# With cap C >= half the registry, every entry gets a driver row at least
+# every 2 rounds (the ones a round misses are the freshest — next round
+# they are the stalest and lead the snapshot).
+# _DRIVER_ROW_LAST_ROUND is the one static input: entry -> latest round
+# whose CORRECTNESS_r{N}.json carries it (absent = never). It is data, not
+# code — tests/test_full_registry.py re-derives it from the repo's actual
+# CORRECTNESS artifacts and fails if this table drifts from reality or if
+# any entry would go more than 2 rounds capless under the current cap.
+# The full registry is additionally gated by tests/test_full_registry.py
+# (every entry vs its DuckDB oracle at sf0.001 on every pytest run), so
+# entries past the driver cap cannot regress silently either way.
 # ---------------------------------------------------------------------------
 
-_DRIVER_FIRST: tuple[str, ...] = (
-    # new in round 6: the salted-aggregation query (operators/skew.py
-    # wired to an oracle — VERDICT r5 task #8) and the near-dup-cluster-aware
-    # split have never had a driver row
-    "source_stats",
-    "leakage_safe_split",
-    # Round-6 rotation (VERDICT r5 task #1): these 19 entries last had a
-    # driver CORRECTNESS row in r03 — the r04/r05 head kept them past the
-    # driver's 50-row cap for two consecutive rounds while similarity.py
-    # and dedup.py changed underneath them. Promote all 19; every entry
-    # this pushes past the cap has >=2 cumulative green driver rows
-    # (r01-r05), so nothing loses its only driver signal.
-    "doc_fingerprints",
-    "doc_repetition",
-    "dup_ngram_frac",
-    "minhash_signatures",
-    "minhash_dups",
-    "dup_clusters",
-    "simhash",
-    "simhash_dups",
-    "ngram_jaccard",
-    "embedding_dups",
-    "embedding_dup_clusters",
-    "ann_bruteforce",
-    "ann_lsh",
-    "ann_lsh_multi",
-    "ann_ivf",
-    "semantic_sample",
-    "train_test_split",
-    "decontamination",
-    "length_percentiles",
-)
+DRIVER_ROW_CAP = 50
+
+_DRIVER_ROW_LAST_ROUND: dict[str, int] = {
+    # past the r06 cap — last driver row r05 (promote for r07)
+    "ann_ivf_pq": 5, "ann_recall": 5, "embedding_outliers": 5,
+    "decontamination_capped": 5, "length_percentiles_approx": 5,
+    "balanced_sample": 5, "pack_sequences": 5, "mixture_sample": 5,
+    "importance_sample": 5, "unigram_logprob": 5, "corpus_diff": 5,
+    "chunk_documents": 5, "events_anomaly": 5, "pii_redact": 5,
+    "pii_redact_docs": 5, "curation": 5, "corpus_report": 5,
+    "dedup_spans": 5, "vocabulary": 5, "media_features": 5,
+    "media_summary": 5,
+    # r06 snapshot (50 rows)
+    "zeebe_transfers": 6, "zeebe_transaction_requests": 6,
+    "zeebe_batches": 6, "zeebe_variables": 6, "zeebe_tasks": 6,
+    "zeebe_routing": 6, "transfers_range_filter": 6,
+    "transfer_detail_join": 6, "transfer_detail_rows": 6,
+    "instance_lookup": 6, "businesskey_lookup": 6, "tenant_lookup": 6,
+    "pricing_summary": 6, "revenue_by_nation": 6, "top_parts": 6,
+    "order_priority_late": 6, "customers_without_orders": 6,
+    "revenue_rollup": 6, "purchase_attribution": 6, "events_daily": 6,
+    "rolling_spend": 6, "user_sessions": 6, "conversion_funnel": 6,
+    "doc_stats": 6, "doc_exact_dedup": 6, "token_counts": 6, "lang_id": 6,
+    "doc_quality": 6, "doc_fingerprints": 6, "doc_repetition": 6,
+    "dup_ngram_frac": 6, "minhash_signatures": 6, "minhash_dups": 6,
+    "dup_clusters": 6, "simhash": 6, "simhash_dups": 6, "ngram_jaccard": 6,
+    "embedding_dups": 6, "embedding_dup_clusters": 6, "ann_bruteforce": 6,
+    "ann_lsh": 6, "ann_lsh_multi": 6, "ann_ivf": 6, "ann_pq": 6,
+    "semantic_sample": 6, "train_test_split": 6, "leakage_safe_split": 6,
+    "decontamination": 6, "length_percentiles": 6, "source_stats": 6,
+    # absent entries (round-7 additions) sort first: never had a row
+}
+
+_FAMILY_ORDER = {n: i for i, n in enumerate(_QUERY_DEFS)}
 
 QUERIES: dict[str, tuple[QueryFn, str | None]] = {
-    **{n: _QUERY_DEFS[n] for n in _DRIVER_FIRST},
-    **{n: d for n, d in _QUERY_DEFS.items() if n not in _DRIVER_FIRST},
+    n: _QUERY_DEFS[n]
+    for n in sorted(
+        _QUERY_DEFS,
+        key=lambda n: (
+            _DRIVER_ROW_LAST_ROUND.get(n, -1),
+            _FAMILY_ORDER[n],
+        ),
+    )
 }

@@ -53,24 +53,67 @@ def test_registry_entry_matches_oracle(spark, oracle_sf_dir, oracle_con, name):
     assert ok, f"{name}: {msg}"
 
 
-def test_driver_first_entries_lead_the_registry():
-    """The driver checks the registry in insertion order up to a cap
-    (50 rows); the entries with the stalest driver signal must come
-    first. Round 6 rotation: the 19 entries whose last driver row was
-    r03 lead; everything this pushes past the cap has >=2 cumulative
-    green driver rows across r01-r05."""
-    from ph_ee_nats_importer_rdbms_spark.plans.queries import _DRIVER_FIRST
+def _actual_last_driver_round() -> dict[str, int]:
+    """Entry -> latest round whose CORRECTNESS_r{N}.json carries it,
+    re-derived from the repo's actual artifacts."""
+    import glob
+    import json
+    import re
 
-    head = list(QUERIES)[: len(_DRIVER_FIRST)]
-    assert head == list(_DRIVER_FIRST)
-    # The rotation's whole point: the r03-stale 19 are inside the cap.
-    stale_r03 = {
-        "doc_fingerprints", "doc_repetition", "dup_ngram_frac",
-        "minhash_signatures", "minhash_dups", "dup_clusters",
-        "simhash", "simhash_dups", "ngram_jaccard",
-        "embedding_dups", "embedding_dup_clusters",
-        "ann_bruteforce", "ann_lsh", "ann_lsh_multi", "ann_ivf",
-        "semantic_sample", "train_test_split", "decontamination",
-        "length_percentiles",
-    }
-    assert stale_r03 <= set(list(QUERIES)[:50])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        with open(p) as f:
+            for k in json.load(f):
+                last[k] = rnd
+    return last
+
+
+def test_driver_row_rotation_policy():
+    """The STANDING rotation policy (VERDICT r6 task #2): the registry
+    orders itself by driver-row staleness — never-rowed entries first,
+    then ascending last-driver-round — so under the driver's 50-row cap
+    no oracle entry goes more than 2 rounds without a fresh driver
+    CORRECTNESS row. Three gates:
+    (a) the static staleness table matches the repo's actual
+        CORRECTNESS_r*.json artifacts (the table is data; reality wins),
+    (b) the registry iteration order is monotone in staleness,
+    (c) every entry at least 1 round stale sits inside the cap — so
+        after the NEXT driver snapshot, no gap exceeds 2 rounds."""
+    from ph_ee_nats_importer_rdbms_spark.plans.queries import (
+        DRIVER_ROW_CAP,
+        _DRIVER_ROW_LAST_ROUND,
+    )
+
+    actual = _actual_last_driver_round()
+    max_round = max(actual.values())
+
+    # (a) table == artifacts, both directions, restricted to the registry
+    for name in QUERIES:
+        assert _DRIVER_ROW_LAST_ROUND.get(name) == actual.get(name), (
+            f"{name}: static table says {_DRIVER_ROW_LAST_ROUND.get(name)}, "
+            f"CORRECTNESS artifacts say {actual.get(name)} — regenerate "
+            "_DRIVER_ROW_LAST_ROUND for this round"
+        )
+
+    # (b) monotone staleness order
+    rounds = [_DRIVER_ROW_LAST_ROUND.get(n, -1) for n in QUERIES]
+    assert rounds == sorted(rounds)
+
+    # (c) everything stale is inside the cap (cap covers > half the
+    # registry, so rotation bounds any entry's gap at 2 rounds)
+    head = set(list(QUERIES)[:DRIVER_ROW_CAP])
+    assert DRIVER_ROW_CAP * 2 >= len(QUERIES), (
+        "registry outgrew 2*cap: rotation can no longer bound the gap at "
+        "2 rounds — split the registry or raise the cap"
+    )
+    stale = [
+        n
+        for n in QUERIES
+        if _DRIVER_ROW_LAST_ROUND.get(n, -1) < max_round
+    ]
+    missing = [n for n in stale if n not in head]
+    assert not missing, (
+        f"stale entries outside the {DRIVER_ROW_CAP}-row cap: {missing}"
+    )
