@@ -1,11 +1,22 @@
 """Benchmark harness: runs every registry query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
-"sf"}.
+"queries_cold": {name: sec}, "value_cold", "sf"}.
 
 Each query is timed to full materialization (count of the result), which
 executes the whole plan without driver-side row transfer.
-"""
+
+COLD/WARM CONTRACT (VERDICT r6 task #5): every query runs TWICE.
+The first run ("queries_cold") absorbs whatever first-touch staging its
+family needs — staged artifacts build on first use, so WHICH query pays
+that cost depends on registry order, and registry order rotates every
+round with the correctness driver's snapshot cap. The second run
+("queries", the headline "value") reads everything staged and is the
+ROUND-COMPARABLE number: a rotation that moves a family's head entry can
+shift cold numbers by seconds while warm numbers stay put (round 5's
+embedding_outliers read 7.25s cold-as-head vs 0.95s warm — same code).
+Regressions should be judged warm-vs-warm; cold-vs-warm gaps locate
+staging cost."""
 
 from __future__ import annotations
 
@@ -65,16 +76,21 @@ def main() -> int:
     )
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, (fn, _) in QUERIES.items():
         if only and name not in only:
             continue
-        if gc_between:
-            spark._jvm.System.gc()  # noqa: SLF001
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        for run, book in (("cold", cold), ("warm", timings)):
+            if gc_between:
+                spark._jvm.System.gc()  # noqa: SLF001
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            book[name] = round(time.perf_counter() - t0, 3)
+            print(
+                f"# {name} [{run}]: {book[name]:.3f}s ({n} rows)",
+                file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -84,6 +100,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_cold": round(sum(cold.values()), 3),
+                "queries_cold": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
