@@ -10,9 +10,16 @@ cleaning/dedup (complementing analytics/dedup.py and analytics/text.py):
 * Decontamination       — find test-split documents sharing enough word
   shingles with any train-split document (benchmark-leakage check). Same
   inverted-index shape as the n-gram Jaccard join: explode shingles, join
-  test→train ON shingle, count per pair — never a doc×doc product; the
-  shuffle key is the shingle, so skew is bounded by stop-shingle frequency
-  (a production run would drop top-frequency shingles first).
+  test→train ON shingle, count per pair — never a doc×doc product.
+  PRODUCTION DEFAULT: the CAPPED variant (``q_decontamination_capped``,
+  registry ``decontamination_capped``) — it drops shingles above the
+  ``DECON_MAX_DF`` document frequency before the pair join, bounding
+  every shuffle key's work at DF² (the GPT-3-style common-n-gram drop;
+  stop-shingle matches are noise, not leakage signal). The uncapped
+  entry (``decontamination``) is the ORACLE-FAITHFUL twin: its skew is
+  bounded only by the corpus's natural stop-shingle frequency
+  (data-dependent — 31s at sf10), so run it for exact-semantics
+  verification, not at scale.
 * Length percentiles    — exact interpolated quantiles of doc length per
   language (the stats that drive truncation/packing decisions). Built-in
   ``percentile`` = one pass, map-side partial aggregation.

@@ -1089,6 +1089,8 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
         _tr.q_leakage_safe_split,
         _tr.LEAKAGE_SAFE_SPLIT_ORACLE,
     ),
+    # oracle-faithful twin; _capped below is the production default (skew
+    # bounded at DECON_MAX_DF² per shuffle key — see training.py docstring)
     "decontamination": (_tr.q_decontamination, _tr.DECONTAMINATION_ORACLE),
     "decontamination_capped": (
         _tr.q_decontamination_capped,
