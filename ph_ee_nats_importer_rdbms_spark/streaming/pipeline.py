@@ -349,6 +349,7 @@ def run_multi_hop(
     state_store: str | None = None,
     events: DataFrame | None = None,
     state_ttl_minutes: float | None = None,
+    engine: str = "applyinpandas",
 ) -> dict[str, str]:
     """Run the 3-hop pipeline over ``source_dir``; returns output paths.
 
@@ -364,7 +365,36 @@ def run_multi_hop(
     ``source_dir`` is ignored. ``state_ttl_minutes`` applies the documented
     eviction improvement to all three stateful hops (see each stage's
     docstring); None = reference parity (unbounded state).
-    """
+
+    ``engine`` selects the stateful-stage implementation:
+    ``"applyinpandas"`` (default — one serialized state blob per key) or
+    ``"tws"`` (transformWithStateInPandas — typed ValueState/MapState/
+    ListState per key, streaming/tws.py; parity pinned per stage by
+    tests/test_tws_resolve.py). TWS needs multiple column families, which
+    only the RocksDB provider supports, so ``state_store=None`` is
+    promoted to ``"rocksdb"`` there; the TTL improvement is not
+    implemented on the TWS stages (pass ``state_ttl_minutes=None``)."""
+    if engine not in ("applyinpandas", "tws"):
+        raise ValueError(
+            f"engine must be applyinpandas|tws, got {engine!r}"
+        )
+    if engine == "tws":
+        if state_ttl_minutes is not None:
+            raise ValueError(
+                "state_ttl_minutes is not implemented on the tws engine "
+                "(timers are an applyInPandasWithState feature here)"
+            )
+        if state_store is None:
+            state_store = "rocksdb"
+        from ph_ee_nats_importer_rdbms_spark.streaming import tws as _tws
+
+        resolve_fn = lambda df, _ttl: _tws.resolve_stage_tws(  # noqa: E731
+            df, output_schema=FLAT_SCHEMA
+        )
+        rekey_fn = lambda df, _ttl: _tws.rekey_stage_tws(df)  # noqa: E731
+        entity_fn = lambda df, _ttl: _tws.entity_stage_tws(df)  # noqa: E731
+    else:
+        resolve_fn, rekey_fn, entity_fn = resolve_stage, rekey_stage, entity_stage
     if state_store is not None:
         configure_state_store(spark, state_store)
     paths = {
@@ -387,12 +417,12 @@ def run_multi_hop(
         if events is not None
         else read_raw_stream(spark, source_dir, max_files_per_trigger)
     )
-    q1 = start(resolve_stage(source, state_ttl_minutes), "resolved")
+    q1 = start(resolve_fn(source, state_ttl_minutes), "resolved")
     q1.awaitTermination()
 
     resolved = spark.readStream.schema(FLAT_SCHEMA).parquet(paths["resolved"])
     q2 = start(
-        rekey_stage(
+        rekey_fn(
             with_routing(resolved, registry, resolve_definitions=False),
             state_ttl_minutes,
         ),
@@ -401,7 +431,7 @@ def run_multi_hop(
     q2.awaitTermination()
 
     rekeyed = spark.readStream.schema(REKEYED_SCHEMA).parquet(paths["rekeyed"])
-    q3 = start(entity_stage(rekeyed, state_ttl_minutes), "changes")
+    q3 = start(entity_fn(rekeyed, state_ttl_minutes), "changes")
     q3.awaitTermination()
     return paths
 
@@ -454,6 +484,7 @@ def run_deployment(
     state_store: str | None = None,
     distributed: bool = True,
     dialect: str = "mysql",
+    engine: str = "applyinpandas",
 ) -> dict[str, str]:
     """The full deployed topology in one call — what a user of the
     reference runs instead of the Spring Boot importer:
@@ -470,9 +501,11 @@ def run_deployment(
     changes_foreach_batch): the default is the DISTRIBUTED writer — rows
     never traverse the driver — which requires a picklable executor;
     pass ``distributed=False`` for the driver-collect topology (small
-    deployments, py4j ``jvm_executor``). Every hop and the sink query
-    are independently checkpointed under ``work_dir`` — restart resumes
-    with exactly-once delivery into the idempotent MERGE."""
+    deployments, py4j ``jvm_executor``). ``engine="tws"`` runs the three
+    stateful hops on transformWithStateInPandas (see run_multi_hop).
+    Every hop and the sink query are independently checkpointed under
+    ``work_dir`` — restart resumes with exactly-once delivery into the
+    idempotent MERGE."""
     from ph_ee_nats_importer_rdbms_spark.sinks.jdbc import changes_foreach_batch
 
     if source_dir is None and nats_options is None:
@@ -494,6 +527,7 @@ def run_deployment(
         max_files_per_trigger=max_files_per_trigger,
         state_store=state_store,
         events=events,
+        engine=engine,
     )
 
     changes = spark.readStream.schema(CHANGES_SCHEMA).parquet(paths["changes"])

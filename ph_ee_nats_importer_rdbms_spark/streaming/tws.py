@@ -1,10 +1,14 @@
-"""transformWithStateInPandas variant of the C5 resolve stage.
+"""transformWithStateInPandas variants of ALL THREE stateful hops
+(C5 resolve, C4 rekey, C1-C3/C6/D1-D4 entity fold) — a complete
+alternative engine for the multi-hop pipeline, selected with
+``run_multi_hop(..., engine="tws")`` / ``run_deployment(...,
+engine="tws")``.
 
-The multi-hop pipeline's stages run on ``applyInPandasWithState`` (one
-serialized state blob per key). This module implements the same C5
-semantics (TempDocumentStore.java:16-42 buffering, NatsConsumer.java:60-70
-replay) on the newer ``transformWithStateInPandas`` API, which models the
-state the way the reference actually holds it:
+The default stages run on ``applyInPandasWithState`` (one serialized
+state blob per key). This module implements the same semantics (e.g. C5:
+TempDocumentStore.java:16-42 buffering, NatsConsumer.java:60-70 replay)
+on the newer ``transformWithStateInPandas`` API, which models the state
+the way the reference actually holds it:
 
 - a ``ValueState`` for the learned definition->bpmnProcessId mapping
   (TempDocumentStore.java:17 ``workflowKeyBpmnProcessIdMap`` entry), and
@@ -116,6 +120,84 @@ def resolve_stage_tws(
     )
 
 
+def _clean_events(rows: Iterator[pd.DataFrame]) -> list[dict]:
+    """Arrow batches -> plain-python event dicts in (timestamp, position)
+    arrival order (NaN -> None, numpy scalars unboxed) — the shape the
+    pure reducers in streaming/state.py take."""
+    events: list[dict] = []
+    for pdf in rows:
+        for rec in pdf.to_dict("records"):
+            events.append(
+                {
+                    k: (
+                        None
+                        if v is None or (isinstance(v, float) and pd.isna(v))
+                        else (v.item() if hasattr(v, "item") else v)
+                    )
+                    for k, v in rec.items()
+                }
+            )
+    events.sort(key=lambda e: (e["timestamp"], e["position"]))
+    return events
+
+
+# ---------------------------------------------------------------------------
+# C4 call-activity re-key on transformWithStateInPandas
+# ---------------------------------------------------------------------------
+
+
+class RekeyProcessor(StatefulProcessor):
+    """Per-instance call-activity link (C4) on a single typed ValueState —
+    the reference's inflightCallActivities map entry
+    (RecordParser.java:75). A thin adapter around the SAME pure reducer
+    the applyInPandasWithState stage uses (streaming/state.rekey_step),
+    so the two implementations cannot drift; only the state plumbing
+    differs."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._parent = handle.getValueState("parent", "parent_key long")
+
+    def handleInputRows(
+        self, key, rows, timerValues
+    ) -> Iterator[pd.DataFrame]:
+        from ph_ee_nats_importer_rdbms_spark.streaming import state as sm
+        from ph_ee_nats_importer_rdbms_spark.streaming.pipeline import (
+            REKEYED_SCHEMA,
+        )
+
+        st = sm.RekeyState(
+            parent_key=self._parent.get()[0] if self._parent.exists() else None
+        )
+        st, out = sm.rekey_step(st, _clean_events(rows))
+        if st.parent_key is None:
+            self._parent.clear()
+        else:
+            self._parent.update((st.parent_key,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in REKEYED_SCHEMA.fields]
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def rekey_stage_tws(routed: DataFrame) -> DataFrame:
+    """Drop-in replacement for streaming/pipeline.rekey_stage on
+    transformWithStateInPandas (same input, same REKEYED_SCHEMA
+    output)."""
+    from ph_ee_nats_importer_rdbms_spark.streaming.pipeline import (
+        REKEYED_SCHEMA,
+    )
+
+    return routed.groupBy("process_instance_key").transformWithStateInPandas(
+        statefulProcessor=RekeyProcessor(),
+        outputStructType=REKEYED_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Entity fold (C1-C3/C6/D1-D4) on transformWithStateInPandas
 # ---------------------------------------------------------------------------
@@ -206,15 +288,7 @@ class EntityProcessor(StatefulProcessor):
         prior_var_ts = dict(st.var_max_ts)
         prior_n_tasks = len(st.tasks_seen)
 
-        events: list[dict] = []
-        for pdf in rows:
-            for rec in pdf.to_dict("records"):
-                clean = {
-                    k: (None if v is None or (isinstance(v, float) and pd.isna(v)) else (v.item() if hasattr(v, "item") else v))
-                    for k, v in rec.items()
-                }
-                events.append(clean)
-        events.sort(key=lambda e: (e["timestamp"], e["position"]))
+        events = _clean_events(rows)
         # tenant: first non-empty in GLOBAL time order (mirrors entity_stage
         # exactly), sticky in state so a later batch with only null-tenant
         # events keeps routing to the instance's tenant DB

@@ -360,3 +360,103 @@ def test_tws_entity_fold_matches_pure_reducer_across_batch_splits():
     # state persisted through the typed handles
     assert p._var_ts.m == {("amount",): (2_000,)}
     assert p._tasks.rows == [("T1", "CREATED")]
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas worker needs the protobuf package",
+)
+def test_tws_full_topology_end_to_end_jdbc(spark, tmp_path):
+    """The COMPLETE deployed topology on the TWS engine (VERDICT r6 task
+    #6): file-bridge source -> resolve -> route/rekey -> entity fold (all
+    three hops on transformWithStateInPandas over RocksDB) -> per-tenant
+    JDBC through a recording executor. Twin of
+    test_streaming.test_run_deployment_end_to_end_jdbc: asserts the same
+    MERGE/append statement classes, that the change set equals the
+    applyInPandasWithState engine's run bit-for-bit, and that a
+    checkpointed restart with no new data replays nothing."""
+    from ph_ee_nats_importer_rdbms_spark.streaming import pipeline as sp
+    from tests.test_streaming import _corpus
+
+    corpus = _corpus()
+    src = tmp_path / "tws_events"
+    src.mkdir()
+    (src / "all.jsonl").write_text(
+        "\n".join(_raw_json(e) for e in corpus) + "\n"
+    )
+
+    writes: list[tuple[str, str]] = []
+
+    def executor(url, statements):
+        for sql, batches in statements:
+            writes.append((url, sql))
+
+    def resolve_url(tenant):
+        return f"jdbc:mysql://db/{tenant}" if tenant else None
+
+    try:
+        sp.run_deployment(
+            spark,
+            str(tmp_path / "tws_work"),
+            resolve_url,
+            executor,
+            source_dir=str(src),
+            distributed=False,  # in-memory recording executor: driver mode
+            engine="tws",
+        )
+    finally:
+        sp.configure_state_store(spark, "hdfs")  # don't leak the provider
+
+    urls = {u for u, _ in writes}
+    assert any("tn01" in u for u in urls)
+    merges = [
+        s
+        for _, s in writes
+        if s.lstrip().upper().startswith("INSERT INTO PH_TRANSFERS")
+    ]
+    assert merges and all(
+        "ON DUPLICATE KEY UPDATE" in s.upper() for s in merges
+    )
+    appends = [s for _, s in writes if "ph_variables" in s or "ph_tasks" in s]
+    assert appends
+
+    # the TWS engine's change log equals the applyInPandasWithState
+    # engine's, row for row (the cross-engine parity contract, now at
+    # full-topology scope rather than per stage)
+    aip_src = tmp_path / "aip_events"
+    aip_src.mkdir()
+    (aip_src / "all.jsonl").write_text(
+        "\n".join(_raw_json(e) for e in corpus) + "\n"
+    )
+    aip_paths = sp.run_multi_hop(
+        spark, str(aip_src), str(tmp_path / "aip_work")
+    )
+
+    def change_set(path):
+        rows = (
+            spark.read.schema(sp.CHANGES_SCHEMA).parquet(path).collect()
+        )
+        return sorted(
+            (tuple(r) for r in rows),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    tws_changes = str(tmp_path / "tws_work" / "changes")
+    assert change_set(tws_changes) == change_set(aip_paths["changes"])
+
+    # restart with no new input: every hop + the sink are checkpointed,
+    # nothing replays
+    n = len(writes)
+    try:
+        sp.run_deployment(
+            spark,
+            str(tmp_path / "tws_work"),
+            resolve_url,
+            executor,
+            source_dir=str(src),
+            distributed=False,
+            engine="tws",
+        )
+    finally:
+        sp.configure_state_store(spark, "hdfs")
+    assert len(writes) == n
