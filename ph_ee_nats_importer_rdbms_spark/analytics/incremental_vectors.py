@@ -577,3 +577,80 @@ def retrain_store(
         sample_max=sample_max,
     )
     build_vector_index(spark, vectors, new_root, ivf_cb, pq_cb)
+
+
+def index_size(root: str) -> int:
+    """Corpus cardinality from the commit manifests / parquet footers —
+    zero Spark jobs (the refine-pool sizing must not pay a count per
+    query call, same contract as similarity.pq_corpus_size)."""
+    from ph_ee_nats_importer_rdbms_spark.plans import staging
+
+    total = 0
+    for m in committed_batches(root):
+        d = m.get("drift")
+        if d and d.get("n") is not None:
+            total += int(d["n"])
+            continue
+        # pre-upgrade manifest: fall back to the delivered relation's
+        # parquet footer
+        n = staging.parquet_row_count(
+            _batch_path(root, "delivered", m["batch"])
+        )
+        if n is None:
+            raise ValueError(
+                f"cannot size batch {m['batch']} at {root}: no drift stats "
+                "and unreadable delivered footer"
+            )
+        total += n
+    return total
+
+
+def search_store(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    k: int | None = None,
+    n_queries: int | None = None,
+    variant: str = "auto",
+    exclude_self: bool = False,
+    lut: str = "auto",
+) -> DataFrame:
+    """Serve top-``k`` ANN straight from THIS incrementally-maintained
+    store — committed PQ codes + IVF assignments + frozen codebooks; the
+    raw corpus tables are never touched except for the exact re-rank,
+    which reads the store's own carried vectors. The serving composition
+    is ``similarity._ann_search_impl``, shared with the staged-dataset
+    :func:`similarity.ann_search`, so the two paths cannot drift —
+    store-backed results equal dataset-backed results for the same corpus
+    and books (pinned by test_incremental_vectors). Completes the store's
+    lifecycle: build → append (drift-watched) → retrain → SERVE.
+
+    ``exclude_self`` defaults False here: store query ids are foreign by
+    convention (the store carries no fixed query set)."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import similarity as sim
+
+    books = frozen_codebooks(root)
+    cent = F.broadcast(
+        spark.createDataFrame(
+            [
+                (cid, [float(v) for v in vec])
+                for cid, vec in enumerate(books["ivf"])
+            ],
+            "cid INT, cemb ARRAY<DOUBLE>",
+        )
+    )
+    return sim._ann_search_impl(
+        spark,
+        queries,
+        codes_t=read_codes(spark, root),
+        vectors=store_vectors(spark, root),
+        assign=lambda: read_assignments(spark, root),
+        cent=lambda: cent,
+        books=books["pq"],
+        corpus_size=lambda: index_size(root),
+        k=k if k is not None else sim.TOP_K,
+        n_queries=n_queries,
+        variant=variant,
+        exclude_self=exclude_self,
+        lut=lut,
+    )

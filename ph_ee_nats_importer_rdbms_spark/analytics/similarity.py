@@ -314,17 +314,21 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def probes_for(
     spark: SparkSession,
-    sf_dir: str,
+    sf_dir: str | None,
     queries: DataFrame,
     nprobe: int = IVF_NPROBE,
+    cent: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, q_emb, cluster_id) for an ARBITRARY (query_id, q_emb)
     relation: each query's ``nprobe`` nearest inverted lists, by centroid
     cosine (deterministic tie-break). The CENTROID side broadcasts (it is
     nlist rows at any corpus size), so this scales with |queries| — the
     many-query serving shape needs probe selection with no
-    query-set-proportional broadcast."""
-    cent = _ivf_centroids(spark, sf_dir)
+    query-set-proportional broadcast. ``cent`` overrides the dataset's
+    shipped centroid relation (store-backed serving passes its frozen
+    books)."""
+    if cent is None:
+        cent = _ivf_centroids(spark, sf_dir)
     q_scored = queries.crossJoin(F.broadcast(cent)).select(
         "query_id",
         "q_emb",
@@ -654,7 +658,9 @@ def pq_corpus_size(spark: SparkSession, sf_dir: str) -> int:
 PQ_LUT_DRIVER_MAX = 1024
 
 
-def _pq_query_lut_distributed(sf_dir: str, queries: DataFrame) -> DataFrame:
+def _pq_query_lut_distributed(
+    sf_dir: str | None, queries: DataFrame, books=None
+) -> DataFrame:
     """Engine-side twin of the driver LUT (VERDICT r4/r5 carried task #3):
     the M×K subspace dots and the query norm as ONE higher-order-function
     expression over a single codebook literal (the round-2 codegen
@@ -664,7 +670,8 @@ def _pq_query_lut_distributed(sf_dir: str, queries: DataFrame) -> DataFrame:
     element widened float32→double per term, codebook elements are
     already doubles — IEEE doubles both sides, same operation order,
     same bits (pinned by test_round6_pins.test_distributed_lut_parity)."""
-    books = _pq_books(sf_dir)
+    if books is None:
+        books = _pq_books(sf_dir)
     cb = _pq_cb_sql(books)
     k = len(books[0])
     lut = (
@@ -684,11 +691,12 @@ def _pq_query_lut_distributed(sf_dir: str, queries: DataFrame) -> DataFrame:
 
 
 def _pq_query_lut(
-    sf_dir: str,
+    sf_dir: str | None,
     queries: DataFrame,
     n_queries: int | None = None,
     rows: list | None = None,
     site: str = "auto",
+    books=None,
 ) -> DataFrame:
     """The per-query ADC lookup table — the actual Jégou et al. search
     structure: ``lut[m][c] = <q_sub_m, centroid_{m,c}>`` plus the query
@@ -721,8 +729,9 @@ def _pq_query_lut(
             n_queries = queries.count()
         site = "driver" if n_queries <= PQ_LUT_DRIVER_MAX else "engine"
     if site == "engine":
-        return _pq_query_lut_distributed(sf_dir, queries)
-    books = _pq_books(sf_dir)
+        return _pq_query_lut_distributed(sf_dir, queries, books=books)
+    if books is None:
+        books = _pq_books(sf_dir)
     if rows is None:
         rows = queries.collect()
     q_cols = queries.columns
@@ -802,6 +811,48 @@ def ann_search(
     relation (VERDICT r6 #4): on the small path the peeked rows ARE the
     rows the driver LUT folds (no second job), on the large path the
     peek is bounded at 1025 rows regardless of |Q|."""
+    return _ann_search_impl(
+        spark,
+        queries,
+        codes_t=pq_codes_table(spark, sf_dir),
+        vectors=spread(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
+        ),
+        assign=lambda: ivf_assignments(spark, sf_dir),
+        cent=lambda: _ivf_centroids(spark, sf_dir),
+        books=_pq_books(sf_dir),
+        corpus_size=lambda: pq_corpus_size(spark, sf_dir),
+        k=k,
+        n_queries=n_queries,
+        variant=variant,
+        exclude_self=exclude_self,
+        lut=lut,
+    )
+
+
+def _ann_search_impl(
+    spark: SparkSession,
+    queries: DataFrame,
+    *,
+    codes_t: DataFrame,
+    vectors: DataFrame,
+    assign,
+    cent,
+    books,
+    corpus_size,
+    k: int,
+    n_queries: int | None,
+    variant: str,
+    exclude_self: bool,
+    lut: str,
+) -> DataFrame:
+    """The serving composition over EXPLICIT index components — what
+    :func:`ann_search` (staged per-dataset artifacts) and the
+    incrementally-maintained store's ``incremental_vectors.search_store``
+    (committed batch artifacts + frozen codebooks) share, so the two
+    serving paths cannot drift. ``assign``/``cent``/``corpus_size`` are
+    thunks: the pq variant never touches the IVF artifacts and the
+    refine-pool size resolves once at plan-build."""
     qrows = None
     if n_queries is None:
         head = queries.limit(PQ_LUT_DRIVER_MAX + 1).collect()
@@ -812,25 +863,24 @@ def ann_search(
     small = n_queries <= PQ_LUT_DRIVER_MAX
     if variant == "auto":
         variant = "pq" if small else "ivf_pq"
-    codes_t = pq_codes_table(spark, sf_dir)
-    e = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "embedding"
-    )
     if variant == "pq":
         q = _pq_query_lut(
-            sf_dir, queries, n_queries=n_queries, rows=qrows, site=lut
+            None, queries, n_queries=n_queries, rows=qrows, site=lut,
+            books=books,
         )
         cand = (F.broadcast(q) if small else q).crossJoin(codes_t)
     elif variant == "ivf_pq":
         probes = _pq_query_lut(
-            sf_dir,
-            probes_for(spark, sf_dir, queries, nprobe=IVF_PQ_NPROBE),
+            None,
+            probes_for(
+                spark, None, queries, nprobe=IVF_PQ_NPROBE, cent=cent()
+            ),
             n_queries=n_queries * IVF_PQ_NPROBE,
             site=lut,
+            books=books,
         )
-        assign = ivf_assignments(spark, sf_dir)
         cand = (F.broadcast(probes) if small else probes).join(
-            assign.select("vec_id", "cluster_id"), "cluster_id"
+            assign().select("vec_id", "cluster_id"), "cluster_id"
         ).join(
             codes_t.select("vec_id", "codes", "approx_norm2"), "vec_id"
         )
@@ -851,9 +901,9 @@ def ann_search(
     )
     refine = (
         scored.withColumn("pr", F.row_number().over(w))
-        .filter(F.col("pr") <= _pq_refine(pq_corpus_size(spark, sf_dir)))
+        .filter(F.col("pr") <= _pq_refine(corpus_size()))
         .select("query_id", "q_emb", "vec_id")
-        .join(e, "vec_id")
+        .join(vectors, "vec_id")
     )
     cos = F.round(_cosine("q_emb", "embedding"), 4)
     return _ranked(

@@ -384,3 +384,51 @@ def test_small_in_distribution_delivery_does_not_false_trip(
     assert rows[-1]["tvd_noise_floor"] > 0.2
     assert rows[-1]["needs_retrain"] is False
     assert not iv.needs_retrain(spark, root)
+
+
+def test_search_store_matches_dataset_backed_ann_search(
+    spark, sf_dir, tmp_path
+):
+    """The store's serving API: search_store over a store built from the
+    corpus (in two deliveries, with the corpus's shipped books) must
+    return EXACTLY what the staged-dataset ann_search returns for the
+    same queries — on the full-ADC route and the IVF-pruned route, on
+    both LUT sites. Completes the lifecycle: build -> append -> serve."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import similarity as sim
+
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    ivf_cb, pq_cb = _books(sf_dir)
+    root = str(tmp_path / "vx")
+    iv.build_vector_index(
+        spark, e.filter(F.col("vec_id") % 2 == 0), root, ivf_cb, pq_cb
+    )
+    iv.append_vectors(spark, e.filter(F.col("vec_id") % 2 == 1), root)
+
+    queries = e.filter(F.col("vec_id") < 6).select(
+        (F.col("vec_id") + 800_000).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    for variant in ("pq", "ivf_pq"):
+        for lut in ("driver", "engine"):
+            got = sorted(
+                tuple(r)
+                for r in iv.search_store(
+                    spark, root, queries, variant=variant, lut=lut
+                ).collect()
+            )
+            want = sorted(
+                tuple(r)
+                for r in sim.ann_search(
+                    spark,
+                    sf_dir,
+                    queries,
+                    variant=variant,
+                    lut=lut,
+                    exclude_self=False,
+                ).collect()
+            )
+            assert got == want and got, (variant, lut)
+    # the serving path sizes its refine pool from manifests, zero jobs
+    assert iv.index_size(root) == e.count()

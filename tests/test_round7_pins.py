@@ -72,3 +72,52 @@ def test_ann_search_unknown_size_routing_never_counts(
     assert called.get("engine"), "large route must use the engine-side LUT"
     tops2 = {r["query_id"]: r["vec_id"] for r in out2 if r["rank"] == 1}
     assert tops2[700_000] == 0 and len(tops2) == 8
+
+
+def test_embed_lsh_measured_recall_meets_the_stated_floor(spark, tmp_path):
+    """Empirical twin of the analytic band-sizing pin (ADVICE r6): on a
+    corpus large enough for a MULTI-band structure, measured near-dup
+    recall at the stated floor cosine (EMBED_RECALL_FLOOR_COS = 0.8) must
+    meet the single-4-plane table's analytic recall (~0.40) — the
+    guarantee embed_bands_for sizes bands for. Deterministic: fixed
+    seed, fixed plane draw."""
+    import numpy as np
+    import pandas as pd
+
+    from ph_ee_nats_importer_rdbms_spark.analytics import dedup
+
+    rng = np.random.default_rng(407)
+    n_base, n_twins, dim = 3296, 400, dedup.EMBED_DIM
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # twins at cosine ~0.82-0.93: v' = normalize(v + eps*g)
+    eps = rng.uniform(0.4, 0.7, size=n_twins)
+    g = rng.standard_normal((n_twins, dim))
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    twins = base[:n_twins] + eps[:, None] * g
+    twins /= np.linalg.norm(twins, axis=1, keepdims=True)
+    corpus = np.vstack([base, twins]).astype(np.float32)
+    n = len(corpus)
+
+    bands, r = dedup.embed_bands_for(n)
+    assert bands > 1, "corpus must exercise the multi-band structure"
+
+    pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(corpus)}
+    ).to_parquet(str(tmp_path / "embeddings.parquet"))
+
+    found = {
+        (r_["vec_a"], r_["vec_b"])
+        for r_ in dedup.q_embedding_dups(spark, str(tmp_path)).collect()
+        if r_["cosine"] >= dedup.EMBED_RECALL_FLOOR_COS
+    }
+    # ground truth by brute force (numpy, 13.7M pairs)
+    sims = corpus.astype(np.float64) @ corpus.astype(np.float64).T
+    ia, ib = np.triu_indices(n, k=1)
+    mask = np.round(sims[ia, ib], 4) >= dedup.EMBED_RECALL_FLOOR_COS
+    truth = set(zip(ia[mask].tolist(), ib[mask].tolist()))
+    assert len(truth) >= 300  # the constructed twins dominate
+
+    recall = len(found & truth) / len(truth)
+    floor = dedup._EMBED_DESIGN_P ** 4  # the 4-plane table at the floor
+    assert recall >= floor - 0.02, (recall, floor, bands, r)
