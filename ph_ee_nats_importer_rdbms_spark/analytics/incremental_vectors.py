@@ -21,6 +21,8 @@ Store layout mirrors incremental_docs' manifest-transaction shape::
     ivf_assign/<batch>/           (vec_id, cluster_id)
     delivered/<batch>/            (vec_id)  re-delivery guard input
     vectors/<batch>/              (vec_id, embedding)  retrain corpus
+    lists/<batch>/cluster_id=N/   codes inside their inverted lists —
+                                  the partition-pruned serving layout
 
 Crash safety and the re-delivery guard follow incremental_docs exactly:
 per-batch writes are deterministic overwrites into batch-named dirs, a
@@ -67,6 +69,17 @@ _SCHEMAS = {
         [
             T.StructField("vec_id", T.LongType()),
             T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    ),
+    # the SERVING layout (IndexIVFPQ): each delivery's codes stored INSIDE
+    # its inverted lists — hive-partitioned by cluster_id, so a query's
+    # nprobe lists are a partition-pruned read
+    "lists": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+            T.StructField("approx_norm2", T.DoubleType()),
+            T.StructField("cluster_id", T.IntegerType()),
         ]
     ),
 }
@@ -194,6 +207,15 @@ def _encode_and_write(
         ),
     ):
         df.write.mode("overwrite").parquet(_batch_path(root, name, batch))
+    # the serving layout: codes joined into their inverted lists, one
+    # partition dir per cluster — probes become a partition-pruned read
+    # (search_store), the IndexIVFPQ shape save_ivf_store(with_codes=True)
+    # materializes for staged datasets
+    codes.select("vec_id", "codes", "approx_norm2").join(
+        assign, "vec_id"
+    ).write.mode("overwrite").partitionBy("cluster_id").parquet(
+        _batch_path(root, "lists", batch)
+    )
     agg = codes.agg(
         F.count("*").alias("n"), F.avg("qerr").alias("mean_qerr")
     ).collect()[0]
@@ -605,6 +627,41 @@ def index_size(root: str) -> int:
     return total
 
 
+def has_lists(root: str) -> bool:
+    """True when every committed batch carries the partitioned serving
+    layout (pre-upgrade stores don't — their serving falls back to the
+    assignment join)."""
+    return all(
+        os.path.isdir(_batch_path(root, "lists", m["batch"]))
+        for m in committed_batches(root)
+    )
+
+
+def read_lists(
+    spark: SparkSession, root: str, cluster_ids=None
+) -> DataFrame:
+    """(vec_id, codes, approx_norm2, cluster_id) across committed batches,
+    from the hive-partitioned serving layout. ``cluster_ids`` prunes the
+    read to those inverted lists — the isin reaches the scan as
+    PartitionFilters (plan-asserted), so a probe touches nprobe/nlist of
+    the files, never the corpus."""
+    from functools import reduce
+
+    # one partitioned root per batch: Spark refuses multiple hive roots in
+    # a single read, so each batch loads separately and unions — the
+    # cluster_id filter pushes through the union into every scan
+    parts = [
+        spark.read.schema(_SCHEMAS["lists"]).parquet(
+            _batch_path(root, "lists", m["batch"])
+        )
+        for m in committed_batches(root)
+    ]
+    df = reduce(DataFrame.unionByName, parts)
+    if cluster_ids is not None:
+        df = df.filter(F.col("cluster_id").isin(list(cluster_ids)))
+    return df
+
+
 def search_store(
     spark: SparkSession,
     root: str,
@@ -653,4 +710,12 @@ def search_store(
         variant=variant,
         exclude_self=exclude_self,
         lut=lut,
+        # partition-pruned candidate reads from the inverted-list layout
+        # (small-query ivf_pq route); pre-upgrade stores without lists/
+        # keep the assignment-join composition
+        lists=(
+            (lambda ids: read_lists(spark, root, ids))
+            if has_lists(root)
+            else None
+        ),
     )

@@ -845,6 +845,7 @@ def _ann_search_impl(
     variant: str,
     exclude_self: bool,
     lut: str,
+    lists=None,
 ) -> DataFrame:
     """The serving composition over EXPLICIT index components — what
     :func:`ann_search` (staged per-dataset artifacts) and the
@@ -852,7 +853,16 @@ def _ann_search_impl(
     (committed batch artifacts + frozen codebooks) share, so the two
     serving paths cannot drift. ``assign``/``cent``/``corpus_size`` are
     thunks: the pq variant never touches the IVF artifacts and the
-    refine-pool size resolves once at plan-build."""
+    refine-pool size resolves once at plan-build.
+
+    ``lists`` (optional): callable(cluster_ids) -> (vec_id, codes,
+    approx_norm2, cluster_id) read PRE-PRUNED to those inverted lists —
+    the IndexIVFPQ serving layout. On the small-query ivf_pq route the
+    probed cluster ids are collected (config-sized — query planning, like
+    :func:`ann_ivf_from_store`) and the candidate scan reads only the
+    probed partitions instead of joining the full assignment relation;
+    the large-query route keeps the join (a driver-side probe-id collect
+    would be |Q|-proportional there)."""
     qrows = None
     if n_queries is None:
         head = queries.limit(PQ_LUT_DRIVER_MAX + 1).collect()
@@ -870,20 +880,32 @@ def _ann_search_impl(
         )
         cand = (F.broadcast(q) if small else q).crossJoin(codes_t)
     elif variant == "ivf_pq":
+        probes_rel = probes_for(
+            spark, None, queries, nprobe=IVF_PQ_NPROBE, cent=cent()
+        )
         probes = _pq_query_lut(
             None,
-            probes_for(
-                spark, None, queries, nprobe=IVF_PQ_NPROBE, cent=cent()
-            ),
+            probes_rel,
             n_queries=n_queries * IVF_PQ_NPROBE,
             site=lut,
             books=books,
         )
-        cand = (F.broadcast(probes) if small else probes).join(
-            assign().select("vec_id", "cluster_id"), "cluster_id"
-        ).join(
-            codes_t.select("vec_id", "codes", "approx_norm2"), "vec_id"
-        )
+        if lists is not None and small:
+            probed_ids = sorted(
+                {
+                    r["cluster_id"]
+                    for r in probes_rel.select("cluster_id")
+                    .distinct()
+                    .collect()
+                }
+            )
+            cand = F.broadcast(probes).join(lists(probed_ids), "cluster_id")
+        else:
+            cand = (F.broadcast(probes) if small else probes).join(
+                assign().select("vec_id", "cluster_id"), "cluster_id"
+            ).join(
+                codes_t.select("vec_id", "codes", "approx_norm2"), "vec_id"
+            )
     else:
         raise ValueError(f"variant must be auto|pq|ivf_pq, got {variant!r}")
     if exclude_self:

@@ -432,3 +432,48 @@ def test_search_store_matches_dataset_backed_ann_search(
             assert got == want and got, (variant, lut)
     # the serving path sizes its refine pool from manifests, zero jobs
     assert iv.index_size(root) == e.count()
+
+
+def test_search_store_prunes_inverted_list_partitions(
+    spark, sf_dir, tmp_path
+):
+    """The store's serving layout: each delivery's codes live INSIDE
+    their inverted lists (lists/<batch>/cluster_id=N/), so the ivf_pq
+    serving route reads ONLY the probed partitions — PartitionFilters on
+    cluster_id in the scan — with results identical to the
+    assignment-join fallback a pre-upgrade store (no lists/) uses."""
+    import shutil
+
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    ivf_cb, pq_cb = _books(sf_dir)
+    root = str(tmp_path / "vx")
+    iv.build_vector_index(
+        spark, e.filter(F.col("vec_id") % 2 == 0), root, ivf_cb, pq_cb
+    )
+    iv.append_vectors(spark, e.filter(F.col("vec_id") % 2 == 1), root)
+    assert iv.has_lists(root)
+
+    queries = e.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 800_000).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    df = iv.search_store(spark, root, queries, variant="ivf_pq")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cluster_id" in ln for ln in pf), plan
+    got = sorted(tuple(r) for r in df.collect())
+
+    # pre-upgrade layout (no lists/): assignment-join fallback, same rows
+    shutil.rmtree(os.path.join(root, "lists"))
+    assert not iv.has_lists(root)
+    fallback = sorted(
+        tuple(r)
+        for r in iv.search_store(
+            spark, root, queries, variant="ivf_pq"
+        ).collect()
+    )
+    assert got == fallback and got
