@@ -225,6 +225,98 @@ HAVING count(*) >= {DECONTAMINATION_MIN_OVERLAP}
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy decontamination (MinHash near-dup overlap across the split)
+# ---------------------------------------------------------------------------
+
+
+def split_of(col: str) -> F.Column:
+    """train/valid/test label as a pure function of ANY doc-id column —
+    the generalization of :func:`split_column` that lets relations
+    carrying doc ids under other names (pair lists) label themselves
+    with ZERO joins."""
+    salted = f"concat('{SPLIT_SALT}', CAST({col} AS STRING))"
+    bucket = F.expr(f"{spark_h32(salted)} % 100")
+    return (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VALID_PCT, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _duck_split_case(col: str) -> str:
+    salted = f"'{SPLIT_SALT}' || CAST({col} AS VARCHAR)"
+    bucket = f"{duck_h32(salted)} % 100"
+    return (
+        f"CASE WHEN {bucket} < {SPLIT_TRAIN_PCT} THEN 'train' "
+        f"WHEN {bucket} < {SPLIT_VALID_PCT} THEN 'valid' "
+        f"ELSE 'test' END"
+    )
+
+
+def q_decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(test_doc_id, train_doc_id, jaccard): test-split documents that
+    are MinHash-LSH NEAR-DUPLICATES of a train-split document — the
+    fuzzy complement of the exact-shingle-overlap check. Exact n-gram
+    decontamination misses lightly-edited benchmark leakage (reworded
+    prompts, shuffled fields); the verified near-dup pair list catches
+    those at ``JACCARD_THRESHOLD``, and large-scale pipelines run BOTH
+    screens.
+
+    Scale shape: the staged near-dup pair list (the dedup pipeline's
+    canonical artifact — already bucket-joined, verified, and memoized
+    by ``q_minhash_dups``) gets split labels as PURE FUNCTIONS of its
+    own id columns (``split_of``), so this is a map-only pass over an
+    output-sized relation: zero joins, zero shuffles, nothing
+    corpus-sized."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.dedup import q_minhash_dups
+
+    lab = (
+        q_minhash_dups(spark, sf_dir)
+        .withColumn("split_a", split_of("doc_a"))
+        .withColumn("split_b", split_of("doc_b"))
+    )
+    fwd = lab.filter(
+        (F.col("split_a") == "test") & (F.col("split_b") == "train")
+    ).select(
+        F.col("doc_a").alias("test_doc_id"),
+        F.col("doc_b").alias("train_doc_id"),
+        "jaccard",
+    )
+    rev = lab.filter(
+        (F.col("split_a") == "train") & (F.col("split_b") == "test")
+    ).select(
+        F.col("doc_b").alias("test_doc_id"),
+        F.col("doc_a").alias("train_doc_id"),
+        "jaccard",
+    )
+    return fwd.unionByName(rev)
+
+
+def _decontamination_fuzzy_oracle() -> str:
+    from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
+        MINHASH_DUPS_ORACLE,
+    )
+
+    return f"""
+WITH pairs AS ({MINHASH_DUPS_ORACLE}),
+lab AS (
+  SELECT doc_a, doc_b, jaccard,
+         {_duck_split_case("doc_a")} AS split_a,
+         {_duck_split_case("doc_b")} AS split_b
+  FROM pairs
+)
+SELECT doc_a AS test_doc_id, doc_b AS train_doc_id, jaccard
+FROM lab WHERE split_a = 'test' AND split_b = 'train'
+UNION ALL
+SELECT doc_b AS test_doc_id, doc_a AS train_doc_id, jaccard
+FROM lab WHERE split_a = 'train' AND split_b = 'test'
+"""
+
+
+DECONTAMINATION_FUZZY_ORACLE = _decontamination_fuzzy_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Per-language exact length percentiles
 # ---------------------------------------------------------------------------
 

@@ -1092,6 +1092,10 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     # oracle-faithful twin; _capped below is the production default (skew
     # bounded at DECON_MAX_DF² per shuffle key — see training.py docstring)
     "decontamination": (_tr.q_decontamination, _tr.DECONTAMINATION_ORACLE),
+    "decontamination_fuzzy": (
+        _tr.q_decontamination_fuzzy,
+        _tr.DECONTAMINATION_FUZZY_ORACLE,
+    ),
     "decontamination_capped": (
         _tr.q_decontamination_capped,
         _tr.DECONTAMINATION_CAPPED_ORACLE,
