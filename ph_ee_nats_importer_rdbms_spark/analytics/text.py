@@ -857,6 +857,88 @@ LIMIT {VOCAB_TOP_K}
 """
 
 
+def token_ids_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, token_ids array<int>, n_unk): every document encoded as
+    its ordered sequence of vocabulary ids — the id-ized corpus a
+    training shard actually carries (``vocabulary`` trains the id table,
+    ``pack_sequences`` fills the context windows; this is the step
+    between them). Id = the token's vocabulary rank; out-of-vocabulary
+    tokens map to 0 (the <unk> convention), counted per doc so the
+    OOV-rate curve that drives vocabulary sizing falls out for free.
+
+    Scale shape: the vocabulary is config-sized BY CONSTRUCTION
+    (top-``VOCAB_TOP_K``), so it collects once and ships as a broadcast
+    MAP LITERAL inside a ``transform`` over the token array — the encode
+    is MAP-ONLY: no explode, no join, no shuffle, no per-doc
+    re-assembly. The id relation is the same row grain as the corpus."""
+    vocab = {
+        r["token"]: r["rank"] for r in q_vocabulary(spark, sf_dir).collect()
+    }
+    pairs: list[Column] = []
+    for t, rank in sorted(vocab.items()):
+        pairs += [F.lit(t), F.lit(rank)]
+    vmap = F.create_map(*pairs)
+    d = spread(load_table(spark, sf_dir, "documents"))
+    ids = F.transform(
+        _tokens(), lambda t: F.coalesce(vmap[t], F.lit(0)).cast("int")
+    )
+    return d.select(
+        "doc_id",
+        ids.alias("token_ids"),
+        F.size(F.filter(ids, lambda x: x == 0)).alias("n_unk"),
+    )
+
+
+def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry projection of :func:`token_ids_of` — the id sequence
+    rendered as a canonical space-joined string (the correctness
+    driver's value hash stringifies cells, and Spark lists vs DuckDB
+    arrays stringify differently; library users compose
+    ``token_ids_of`` for the typed array)."""
+    t = token_ids_of(spark, sf_dir)
+    return t.select(
+        "doc_id",
+        F.array_join("token_ids", " ").alias("ids"),
+        F.size("token_ids").alias("n_tokens"),
+        "n_unk",
+    )
+
+
+TOKEN_IDS_ORACLE = rf"""
+WITH tok_all AS (
+  SELECT doc_id, unnest({_duck_tokens()}) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+  FROM tok_all GROUP BY token
+),
+vocab AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC)
+              AS INT) AS rank,
+         token
+  FROM counts
+  ORDER BY n_occurrences DESC, token ASC
+  LIMIT {VOCAB_TOP_K}
+),
+tok AS (
+  SELECT doc_id,
+         unnest({_duck_tokens()}) AS token,
+         generate_subscripts({_duck_tokens()}, 1) AS pos
+  FROM documents
+),
+ids AS (
+  SELECT t.doc_id, t.pos, CAST(COALESCE(v.rank, 0) AS INT) AS id
+  FROM tok t LEFT JOIN vocab v USING (token)
+)
+SELECT doc_id,
+       array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos), ' ') AS ids,
+       CAST(count(*) AS INT) AS n_tokens,
+       CAST(len(list_filter(list(id ORDER BY pos), x -> x = 0)) AS INT)
+         AS n_unk
+FROM ids GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Per-source corpus statistics (skew-resistant aggregation)
 # ---------------------------------------------------------------------------

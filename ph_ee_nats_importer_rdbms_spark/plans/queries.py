@@ -1121,6 +1121,7 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_report": (_tx.q_corpus_report, _tx._corpus_report_oracle()),
     "dedup_spans": (_tx.q_dedup_spans, _tx.DEDUP_SPANS_ORACLE),
     "vocabulary": (_tx.q_vocabulary, _tx.VOCABULARY_ORACLE),
+    "token_ids": (_tx.q_token_ids, _tx.TOKEN_IDS_ORACLE),
     "source_stats": (_tx.q_source_stats, _tx.SOURCE_STATS_ORACLE),
     # --- multimodal (analytics/multimodal.py) ---
     "media_features": (_mm.q_media_features, _mm.MEDIA_FEATURES_ORACLE),

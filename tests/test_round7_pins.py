@@ -121,3 +121,51 @@ def test_embed_lsh_measured_recall_meets_the_stated_floor(spark, tmp_path):
     recall = len(found & truth) / len(truth)
     floor = dedup._EMBED_DESIGN_P ** 4  # the 4-plane table at the floor
     assert recall >= floor - 0.02, (recall, floor, bands, r)
+
+
+def test_token_ids_oov_maps_to_unk_zero(spark, tmp_path):
+    """token_ids on a corpus whose distinct-token count exceeds
+    VOCAB_TOP_K: tokens outside the top-K map to id 0 (<unk>) and are
+    counted per doc — the bench corpora never exercise OOV (vocab fits
+    the table), so this pins the path on a synthetic corpus."""
+    import pandas as pd
+
+    from ph_ee_nats_importer_rdbms_spark.analytics import text as tx
+
+    # 120 distinct rare tokens (1 occurrence each) + 3 hot tokens — the
+    # hot ones dominate the top-100 table, 20+ rare ones fall out
+    docs = []
+    for i in range(120):
+        docs.append(
+            {
+                "doc_id": i,
+                "text": f"alpha beta gamma rare{i:03d}",
+                "lang": "en",
+                "source": "synt",
+                "n_chars": 30,
+            }
+        )
+    pd.DataFrame(docs).to_parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in tx.token_ids_of(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 120
+    vocab = {
+        r["token"]: r["rank"]
+        for r in tx.q_vocabulary(spark, str(tmp_path)).collect()
+    }
+    assert len(vocab) == tx.VOCAB_TOP_K  # table is full -> OOV exists
+    n_oov_docs = 0
+    for i, r in out.items():
+        ids = r["token_ids"]
+        assert len(ids) == 4
+        # the three hot tokens always rank 1..3 (count 120 each)
+        assert set(ids[:3]) == {vocab["alpha"], vocab["beta"], vocab["gamma"]}
+        tok = f"rare{i:03d}"
+        want = vocab.get(tok, 0)
+        assert ids[3] == want
+        assert r["n_unk"] == (1 if want == 0 else 0)
+        n_oov_docs += 1 if want == 0 else 0
+    assert n_oov_docs == 120 - (tx.VOCAB_TOP_K - 3)
