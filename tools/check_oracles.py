@@ -28,6 +28,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     def canon(v):
         if v is None or (isinstance(v, float) and pd.isna(v)):
             return "<null>"
+        # list/array cells: canonicalize elementwise — Spark hands back
+        # python lists, DuckDB numpy arrays, and their str() forms differ
+        # ("[1, 2]" vs "[1 2]"); pd.isna on them is elementwise and
+        # un-truthy, so they must be handled before the scalar isna
+        if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+            items = v.tolist() if hasattr(v, "tolist") else list(v)
+            return "[" + ", ".join(canon(x) for x in items) + "]"
         if pd.isna(v):
             return "<null>"
         if isinstance(v, float):
