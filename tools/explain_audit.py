@@ -40,6 +40,8 @@ def audit(name: str, plan: str) -> list[str]:
         "ann_pq",
         "ann_ivf_pq",
         "ann_recall",
+        "ann_search_pq",
+        "ann_search_ivf_pq",
         "unigram_logprob",
     ):
         # sanctioned: ann_bruteforce broadcasts its tiny query set;
@@ -49,7 +51,9 @@ def audit(name: str, plan: str) -> list[str]:
         # (the linear ADC scan); ann_recall contains these as subplans
         # (it compares the approximate top-k relations);
         # unigram_logprob cross-joins the ONE-ROW corpus-total relation
-        # (the idiomatic scalar broadcast — ln(N) shipped to every task)
+        # (the idiomatic scalar broadcast — ln(N) shipped to every task);
+        # the two ann_search serving entries are the same sanctioned
+        # broadcast-query-set ADC scans as ann_pq / ann_ivf_pq
         flags.append("BNLJ")
     if ("BatchEvalPython" in plan or "ArrowEvalPython" in plan or
             "MapInPandas" in plan) and name not in PYTHON_OK:
