@@ -60,12 +60,7 @@ SAMPLE_SALT = "sample:"
 # ---------------------------------------------------------------------------
 
 
-_SPARK_SALTED = f"concat('{SPLIT_SALT}', CAST(doc_id AS STRING))"
 _DUCK_SALTED = f"'{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)"
-
-
-def _split_bucket_spark() -> str:
-    return f"{spark_h32(_SPARK_SALTED)} % 100"
 
 
 def _split_bucket_duck() -> str:
@@ -74,12 +69,7 @@ def _split_bucket_duck() -> str:
 
 def split_column() -> F.Column:
     """train/valid/test label as a pure function of doc_id."""
-    bucket = F.expr(_split_bucket_spark())
-    return (
-        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
-        .when(bucket < SPLIT_VALID_PCT, F.lit("valid"))
-        .otherwise(F.lit("test"))
-    )
+    return split_of("doc_id")
 
 
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
