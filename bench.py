@@ -3,8 +3,12 @@
 JSON line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
 "queries_cold": {name: sec}, "value_cold", "sf"}.
 
-Each query is timed to full materialization (count of the result), which
-executes the whole plan without driver-side row transfer.
+Each query is timed to FULL materialization of every output column: a
+bare count() lets Catalyst prune map-only projections down to a row
+count (a per-doc scorer would "run" in 0.1s at any scale without ever
+computing its score), so the harness folds one xxhash64 across all
+output columns into a single max — every column evaluates, nothing
+transfers to the driver beyond one row.
 
 COLD/WARM CONTRACT (VERDICT r6 task #5): every query runs TWICE.
 The first run ("queries_cold") absorbs whatever first-touch staging its
@@ -29,6 +33,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ph_ee_nats_importer_rdbms_spark.plans.queries import QUERIES
 from ph_ee_nats_importer_rdbms_spark.session import build_session
+
+
+def materialize(df) -> int:
+    """Force evaluation of EVERY output column; return the row count.
+    count() alone is not materialization — Catalyst prunes unneeded
+    columns, so a map-only projection's entire compute is skipped."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+    ).collect()[0]
+    return row["n"]
 
 
 def main() -> int:
@@ -85,7 +102,7 @@ def main() -> int:
                 spark._jvm.System.gc()  # noqa: SLF001
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()
+            n = materialize(df)
             book[name] = round(time.perf_counter() - t0, 3)
             print(
                 f"# {name} [{run}]: {book[name]:.3f}s ({n} rows)",
