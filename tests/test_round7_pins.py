@@ -169,3 +169,30 @@ def test_token_ids_oov_maps_to_unk_zero(spark, tmp_path):
         assert r["n_unk"] == (1 if want == 0 else 0)
         n_oov_docs += 1 if want == 0 else 0
     assert n_oov_docs == 120 - (tx.VOCAB_TOP_K - 3)
+
+
+def test_bench_materialize_forces_every_column(spark):
+    """bench.materialize must evaluate EVERY output column: count() lets
+    Catalyst prune map-only projections (a per-doc scorer would 'run' in
+    0.1s at any scale without computing its score). A column whose
+    evaluation raises proves the point: count() succeeds, materialize
+    must fail."""
+    import sys
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType
+
+    sys.path.insert(0, "/root/repo")
+    from bench import materialize
+
+    @F.udf(IntegerType())
+    def boom(x):
+        raise RuntimeError("column was evaluated")
+
+    df = spark.range(8).select("id", boom("id").alias("scored"))
+    assert df.count() == 8  # count() never evaluates 'scored'
+    with _pytest.raises(Exception, match="column was evaluated"):
+        materialize(df)
+    # and on an honest frame it returns the row count
+    assert materialize(spark.range(8).selectExpr("id", "id * 2 AS y")) == 8
