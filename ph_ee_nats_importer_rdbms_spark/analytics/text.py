@@ -69,14 +69,23 @@ def _duck_tokens(col: str = "text") -> str:
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token count + BPE-ish primitive token count per doc."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(_tokens()).alias("n_ws_tokens"),
-        F.regexp_count(F.lower(F.col("text")), F.lit(BPE_TOKEN_REGEX)).alias(
-            "n_bpe_tokens"
-        ),
+    """Whitespace token count + BPE-ish primitive token count per doc.
+    Staged per dataset (``docs`` domain): the BPE regex pass is the cost,
+    and the counts feed the corpus report and packing decisions."""
+    from ph_ee_nats_importer_rdbms_spark.plans import staging
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id",
+            F.size(_tokens()).alias("n_ws_tokens"),
+            F.regexp_count(
+                F.lower(F.col("text")), F.lit(BPE_TOKEN_REGEX)
+            ).alias("n_bpe_tokens"),
+        )
+
+    return staging.load_memoized(
+        spark, sf_dir, "token_counts", build, domain="docs"
     )
 
 
@@ -98,8 +107,16 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream; predicted = first language (alphabetical) achieving the max
     score, 'und' when every score is zero. Pure built-ins — the per-language
     score is a higher-order `filter` over the token array (no shuffle, no
-    Python)."""
-    return lang_id_of(load_table(spark, sf_dir, "documents"))
+    Python). A per-doc curation stat like the repetition filters, so it
+    stages per dataset (``docs`` domain): the curation/report
+    compositions read it instead of re-scoring the corpus per call."""
+    from ph_ee_nats_importer_rdbms_spark.plans import staging
+
+    return staging.load_memoized(
+        spark, sf_dir, "lang_scores",
+        lambda: lang_id_of(load_table(spark, sf_dir, "documents")),
+        domain="docs",
+    )
 
 
 def lang_id_of(d: DataFrame) -> DataFrame:
@@ -168,8 +185,16 @@ LANG_ID_ORACLE = _lang_id_oracle()
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score: length, punctuation ratio, stopword ratio,
     mean token length — the classic cheap pre-filters applied before
-    expensive dedup/training steps."""
-    return quality_of(load_table(spark, sf_dir, "documents"))
+    expensive dedup/training steps. Staged per dataset (``docs`` domain)
+    like the repetition stats: the score is read by curation, the corpus
+    report, and importance sampling, so it computes once at ingest."""
+    from ph_ee_nats_importer_rdbms_spark.plans import staging
+
+    return staging.load_memoized(
+        spark, sf_dir, "quality_stats",
+        lambda: quality_of(load_table(spark, sf_dir, "documents")),
+        domain="docs",
+    )
 
 
 #: every char the punct probe does NOT count: [a-z0-9] plus Java's \s
@@ -906,13 +931,22 @@ def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     rendered as a canonical space-joined string (the correctness
     driver's value hash stringifies cells, and Spark lists vs DuckDB
     arrays stringify differently; library users compose
-    ``token_ids_of`` for the typed array)."""
-    t = token_ids_of(spark, sf_dir)
-    return t.select(
-        "doc_id",
-        F.array_join("token_ids", " ").alias("ids"),
-        F.size("token_ids").alias("n_tokens"),
-        "n_unk",
+    ``token_ids_of`` for the typed array). The id-ized corpus is a
+    materialized training artifact, so it stages per dataset (``docs``
+    domain) like the cleaned corpus (dedup_spans)."""
+    from ph_ee_nats_importer_rdbms_spark.plans import staging
+
+    def build() -> DataFrame:
+        t = token_ids_of(spark, sf_dir)
+        return t.select(
+            "doc_id",
+            F.array_join("token_ids", " ").alias("ids"),
+            F.size("token_ids").alias("n_tokens"),
+            "n_unk",
+        )
+
+    return staging.load_memoized(
+        spark, sf_dir, "token_ids", build, domain="docs"
     )
 
 

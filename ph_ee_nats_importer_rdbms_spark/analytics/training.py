@@ -594,9 +594,9 @@ def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay kept, and the kept set at a given score is reproducible forever.
     At 100 TB this composes with mixture sampling in the same single
     scan (two filter predicates, both pushed down)."""
-    from ph_ee_nats_importer_rdbms_spark.analytics.text import quality_of
+    from ph_ee_nats_importer_rdbms_spark.analytics.text import q_quality
 
-    scored = quality_of(load_table(spark, sf_dir, "documents"))
+    scored = q_quality(spark, sf_dir)
     p_bp = F.floor(F.col("quality_score") * F.col("quality_score") * 10000)
     keep = (
         F.expr(spark_h32(f"concat('{IMPORTANCE_SALT}', CAST(doc_id AS STRING))"))
