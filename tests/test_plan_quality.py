@@ -73,6 +73,12 @@ def test_no_cartesian_or_stray_python(spark, sf_dir, name):
 
 def test_unigram_hot_tokens_take_the_broadcast_path(spark, sf_dir):
     """The Zipf-head split must be visible in the plan: the hot-token
-    count join broadcasts (no reducer ever keys on a stopword)."""
-    plan = _plan(QUERIES["unigram_logprob"][0](spark, sf_dir))
+    count join broadcasts (no reducer ever keys on a stopword). The
+    registry entry reads the STAGED relation (round 7), so the gate
+    inspects the build plan — the one that runs at ingest."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.training import (
+        _unigram_logprob_build,
+    )
+
+    plan = _plan(_unigram_logprob_build(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
