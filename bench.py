@@ -52,7 +52,15 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     only = sys.argv[1:]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = build_session(app_name="ph-ee-spark-bench")
+    # -Xlog:disable: under heap pressure (the 100x corpora) the JVM's
+    # unified logging writes gc,alloc warnings to THIS process's stdout,
+    # and the harness contract is ONE JSON line on stdout — observed a
+    # "[warning][gc,alloc] ... Retried waiting for GC" line landing ahead
+    # of the JSON at sf10.
+    spark = build_session(
+        app_name="ph-ee-spark-bench",
+        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"},
+    )
 
     # Standard JVM warmup (codegen, Hadoop FS init, task-scheduler spin-up)
     # on data-independent work, so the first timed query measures the query,
