@@ -19,6 +19,8 @@ Two families:
 
 from __future__ import annotations
 
+import os as _os
+
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -1139,58 +1141,77 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
 # With cap C >= half the registry, every entry gets a driver row at least
 # every 2 rounds (the ones a round misses are the freshest — next round
 # they are the stalest and lead the snapshot).
-# _DRIVER_ROW_LAST_ROUND is the one static input: entry -> latest round
-# whose CORRECTNESS_r{N}.json carries it (absent = never). It is data, not
-# code — tests/test_full_registry.py re-derives it from the repo's actual
-# CORRECTNESS artifacts and fails if this table drifts from reality or if
-# any entry would go more than 2 rounds capless under the current cap.
+# The staleness input — entry -> latest round whose CORRECTNESS_r{N}.json
+# carries it (absent = never) — is DERIVED from the repo's artifacts at
+# import time (VERDICT r7 task #1). Rounds 3-7 kept a static copy, which
+# was guaranteed stale the moment the driver dropped a fresh artifact
+# (post-dating the builder's last commit) — so the suite was red at the
+# exact moment it was judged. The artifacts ARE the table now; the tests
+# keep asserting the monotone order + cap-coverage invariants.
 # The full registry is additionally gated by tests/test_full_registry.py
-# (every entry vs its DuckDB oracle at sf0.001 on every pytest run), so
+# (every entry vs its DuckDB oracle at sf0.01 on every pytest run), so
 # entries past the driver cap cannot regress silently either way.
 # ---------------------------------------------------------------------------
 
 DRIVER_ROW_CAP = 50
 
-_DRIVER_ROW_LAST_ROUND: dict[str, int] = {
-    # past the r06 cap — last driver row r05 (promote for r07)
-    "ann_ivf_pq": 5, "ann_recall": 5, "embedding_outliers": 5,
-    "decontamination_capped": 5, "length_percentiles_approx": 5,
-    "balanced_sample": 5, "pack_sequences": 5, "mixture_sample": 5,
-    "importance_sample": 5, "unigram_logprob": 5, "corpus_diff": 5,
-    "chunk_documents": 5, "events_anomaly": 5, "pii_redact": 5,
-    "pii_redact_docs": 5, "curation": 5, "corpus_report": 5,
-    "dedup_spans": 5, "vocabulary": 5, "media_features": 5,
-    "media_summary": 5,
-    # r06 snapshot (50 rows)
-    "zeebe_transfers": 6, "zeebe_transaction_requests": 6,
-    "zeebe_batches": 6, "zeebe_variables": 6, "zeebe_tasks": 6,
-    "zeebe_routing": 6, "transfers_range_filter": 6,
-    "transfer_detail_join": 6, "transfer_detail_rows": 6,
-    "instance_lookup": 6, "businesskey_lookup": 6, "tenant_lookup": 6,
-    "pricing_summary": 6, "revenue_by_nation": 6, "top_parts": 6,
-    "order_priority_late": 6, "customers_without_orders": 6,
-    "revenue_rollup": 6, "purchase_attribution": 6, "events_daily": 6,
-    "rolling_spend": 6, "user_sessions": 6, "conversion_funnel": 6,
-    "doc_stats": 6, "doc_exact_dedup": 6, "token_counts": 6, "lang_id": 6,
-    "doc_quality": 6, "doc_fingerprints": 6, "doc_repetition": 6,
-    "dup_ngram_frac": 6, "minhash_signatures": 6, "minhash_dups": 6,
-    "dup_clusters": 6, "simhash": 6, "simhash_dups": 6, "ngram_jaccard": 6,
-    "embedding_dups": 6, "embedding_dup_clusters": 6, "ann_bruteforce": 6,
-    "ann_lsh": 6, "ann_lsh_multi": 6, "ann_ivf": 6, "ann_pq": 6,
-    "semantic_sample": 6, "train_test_split": 6, "leakage_safe_split": 6,
-    "decontamination": 6, "length_percentiles": 6, "source_stats": 6,
-    # absent entries (round-7 additions) sort first: never had a row
-}
+_REPO_ROOT = _os.path.dirname(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
+
+def derive_driver_row_last_round(artifact_dir: str | None = None) -> dict[str, int]:
+    """Entry -> latest round N whose ``CORRECTNESS_r{N}.json`` carries it,
+    read straight from the driver's artifacts (default: the repo root;
+    override for tests simulating future rounds). Unreadable or non-dict
+    artifacts are skipped — a half-written driver file must not break
+    package import."""
+    import glob
+    import json
+    import os
+    import re
+
+    if artifact_dir is None:
+        artifact_dir = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR", _REPO_ROOT)
+    last: dict[str, int] = {}
+    for p in sorted(glob.glob(os.path.join(artifact_dir, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for k in data:
+            last[k] = max(last.get(k, -1), rnd)
+    return last
+
 
 _FAMILY_ORDER = {n: i for i, n in enumerate(_QUERY_DEFS)}
 
-QUERIES: dict[str, tuple[QueryFn, str | None]] = {
-    n: _QUERY_DEFS[n]
-    for n in sorted(
-        _QUERY_DEFS,
-        key=lambda n: (
-            _DRIVER_ROW_LAST_ROUND.get(n, -1),
-            _FAMILY_ORDER[n],
-        ),
-    )
-}
+
+def order_registry(
+    last_round: dict[str, int],
+) -> dict[str, tuple[QueryFn, str | None]]:
+    """Registry in driver-snapshot order: never-rowed entries first, then
+    ascending round-of-last-driver-row, ties in family (definition) order.
+    With cap C >= half the registry this bounds any entry's driver-row gap
+    at 2 rounds."""
+    return {
+        n: _QUERY_DEFS[n]
+        for n in sorted(
+            _QUERY_DEFS,
+            key=lambda n: (last_round.get(n, -1), _FAMILY_ORDER[n]),
+        )
+    }
+
+
+_DRIVER_ROW_LAST_ROUND: dict[str, int] = derive_driver_row_last_round()
+
+QUERIES: dict[str, tuple[QueryFn, str | None]] = order_registry(
+    _DRIVER_ROW_LAST_ROUND
+)

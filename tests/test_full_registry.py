@@ -53,31 +53,12 @@ def test_registry_entry_matches_oracle(spark, oracle_sf_dir, oracle_con, name):
     assert ok, f"{name}: {msg}"
 
 
-def _actual_last_driver_round() -> dict[str, int]:
-    """Entry -> latest round whose CORRECTNESS_r{N}.json carries it,
-    re-derived from the repo's actual artifacts."""
-    import glob
-    import json
-    import re
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    last: dict[str, int] = {}
-    for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
-        with open(p) as f:
-            for k in json.load(f):
-                last[k] = rnd
-    return last
-
-
 def test_driver_row_rotation_policy():
-    """The STANDING rotation policy (VERDICT r6 task #2): the registry
-    orders itself by driver-row staleness — never-rowed entries first,
-    then ascending last-driver-round — so under the driver's 50-row cap
-    no oracle entry goes more than 2 rounds without a fresh driver
-    CORRECTNESS row. Three gates:
-    (a) the static staleness table matches the repo's actual
-        CORRECTNESS_r*.json artifacts (the table is data; reality wins),
+    """The STANDING rotation policy (VERDICT r6 task #2, r7 task #1): the
+    registry orders itself by driver-row staleness — never-rowed entries
+    first, then ascending last-driver-round — DERIVED at import time from
+    the repo's CORRECTNESS_r*.json artifacts, so a fresh driver drop can
+    never make the suite red. Gates:
     (b) the registry iteration order is monotone in staleness,
     (c) every entry at least 1 round stale sits inside the cap — so
         after the NEXT driver snapshot, no gap exceeds 2 rounds."""
@@ -86,16 +67,9 @@ def test_driver_row_rotation_policy():
         _DRIVER_ROW_LAST_ROUND,
     )
 
-    actual = _actual_last_driver_round()
-    max_round = max(actual.values())
-
-    # (a) table == artifacts, both directions, restricted to the registry
-    for name in QUERIES:
-        assert _DRIVER_ROW_LAST_ROUND.get(name) == actual.get(name), (
-            f"{name}: static table says {_DRIVER_ROW_LAST_ROUND.get(name)}, "
-            f"CORRECTNESS artifacts say {actual.get(name)} — regenerate "
-            "_DRIVER_ROW_LAST_ROUND for this round"
-        )
+    # sanity: derivation found the repo's artifacts (rounds 1+ exist)
+    assert _DRIVER_ROW_LAST_ROUND, "no CORRECTNESS_r*.json artifacts found"
+    max_round = max(_DRIVER_ROW_LAST_ROUND.values())
 
     # (b) monotone staleness order
     rounds = [_DRIVER_ROW_LAST_ROUND.get(n, -1) for n in QUERIES]
@@ -117,3 +91,79 @@ def test_driver_row_rotation_policy():
     assert not missing, (
         f"stale entries outside the {DRIVER_ROW_CAP}-row cap: {missing}"
     )
+
+
+def test_driver_snapshot_head_is_exactly_the_owed_set():
+    """Registry-order CONTRACT (VERDICT r7 task #7): the first
+    DRIVER_ROW_CAP entries of QUERIES must contain every entry the
+    rotation owes a row next round — the never-rowed plus everything
+    stale vs the latest artifact — and the owed set must lead the
+    iteration order (head[:len(owed)] == owed), so a future registry
+    addition can't silently push an owed entry past the cap."""
+    from ph_ee_nats_importer_rdbms_spark.plans.queries import (
+        DRIVER_ROW_CAP,
+        _DRIVER_ROW_LAST_ROUND,
+    )
+
+    max_round = max(_DRIVER_ROW_LAST_ROUND.values())
+    owed = {
+        n for n in QUERIES if _DRIVER_ROW_LAST_ROUND.get(n, -1) < max_round
+    }
+    assert len(owed) <= DRIVER_ROW_CAP, (
+        f"{len(owed)} owed entries exceed the {DRIVER_ROW_CAP}-row cap"
+    )
+    names = list(QUERIES)
+    assert set(names[: len(owed)]) == owed, (
+        "owed entries do not lead the registry order: "
+        f"{owed - set(names[: len(owed)])}"
+    )
+
+
+def test_rotation_survives_future_driver_artifact(tmp_path):
+    """Simulate the exact event that made round 7's suite red: the driver
+    drops a fresh CORRECTNESS_r{N+1}.json AFTER the builder's last commit.
+    Copy the real artifacts into a temp dir, synthesize the next round's
+    snapshot as the current head-50, re-derive, and assert the invariants
+    still hold — with the previously-freshest (now stalest) entries
+    leading the new order."""
+    import glob
+    import json
+    import shutil
+
+    from ph_ee_nats_importer_rdbms_spark.plans.queries import (
+        DRIVER_ROW_CAP,
+        derive_driver_row_last_round,
+        order_registry,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        shutil.copy(p, tmp_path / os.path.basename(p))
+
+    current = derive_driver_row_last_round(str(tmp_path))
+    cur_max = max(current.values())
+    head_now = list(order_registry(current))[:DRIVER_ROW_CAP]
+
+    fake = {
+        n: {"rows_match": True, "schema_match": True, "hash_match": True}
+        for n in head_now
+    }
+    with open(tmp_path / f"CORRECTNESS_r{cur_max + 1:02d}.json", "w") as f:
+        json.dump(fake, f)
+
+    future = derive_driver_row_last_round(str(tmp_path))
+    future_q = order_registry(future)
+
+    # the next round's snapshot rows all advanced to cur_max + 1
+    assert all(future[n] == cur_max + 1 for n in head_now)
+
+    # invariants (b) and (c) hold against the future artifacts with NO
+    # code change — the red-at-round-boundary failure mode is gone
+    rounds = [future.get(n, -1) for n in future_q]
+    assert rounds == sorted(rounds)
+    owed = {n for n in future_q if future.get(n, -1) < cur_max + 1}
+    head_next = list(future_q)[:DRIVER_ROW_CAP]
+    assert owed <= set(head_next)
+    # the entries the r{N+1} snapshot missed are exactly the ones that
+    # lead the r{N+2} order
+    assert set(head_next[: len(owed)]) == owed
