@@ -1025,6 +1025,32 @@ def q_ann_search_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_search_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`incremental_vectors.search_store` over the dataset's STAGED
+    incremental store (built once per fingerprint: two deterministic
+    deliveries of the corpus with the shipped codebooks) — the store-backed
+    twin of :func:`q_ann_search_ivf_pq`, serving the same non-corpus query
+    relation on the IVF-pruned route. The probed candidates come from the
+    store's partitioned inverted-list layout (lists/<batch>/cluster_id=N/),
+    so the scan carries PartitionFilters on cluster_id (plan-asserted in
+    test_plan_quality.py). Store-backed and dataset-backed serving share
+    ``_ann_search_impl``, so the same DuckDB oracle gates both — this entry
+    puts the actual 100 TB serving artifact under the driver's oracle gate
+    (VERDICT r7 task #2)."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import (
+        incremental_vectors as iv,
+    )
+
+    root = iv.staged_store_root(spark, sf_dir)
+    return iv.search_store(
+        spark,
+        root,
+        _search_queries(spark, sf_dir),
+        n_queries=N_QUERIES,
+        variant="ivf_pq",
+    )
+
+
 def _pq_cb_duck(books) -> str:
     """The codebook as one nested DuckDB list literal. The explicit DOUBLE
     cast matters: bare decimal literals infer as DECIMAL, and float32
@@ -1315,6 +1341,11 @@ ANN_SEARCH_PQ_ORACLE = _ann_pq_oracle(
 ANN_SEARCH_IVF_PQ_ORACLE = _ann_ivf_pq_oracle(
     q_cte=_Q_CTE_REVERSED, exclude_self=False
 )
+
+#: store-backed serving is pinned bit-equal to dataset-backed serving for
+#: the same corpus + books (test_search_store_matches_dataset_backed_
+#: ann_search), so the SAME oracle gates the staged-store entry.
+ANN_SEARCH_STORE_ORACLE = ANN_SEARCH_IVF_PQ_ORACLE
 
 
 def _ann_lsh_oracle() -> str:

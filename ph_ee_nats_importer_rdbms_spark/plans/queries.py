@@ -1079,6 +1079,10 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
         _sim.q_ann_search_ivf_pq,
         _sim.ANN_SEARCH_IVF_PQ_ORACLE,
     ),
+    "ann_search_store": (
+        _sim.q_ann_search_store,
+        _sim.ANN_SEARCH_STORE_ORACLE,
+    ),
     "ann_recall": (_sim.q_ann_recall, _sim.ANN_RECALL_ORACLE),
     "semantic_sample": (_sim.q_semantic_sample, _sim.SEMANTIC_SAMPLE_ORACLE),
     "embedding_outliers": (

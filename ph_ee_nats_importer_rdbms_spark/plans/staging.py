@@ -93,6 +93,20 @@ _DOMAINS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
         ("documents.parquet",),
         ("sources/files.py", "analytics/hashing.py", "analytics/training.py"),
     ),
+    # the incremental vector store staged as a SERVING artifact (registry
+    # entry ann_search_store): its layout semantics live in
+    # incremental_vectors.py, so edits there rebuild the store without
+    # invalidating the flat emb-domain artifacts (and vice versa)
+    "vstore": (
+        ("embeddings.parquet",),
+        (
+            "sources/files.py",
+            "analytics/similarity.py",
+            "analytics/incremental_vectors.py",
+            "analytics/ivf_centroids.json",
+            "analytics/pq_codebooks.json",
+        ),
+    ),
 }
 
 
@@ -164,6 +178,22 @@ def is_staged(sf_dir: str, name: str, domain: str = "zeebe") -> bool:
     return os.path.exists(
         os.path.join(_dataset_dir(root, sf_dir, domain), name, "_SUCCESS")
     )
+
+
+def artifact_dir(sf_dir: str, domain: str) -> str | None:
+    """Fingerprinted per-dataset directory for NON-parquet staged
+    artifacts (e.g. the incremental vector store's root tree), or None
+    when persistence is disabled. Prunes stale fingerprints of the same
+    dataset on the way. The CALLER owns completeness semantics: build
+    into a tmp sibling inside this dir, then ``os.rename`` into place —
+    presence of the final name means the artifact is complete."""
+    root = cache_root()
+    if root is None:
+        return None
+    ds = _dataset_dir(root, sf_dir, domain)
+    _prune_stale(root, keep=ds)
+    os.makedirs(ds, exist_ok=True)
+    return ds
 
 
 def bucketed_dir(sf_dir: str) -> str | None:

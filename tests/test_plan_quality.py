@@ -71,6 +71,18 @@ def test_no_cartesian_or_stray_python(spark, sf_dir, name):
         assert marker not in plan, f"{name} has Python in the hot path"
 
 
+def test_ann_search_store_prunes_probed_list_partitions(spark, sf_dir):
+    """The store-backed serving entry (VERDICT r7 task #2): probes must
+    reach the staged store's inverted-list layout as PartitionFilters on
+    cluster_id — the plan shape that makes a probe read nprobe/nlist of a
+    100 TB index instead of scanning it."""
+    df = QUERIES["ann_search_store"][0](spark, sf_dir)
+    plan = _plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and all("cluster_id" in ln for ln in pf), plan
+    assert "CartesianProduct" not in plan
+
+
 def test_unigram_hot_tokens_take_the_broadcast_path(spark, sf_dir):
     """The Zipf-head split must be visible in the plan: the hot-token
     count join broadcasts (no reducer ever keys on a stopword). The
