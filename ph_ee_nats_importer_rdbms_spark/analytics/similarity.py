@@ -456,7 +456,10 @@ def ann_ivf_from_store(
 
 
 def ann_ivf_pq_from_store(
-    spark: SparkSession, sf_dir: str, store_path: str
+    spark: SparkSession,
+    sf_dir: str,
+    store_path: str,
+    n_store: int | None = None,
 ) -> DataFrame:
     """IVF-ADC served from a ``with_codes`` store: probes prune the read
     to nprobe partitions, the ADC pass scores the stored codes (the scan
@@ -490,10 +493,19 @@ def ann_ivf_pq_from_store(
         F.col("approx_cos").desc(), F.col("vec_id").asc()
     )
     # store cardinality from parquet footers (the store is partitioned by
-    # cluster_id); the count() fallback only fires for non-local stores.
-    n_store = staging.parquet_row_count(store_path)
+    # cluster_id). NO count() fallback (VERDICT r7 task #3): sizing the
+    # refine pool must never launch a corpus-wide job on a serving path —
+    # a non-footer-readable store must hand its size in explicitly.
+    n_store = n_store if n_store is not None else staging.parquet_row_count(
+        store_path
+    )
     if n_store is None:
-        n_store = store.count()
+        raise ValueError(
+            f"ann_ivf_pq_from_store: cannot size the refine pool for "
+            f"{store_path!r} — parquet footers unreadable and no n_store "
+            "given; pass n_store (e.g. from the store's manifest) instead "
+            "of forcing a count() over the corpus"
+        )
     refine = (
         scored.withColumn("pr", F.row_number().over(w))
         .filter(F.col("pr") <= _pq_refine(n_store))
@@ -726,7 +738,18 @@ def _pq_query_lut(
         raise ValueError(f"site must be auto|driver|engine, got {site!r}")
     if site == "auto":
         if n_queries is None:
-            n_queries = queries.count()
+            # bounded peek, never a COUNT over the query relation (VERDICT
+            # r7 task #3, same discipline as _ann_search_impl's router):
+            # on the driver route the peeked rows ARE the rows the LUT
+            # folds, so no second job; on the engine route the peek is
+            # capped at PQ_LUT_DRIVER_MAX + 1 rows regardless of |Q|.
+            peek = queries.limit(PQ_LUT_DRIVER_MAX + 1).collect()
+            if len(peek) <= PQ_LUT_DRIVER_MAX:
+                n_queries = len(peek)
+                if rows is None:
+                    rows = peek
+            else:
+                n_queries = PQ_LUT_DRIVER_MAX + 1
         site = "driver" if n_queries <= PQ_LUT_DRIVER_MAX else "engine"
     if site == "engine":
         return _pq_query_lut_distributed(sf_dir, queries, books=books)

@@ -1,0 +1,104 @@
+"""Round-8 pins (VERDICT r7 tasks #3): the count-free discipline extends
+past the ann_search router to the two residual sites adjacent to serving —
+``_pq_query_lut``'s auto-site routing (now a bounded peek) and
+``ann_ivf_pq_from_store``'s refine-pool sizing (now require-or-footer,
+never a corpus count).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ph_ee_nats_importer_rdbms_spark.sources.files import load_table, spread
+
+
+def _no_count_patch(monkeypatch):
+    def no_count(self, *a, **k):  # pragma: no cover - must not run
+        raise AssertionError("COUNT job on a count-free path")
+
+    monkeypatch.setattr(
+        "pyspark.sql.classic.dataframe.DataFrame.count", no_count,
+        raising=True,
+    )
+
+
+def _queries(spark, sf_dir, n):
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    return e.filter(F.col("vec_id") < n).select(
+        (F.col("vec_id") + 700_000).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+
+
+def test_pq_query_lut_auto_site_peeks_never_counts(
+    spark, sf_dir, monkeypatch
+):
+    """Direct ``_pq_query_lut(site="auto", n_queries=None)`` callers (the
+    path unreachable from ann_search but open to library users) must
+    size-route with a bounded peek: small sets fold the peeked rows on
+    the driver (no second job), large sets route to the engine LUT —
+    never a count() over the query relation."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import similarity as sim
+
+    _no_count_patch(monkeypatch)
+
+    # small: driver site, the peek IS the LUT's row source
+    small = sim._pq_query_lut(sf_dir, _queries(spark, sf_dir, 3))
+    rows = small.collect()
+    assert len(rows) == 3 and all(
+        len(r["lut"]) == sim.PQ_M and r["q_norm"] > 0 for r in rows
+    )
+
+    # large (router cap lowered): bounded peek, engine site
+    monkeypatch.setattr(sim, "PQ_LUT_DRIVER_MAX", 2)
+    called = {}
+    orig = sim._pq_query_lut_distributed
+
+    def recording(*a, **k):
+        called["engine"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sim, "_pq_query_lut_distributed", recording)
+    large = sim._pq_query_lut(sf_dir, _queries(spark, sf_dir, 5))
+    assert called.get("engine"), "large route must use the engine-side LUT"
+    assert len(large.collect()) == 5
+
+
+def test_ann_ivf_pq_from_store_sizes_without_counting(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Refine-pool sizing for a with_codes store: parquet footers when
+    readable, the caller's explicit n_store otherwise — an unreadable
+    footer with no n_store raises instead of silently launching a
+    corpus-wide count() (VERDICT r7 task #3)."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import similarity as sim
+    from ph_ee_nats_importer_rdbms_spark.plans import staging
+
+    store = str(tmp_path / "ivfpq_store")
+    sim.save_ivf_store(spark, sf_dir, store, with_codes=True)
+    n = staging.parquet_row_count(store)
+    assert n and n > 0
+
+    _no_count_patch(monkeypatch)
+
+    # footer-readable: serves without any count job
+    got = sorted(
+        tuple(r)
+        for r in sim.ann_ivf_pq_from_store(spark, sf_dir, store).collect()
+    )
+    assert got
+
+    # footer unreadable: explicit n_store serves identically, still no job
+    monkeypatch.setattr(staging, "parquet_row_count", lambda path: None)
+    with_n = sorted(
+        tuple(r)
+        for r in sim.ann_ivf_pq_from_store(
+            spark, sf_dir, store, n_store=n
+        ).collect()
+    )
+    assert with_n == got
+
+    # footer unreadable and no n_store: refuse loudly, never count
+    with pytest.raises(ValueError, match="cannot size the refine pool"):
+        sim.ann_ivf_pq_from_store(spark, sf_dir, store)
