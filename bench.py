@@ -1,7 +1,11 @@
 """Benchmark harness: runs every registry query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
-"queries_cold": {name: sec}, "value_cold", "sf"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO
+JSON lines: the full detail {"metric", "value" (warm total sec), "unit",
+"sf", "queries": {name: sec}, "value_cold", "queries_cold": {name: sec}}
+with the warm headline keys first, then a COMPACT summary line carrying
+just the totals — short enough that a bounded capture window (the driver
+records a ~2000-char tail) always preserves the round-comparable warm
+number even when the detail line is truncated (VERDICT r7 task #4).
 
 Each query is timed to FULL materialization of every output column: a
 bare count() lets Catalyst prune map-only projections down to a row
@@ -118,16 +122,38 @@ def main() -> int:
             )
 
     total = round(sum(timings.values()), 3)
+    total_cold = round(sum(cold.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full detail line: warm headline keys FIRST, queries_cold last
+    # (VERDICT r7 task #4 — round 7's capture window truncated the line
+    # and lost the round-comparable warm total to the cold dict).
     print(
         json.dumps(
             {
                 "metric": "total_query_sec",
                 "value": total,
                 "unit": "sec",
+                "sf": sf_val,
                 "queries": timings,
-                "value_cold": round(sum(cold.values()), 3),
+                "value_cold": total_cold,
                 "queries_cold": cold,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    # Compact summary line LAST: always shorter than any plausible tail
+    # capture window, so the warm headline survives even when the full
+    # detail line above gets truncated. Parsers that take the last
+    # parseable JSON line get this; parsers that take the first line get
+    # the full detail.
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "value_cold": total_cold,
+                "n_queries": len(timings),
             }
         )
     )
