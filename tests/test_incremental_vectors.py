@@ -256,6 +256,111 @@ def test_streaming_deliveries_fold_into_index(spark, sf_dir, tmp_path):
     assert _codes(spark, root) == _codes(spark, full)
 
 
+def test_streaming_retrain_drill_swaps_reader_and_keeps_serving(
+    spark, sf_dir, tmp_path
+):
+    """The FULL streaming lifecycle in one drill (VERDICT r7 task #5):
+    deliveries stream in via the foreachBatch sink; a shifted delivery
+    trips needs_retrain mid-stream; retrain_store regenerates into a new
+    root while the old root stays intact; the reader swap is a pointer
+    update; post-swap deliveries stream into the NEW root; and serving
+    from the new store equals a from-scratch build of the union corpus
+    with the retrained books (parity), including the just-streamed
+    vectors (continuity)."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    ivf_cb, pq_cb = _books(sf_dir)
+    base = e.filter(F.col("vec_id") < 200)
+    mid = e.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300))
+    shifted = e.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> cast(x * 7.0 + 3.0 as float))"
+        ).alias("embedding"),
+    )
+    late = e.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+
+    root = str(tmp_path / "old")
+    iv.build_vector_index(spark, base, root, ivf_cb, pq_cb)
+
+    def run_stream(landing: str, ckpt: str, sink_root: str) -> None:
+        stream = (
+            spark.readStream.schema(base.schema)
+            .parquet(landing)
+            .writeStream.foreachBatch(iv.streaming_append_sink(sink_root))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        stream.awaitTermination(120)
+
+    # phase 1: an in-distribution delivery streams in — healthy store
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    mid.write.parquet(landing)
+    run_stream(landing, ckpt, root)
+    assert not iv.needs_retrain(spark, root)
+
+    # phase 2: a shifted delivery lands mid-stream and trips the flag
+    shifted.write.mode("append").parquet(landing)
+    run_stream(landing, ckpt, root)
+    assert iv.needs_retrain(spark, root)
+
+    # phase 3: retrain into a NEW root; the old root keeps serving until
+    # the swap (never mutated), the new one starts healthy
+    new = str(tmp_path / "new")
+    iv.retrain_store(spark, root, new, seeds=(7,))
+    assert iv.needs_retrain(spark, root)  # old store unchanged
+    assert not iv.needs_retrain(spark, new)
+
+    # phase 4: swap the reader — post-swap deliveries stream into the new
+    # root through the same sink machinery (fresh landing + checkpoint)
+    landing2 = str(tmp_path / "landing2")
+    ckpt2 = str(tmp_path / "ckpt2")
+    late.write.parquet(landing2)
+    run_stream(landing2, ckpt2, new)
+
+    # parity: the swapped-to store serves EXACTLY like a from-scratch
+    # build of the union corpus with the retrained books
+    books = iv.frozen_codebooks(new)
+    union = base.unionByName(mid).unionByName(shifted).unionByName(late)
+    want_root = str(tmp_path / "want")
+    iv.build_vector_index(spark, union, want_root, books["ivf"], books["pq"])
+    queries = e.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 800_000).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    got = sorted(
+        tuple(r)
+        for r in iv.search_store(
+            spark, new, queries, variant="ivf_pq"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in iv.search_store(
+            spark, want_root, queries, variant="ivf_pq"
+        ).collect()
+    )
+    assert got == want and got
+
+    # continuity: a query AT a just-streamed late vector finds it at
+    # rank 1 with cosine 1.0 — the post-swap deliveries are served
+    late_row = late.filter(F.col("vec_id") == 321).collect()[0]
+    late_id = late_row["vec_id"]
+    late_q = spark.createDataFrame(
+        [(900_000, late_row["embedding"])],
+        "query_id LONG, q_emb ARRAY<FLOAT>",
+    )
+    top = (
+        iv.search_store(spark, new, late_q, variant="ivf_pq")
+        .filter(F.col("rank") == 1)
+        .collect()[0]
+    )
+    assert top["vec_id"] == late_id and top["cosine"] == 1.0
+
+
 def test_drift_report_zero_qerr_reference_is_not_missing(
     spark, sf_dir, tmp_path
 ):
