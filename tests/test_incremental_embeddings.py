@@ -281,3 +281,102 @@ def test_rebuild_resolves_structure_drift(spark, tmp_path):
     new_ids = {r["vec_id"] for r in
                ie._store_vectors(spark, new).select("vec_id").collect()}
     assert new_ids == old_ids
+
+
+def test_measured_recall_recorded_per_delivery(spark, sf_dir, tmp_path):
+    """VERDICT r7 task #6: every commit manifest carries MEASURED band
+    recall (sampled exact pairs at the floor cosine vs bucketed
+    candidates). An exact-dup delivery (copies of committed vectors
+    under new ids) has true pairs at cosine 1.0 that co-bucket in every
+    band — measured recall 1.0, comfortably above the analytic floor,
+    no trip."""
+    import json
+    import os
+
+    from ph_ee_nats_importer_rdbms_spark.analytics import batch_store as bs
+
+    v = _vectors(spark, sf_dir)
+    root = str(tmp_path / "emb")
+    ie.build_embedding_store(spark, v, root)
+    dups = v.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
+    )
+    ie.append_embedding_batch(spark, dups, root)
+
+    manifests = bs.committed_batches(root)
+    assert all("recall" in m for m in manifests)
+    last = manifests[-1]["recall"]
+    assert last["sampled"] == 40
+    assert last["true_pairs"] >= 40  # every copy pairs with its original
+    assert last["caught_pairs"] == last["true_pairs"]
+
+    rows = (
+        ie.structure_drift_report(spark, root).orderBy("seq").collect()
+    )
+    floor = ie.analytic_recall_floor(ie.frozen_planes(root))
+    assert rows[-1]["measured_recall"] == 1.0
+    assert rows[-1]["recall_floor"] == floor and 0 < floor < 1
+    assert rows[-1]["recall_low"] is False
+    assert rows[-1]["needs_rebuild"] is False
+    assert not ie.needs_rebuild(spark, root)
+
+
+def test_recall_drop_below_floor_trips_needs_rebuild(
+    spark, sf_dir, tmp_path
+):
+    """A delivery whose measured recall sits below the analytic floor
+    beyond sampling noise trips needs_rebuild even when occupancy is
+    healthy; a small-sample dip inside the noise margin does NOT (the
+    same no-false-flag discipline as the ANN store's TVD floor)."""
+    import json
+    import os
+
+    from ph_ee_nats_importer_rdbms_spark.analytics import batch_store as bs
+
+    v = _vectors(spark, sf_dir)
+    root = str(tmp_path / "emb")
+    ie.build_embedding_store(spark, v.filter(F.col("vec_id") < 300), root)
+    ie.append_embedding_batch(
+        spark, v.filter(F.col("vec_id") >= 300), root
+    )
+    assert not ie.needs_rebuild(spark, root)
+
+    mdir = bs.manifest_dir(root)
+    last_name = sorted(
+        n for n in os.listdir(mdir) if n.endswith(".json")
+    )[-1]
+    path = os.path.join(mdir, last_name)
+    with open(path) as f:
+        m = json.load(f)
+
+    # genuine degradation: 10/100 caught, far below any floor
+    m["recall"] = {
+        "sampled": 64, "floor_cos": 0.8,
+        "true_pairs": 100, "caught_pairs": 10,
+    }
+    with open(path, "w") as f:
+        json.dump(m, f)
+    rows = {r["seq"]: r for r in ie.structure_drift_report(spark, root).collect()}
+    assert rows[max(rows)]["recall_low"] is True
+    assert rows[max(rows)]["needs_rebuild"] is True
+    assert ie.needs_rebuild(spark, root)
+
+    # small-sample dip inside the binomial noise margin: unknown-ish, no trip
+    m["recall"] = {
+        "sampled": 3, "floor_cos": 0.8,
+        "true_pairs": 3, "caught_pairs": 1,
+    }
+    with open(path, "w") as f:
+        json.dump(m, f)
+    rows = {r["seq"]: r for r in ie.structure_drift_report(spark, root).collect()}
+    assert rows[max(rows)]["recall_low"] is False
+    assert not ie.needs_rebuild(spark, root)
+
+    # pre-upgrade manifests (no recall stats): unknown, never a trip
+    del m["recall"]
+    with open(path, "w") as f:
+        json.dump(m, f)
+    rows = {r["seq"]: r for r in ie.structure_drift_report(spark, root).collect()}
+    assert rows[max(rows)]["measured_recall"] is None
+    assert rows[max(rows)]["recall_low"] is None
+    assert not ie.needs_rebuild(spark, root)
