@@ -223,10 +223,30 @@ def _encode_and_write(
         str(r["cluster_id"]): r["c"]
         for r in assign.groupBy("cluster_id").agg(F.count("*").alias("c")).collect()
     }
+    # measured serving-recall input over the UNION corpus (committed
+    # batches + this delivery); pre-upgrade stores without a vectors/
+    # artifact record None — unknown, same contract as missing drift
+    try:
+        prior = committed_batches(root)
+        batch_float = vecs.select(
+            "vec_id",
+            F.col("embedding").cast("array<float>").alias("embedding"),
+        )
+        if prior:
+            all_vec = _read(spark, root, "vectors").unionByName(batch_float)
+            all_assign = _read(spark, root, "ivf_assign").unionByName(assign)
+        else:
+            all_vec, all_assign = batch_float, assign
+        probe_recall = _probe_coverage_stats(
+            spark, vecs, all_vec, all_assign, books["ivf"]
+        )
+    except Exception:  # legacy layout: vectors/ dirs absent
+        probe_recall = None
     return {
         "n": int(agg["n"]),
         "mean_qerr": float(agg["mean_qerr"]) if agg["mean_qerr"] is not None else None,
         "occupancy": occ,
+        "probe_recall": probe_recall,
     }
 
 
@@ -298,6 +318,85 @@ def append_vectors(
 QERR_RATIO_THRESHOLD = 1.5
 OCCUPANCY_TVD_THRESHOLD = 0.25
 
+#: MEASURED serving-recall drift (round 8 — the vector-store twin of the
+#: embedding store's per-delivery measured band recall): qerr watches the
+#: PQ books and occupancy-TVD watches list BALANCE, but neither observes
+#: the quantity serving actually depends on — whether a query's true
+#: neighbors still live inside its nprobe probed lists. Each delivery
+#: therefore measures PROBE COVERAGE: sample up to
+#: ``PROBE_RECALL_QUERY_SAMPLE`` delivery vectors as queries, take their
+#: exact top-``PROBE_RECALL_K`` neighbors over the union corpus (ground
+#: truth — one broadcast-sample map over the corpus, append-time only,
+#: never on a serving path), and record what fraction sit in the query's
+#: IVF_PQ_NPROBE probed clusters. The BASE build's coverage is the
+#: reference; a delivery trips when its coverage falls below
+#: ``PROBE_RECALL_RATIO_THRESHOLD`` x base minus a 2-standard-error
+#: binomial noise margin (no false flags from small samples).
+PROBE_RECALL_QUERY_SAMPLE = 16
+PROBE_RECALL_K = 10
+PROBE_RECALL_RATIO_THRESHOLD = 0.6
+
+
+def _probe_coverage_stats(
+    spark: SparkSession,
+    batch_vecs: DataFrame,
+    all_vec: DataFrame,
+    all_assign: DataFrame,
+    ivf_cb,
+) -> dict:
+    """{queries, k, nprobe, possible, covered} for one delivery — the
+    manifest's measured serving-recall input (see the constants block)."""
+    from pyspark.sql import Window
+
+    from ph_ee_nats_importer_rdbms_spark.analytics.dedup import _dot, _norm
+    from ph_ee_nats_importer_rdbms_spark.analytics.similarity import (
+        IVF_PQ_NPROBE,
+        probes_for,
+    )
+
+    queries = (
+        batch_vecs.orderBy("vec_id")
+        .limit(PROBE_RECALL_QUERY_SAMPLE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cent = F.broadcast(
+        spark.createDataFrame(
+            [(cid, [float(v) for v in vec]) for cid, vec in enumerate(ivf_cb)],
+            "cid INT, cemb ARRAY<DOUBLE>",
+        )
+    )
+    probes = probes_for(
+        spark, None, queries, nprobe=IVF_PQ_NPROBE, cent=cent
+    ).select("query_id", "cluster_id")
+    cos = _dot("q_emb", "embedding") / (_norm("q_emb") * _norm("embedding"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(cos, 6).desc(), F.col("vec_id").asc()
+    )
+    truth = (
+        F.broadcast(queries)
+        .crossJoin(all_vec.select("vec_id", "embedding"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= PROBE_RECALL_K)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    covered = (
+        truth.join(all_assign.select("vec_id", "cluster_id"), "vec_id")
+        .join(F.broadcast(probes), ["query_id", "cluster_id"], "leftsemi")
+        .count()
+    )
+    return {
+        "queries": queries.count(),
+        "k": PROBE_RECALL_K,
+        "possible": truth.count(),
+        "covered": int(covered),
+    }
+
 _DRIFT_SCHEMA = T.StructType(
     [
         T.StructField("seq", T.IntegerType()),
@@ -307,9 +406,38 @@ _DRIFT_SCHEMA = T.StructType(
         T.StructField("qerr_ratio", T.DoubleType()),
         T.StructField("occupancy_tvd", T.DoubleType()),
         T.StructField("tvd_noise_floor", T.DoubleType()),
+        T.StructField("probe_possible", T.LongType()),
+        T.StructField("probe_recall", T.DoubleType()),
+        T.StructField("probe_recall_ref", T.DoubleType()),
+        T.StructField("probe_recall_low", T.BooleanType()),
         T.StructField("needs_retrain", T.BooleanType()),
     ]
 )
+
+
+def _probe_recall_of(d: dict | None) -> tuple:
+    """(possible, recall) from a manifest's probe_recall stats; recall is
+    None when nothing was measurable (no stats, or no true pairs)."""
+    pr = (d or {}).get("probe_recall")
+    if not pr or not pr.get("possible"):
+        return None, None
+    return int(pr["possible"]), pr["covered"] / pr["possible"]
+
+
+def _probe_recall_low(
+    possible: int | None, recall: float | None, ref: float | None,
+    ratio_threshold: float,
+) -> bool | None:
+    """Noise-guarded coverage trip: measured coverage more than two
+    binomial standard errors below ratio_threshold x the base build's
+    coverage. Unknown inputs -> None (never a trip)."""
+    import math
+
+    if possible is None or recall is None or ref is None:
+        return None
+    target = ratio_threshold * ref
+    margin = 2.0 * math.sqrt(max(target * (1 - target), 0.0) / possible)
+    return bool(recall < target - margin)
 
 
 def _tvd(p: dict[str, int], q: dict[str, int]) -> float | None:
@@ -343,24 +471,30 @@ def drift_report(
     root: str,
     qerr_ratio_threshold: float = QERR_RATIO_THRESHOLD,
     occupancy_tvd_threshold: float = OCCUPANCY_TVD_THRESHOLD,
+    probe_recall_ratio_threshold: float = PROBE_RECALL_RATIO_THRESHOLD,
 ) -> DataFrame:
     """Per-delivery codebook-drift relation, thresholded into a
     ``needs_retrain`` flag — one row per committed batch, computed
     entirely from the commit manifests (config-sized; no data scan).
 
     The BASE build's statistics are the reference: its quantization error
-    is what the codebooks were trained to minimize, and its occupancy is
-    the trained list distribution. Deliveries committed by pre-upgrade
-    code carry no drift stats and surface as NULL metrics with a NULL
-    flag (unknown, not healthy)."""
+    is what the codebooks were trained to minimize, its occupancy is the
+    trained list distribution, and its measured probe coverage (round 8)
+    is the serving recall the frozen index delivered at build time — a
+    delivery whose sampled true neighbors stop landing in the probed
+    lists trips the flag even when qerr and occupancy look healthy.
+    Deliveries committed by pre-upgrade code carry no drift stats and
+    surface as NULL metrics with a NULL flag (unknown, not healthy)."""
     rows = []
     manifests = committed_batches(root)
     base = next((m.get("drift") for m in manifests if m.get("drift")), None)
+    _, base_recall = _probe_recall_of(base)
     for m in manifests:
         d = m.get("drift")
         if not d or base is None:
             rows.append(
-                (m["seq"], m["batch"], None, None, None, None, None, None)
+                (m["seq"], m["batch"], None, None, None, None, None,
+                 None, None, None, None, None)
             )
             continue
         # mean_qerr == 0.0 is a LEGITIMATE reference (tiny corpora where
@@ -379,10 +513,18 @@ def drift_report(
         noise = _tvd_noise_floor(
             d.get("n"), max(len(base.get("occupancy", {})), 1)
         )
-        trip = (ratio is not None and ratio > qerr_ratio_threshold) or (
-            tvd is not None
-            and noise is not None
-            and tvd > occupancy_tvd_threshold + noise
+        possible, recall = _probe_recall_of(d)
+        low = _probe_recall_low(
+            possible, recall, base_recall, probe_recall_ratio_threshold
+        )
+        trip = (
+            (ratio is not None and ratio > qerr_ratio_threshold)
+            or (
+                tvd is not None
+                and noise is not None
+                and tvd > occupancy_tvd_threshold + noise
+            )
+            or bool(low)
         )
         rows.append(
             (
@@ -393,6 +535,10 @@ def drift_report(
                 ratio,
                 tvd,
                 noise,
+                possible,
+                recall,
+                base_recall,
+                low,
                 trip,
             )
         )

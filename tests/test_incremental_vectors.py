@@ -582,3 +582,89 @@ def test_search_store_prunes_inverted_list_partitions(
         ).collect()
     )
     assert got == fallback and got
+
+
+def test_probe_coverage_recall_recorded_and_healthy(spark, sf_dir, tmp_path):
+    """Round 8: every commit manifest measures SERVING recall — the
+    fraction of sampled queries' exact top-k neighbors that land inside
+    their IVF_PQ_NPROBE probed lists. An in-distribution delivery stays
+    near the base build's coverage and must not trip."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    ivf_cb, pq_cb = _books(sf_dir)
+    root = str(tmp_path / "vx")
+    iv.build_vector_index(
+        spark, e.filter(F.col("vec_id") % 2 == 0), root, ivf_cb, pq_cb
+    )
+    iv.append_vectors(spark, e.filter(F.col("vec_id") % 2 == 1), root)
+
+    for m in iv.committed_batches(root):
+        pr = m["drift"]["probe_recall"]
+        assert pr["queries"] == iv.PROBE_RECALL_QUERY_SAMPLE
+        assert pr["k"] == iv.PROBE_RECALL_K
+        assert 0 < pr["covered"] <= pr["possible"]
+
+    rows = iv.drift_report(spark, root).orderBy("seq").collect()
+    assert all(r["probe_recall"] is not None for r in rows)
+    assert rows[0]["probe_recall_ref"] == rows[0]["probe_recall"]
+    assert all(r["probe_recall_low"] is False for r in rows)
+    assert not iv.needs_retrain(spark, root)
+
+
+def test_probe_coverage_drop_trips_needs_retrain(spark, sf_dir, tmp_path):
+    """A delivery whose measured probe coverage falls below the
+    ratio-threshold of the base build's — beyond the binomial noise
+    margin — trips needs_retrain even with healthy qerr/occupancy; a
+    small-sample dip inside the margin does not; pre-upgrade stats
+    surface as unknown and never trip."""
+    import json as _json
+    import os as _os
+
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    ivf_cb, pq_cb = _books(sf_dir)
+    root = str(tmp_path / "vx")
+    iv.build_vector_index(
+        spark, e.filter(F.col("vec_id") < 300), root, ivf_cb, pq_cb
+    )
+    iv.append_vectors(spark, e.filter(F.col("vec_id") >= 300), root)
+    assert not iv.needs_retrain(spark, root)
+
+    mdir = _os.path.join(root, "_batches")
+    last = sorted(_os.listdir(mdir))[-1]
+    path = _os.path.join(mdir, last)
+    with open(path) as f:
+        m = _json.load(f)
+
+    # genuine serving degradation: 10/160 covered vs a healthy base
+    m["drift"]["probe_recall"] = {
+        "queries": 16, "k": 10, "possible": 160, "covered": 10,
+    }
+    with open(path, "w") as f:
+        _json.dump(m, f)
+    rows = {r["seq"]: r for r in iv.drift_report(spark, root).collect()}
+    last_row = rows[max(rows)]
+    assert last_row["probe_recall_low"] is True
+    assert last_row["needs_retrain"] is True
+    assert iv.needs_retrain(spark, root)
+
+    # small-sample dip inside the 2-SE noise margin: no trip
+    m["drift"]["probe_recall"] = {
+        "queries": 1, "k": 10, "possible": 5, "covered": 2,
+    }
+    with open(path, "w") as f:
+        _json.dump(m, f)
+    rows = {r["seq"]: r for r in iv.drift_report(spark, root).collect()}
+    assert rows[max(rows)]["probe_recall_low"] is False
+    assert not iv.needs_retrain(spark, root)
+
+    # pre-upgrade delivery (no probe stats): unknown, never a trip
+    m["drift"]["probe_recall"] = None
+    with open(path, "w") as f:
+        _json.dump(m, f)
+    rows = {r["seq"]: r for r in iv.drift_report(spark, root).collect()}
+    assert rows[max(rows)]["probe_recall"] is None
+    assert rows[max(rows)]["probe_recall_low"] is None
+    assert not iv.needs_retrain(spark, root)
