@@ -58,9 +58,9 @@ def main() -> int:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # -Xlog:disable: under heap pressure (the 100x corpora) the JVM's
     # unified logging writes gc,alloc warnings to THIS process's stdout,
-    # and the harness contract is ONE JSON line on stdout — observed a
-    # "[warning][gc,alloc] ... Retried waiting for GC" line landing ahead
-    # of the JSON at sf10.
+    # and the harness contract is JSON-only stdout (the detail line plus
+    # the compact summary line) — observed a "[warning][gc,alloc] ...
+    # Retried waiting for GC" line landing ahead of the JSON at sf10.
     spark = build_session(
         app_name="ph-ee-spark-bench",
         extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"},

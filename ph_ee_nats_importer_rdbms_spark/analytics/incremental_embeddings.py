@@ -189,14 +189,21 @@ def _verified_pairs(
     )
 
 
-#: per-delivery recall measurement: sample cap (bounded work — the
-#: truth pass is |sample| x corpus exact cosines, one broadcast map
-#: over the union relation) and the noise guard in floor-trip units
-#: (one-sided: trip only when measured recall sits more than this many
-#: binomial standard errors BELOW the analytic floor, so a small
-#: delivery with 3 true pairs and one unlucky miss can't false-flag —
-#: the same honesty discipline as the ANN store's TVD noise floor).
+#: per-delivery recall measurement: sample cap and corpus cap bound the
+#: truth pass at |sample| x min(corpus, cap) exact cosines — one
+#: broadcast map over a DETERMINISTIC hash-subsample of the union
+#: relation, so the measurement cannot break the store's
+#: delivery-linear append contract however large the corpus grows
+#: (pairs found within a uniform subsample are true pairs; the estimate
+#: just carries more variance, which the noise guard absorbs). The
+#: guard is one-sided, in binomial standard errors: trip only when
+#: measured recall sits more than ``RECALL_FLOOR_MARGIN_SD`` SEs BELOW
+#: the analytic floor, so a small delivery with 3 true pairs and one
+#: unlucky miss can't false-flag — the same honesty discipline as the
+#: ANN store's TVD noise floor. (The constant is shared with the ANN
+#: store's probe-coverage trip — one tuning site.)
 RECALL_SAMPLE_MAX = 64
+RECALL_CORPUS_CAP = 20_000
 RECALL_FLOOR_MARGIN_SD = 2.0
 
 
@@ -222,17 +229,21 @@ def _measured_recall_stats(
     all_vec: DataFrame,
     sample_bk: DataFrame,
     all_bk: DataFrame,
+    n_delivery: int,
+    n_total: int,
 ) -> dict:
     """MEASURED band recall for one delivery (VERDICT r7 task #6): of the
     sampled delivery vectors' TRUE pairs at the floor cosine (exact
-    cosine against the whole corpus — ground truth, no LSH), the fraction
-    the frozen bands surface as candidates. The analytic floor is a
-    design-time guarantee under uniform geometry; production corpora can
-    concentrate in ways that break it silently — this records the
-    observed value in the commit manifest so degradation is a monitored
-    signal, not a documented caveat. Bounded: |sample| <=
-    ``RECALL_SAMPLE_MAX``, truth pass is one broadcast-sample map over
-    the corpus (linear, append-time only — never on a serving path)."""
+    cosine ground truth, no LSH), the fraction the frozen bands surface
+    as candidates. The analytic floor is a design-time guarantee under
+    uniform geometry; production corpora can concentrate in ways that
+    break it silently — this records the observed value in the commit
+    manifest so degradation is a monitored signal, not a documented
+    caveat. Bounded: |sample| <= ``RECALL_SAMPLE_MAX`` and the truth
+    pass runs against a deterministic <= ``RECALL_CORPUS_CAP``-row
+    corpus subsample (append-time only — never on a serving path, and
+    never corpus-proportional). ``n_delivery``/``n_total`` come from
+    counts the caller already holds — no extra cardinality jobs."""
     from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
         EMBED_RECALL_FLOOR_COS,
     )
@@ -243,7 +254,17 @@ def _measured_recall_stats(
         F.col("embedding").alias("emb_a"),
         F.col("norm").alias("norm_a"),
     )
-    b = all_vec.select(
+    corpus = all_vec
+    if n_total > RECALL_CORPUS_CAP:
+        frac_ppm = int(1_000_000 * RECALL_CORPUS_CAP / n_total)
+        corpus = corpus.filter(
+            F.pmod(
+                F.xxhash64(F.col("vec_id"), F.lit("band-recall")),
+                F.lit(1_000_000),
+            )
+            < frac_ppm
+        )
+    b = corpus.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
         F.col("norm").alias("norm_b"),
@@ -283,8 +304,9 @@ def _measured_recall_stats(
     n_true = truth.count()
     n_caught = truth.join(caught, ["vec_a", "vec_b"], "leftsemi").count()
     return {
-        "sampled": sample.count(),
+        "sampled": min(RECALL_SAMPLE_MAX, n_delivery),
         "floor_cos": EMBED_RECALL_FLOOR_COS,
+        "corpus_cap": RECALL_CORPUS_CAP,
         "true_pairs": int(n_true),
         "caught_pairs": int(n_caught),
     }
@@ -383,7 +405,7 @@ def build_embedding_store(
             "seq": 0,
             "batch": bs.BASE_BATCH,
             "structure_drift": _structure_stats(structure, n, n),
-            "recall": _measured_recall_stats(vec, vec, slim, slim),
+            "recall": _measured_recall_stats(vec, vec, slim, slim, n, n),
         },
     )
 
@@ -496,7 +518,7 @@ def append_embedding_batch(
             "batch": batch,
             "structure_drift": _structure_stats(structure, n_prior + n, n),
             "recall": _measured_recall_stats(
-                new_vec, all_vec, new_bk, all_bk
+                new_vec, all_vec, new_bk, all_bk, n, n_prior + n
             ),
         },
     )
@@ -536,16 +558,17 @@ def _recall_low(d: dict | None, floor: float) -> tuple:
     """(true_pairs, measured_recall, recall_low) from a manifest's recall
     stats. ``recall_low`` is the noise-guarded trip: measured recall more
     than ``RECALL_FLOOR_MARGIN_SD`` binomial standard errors below the
-    analytic floor. No stats / no true pairs -> unknown (None), never a
-    trip — a delivery with nothing to measure is not evidence of
-    degradation."""
+    analytic floor. No stats OR no true pairs -> unknown (None in both
+    the recall and flag slots), never a trip — a delivery with nothing
+    to measure is not evidence of health any more than of degradation
+    (same contract as the ANN store's probe-coverage columns)."""
     import math
 
     if not d or not d.get("true_pairs"):
         return (
             None if d is None else d.get("true_pairs"),
             None,
-            None if d is None else False,
+            None,
         )
     t = int(d["true_pairs"])
     measured = d["caught_pairs"] / t

@@ -10,8 +10,10 @@ codebooks are TRAINED ONCE on a sample and then FROZEN (``train()`` then
 ``add()``) — codes produced by two different training runs are not
 comparable, so an append must never retrain. The store therefore embeds
 its codebooks at build time, and ``append_vectors`` encodes ONLY the new
-batch against those frozen books: per-delivery cost is linear in the
-delivery, never the corpus.
+batch against those frozen books: per-delivery ENCODE cost is linear in
+the delivery, never the corpus (the drift monitor's measured
+probe-coverage adds a bounded constant per delivery — sampled queries
+against a capped corpus subsample, see ``PROBE_RECALL_CORPUS_CAP``).
 
 Store layout mirrors incremental_docs' manifest-transaction shape::
 
@@ -224,23 +226,45 @@ def _encode_and_write(
         for r in assign.groupBy("cluster_id").agg(F.count("*").alias("c")).collect()
     }
     # measured serving-recall input over the UNION corpus (committed
-    # batches + this delivery); pre-upgrade stores without a vectors/
-    # artifact record None — unknown, same contract as missing drift
-    try:
-        prior = committed_batches(root)
+    # batches + this delivery, truth pass bounded by the corpus-cap
+    # subsample). Pre-upgrade stores that carry no vectors/ artifact —
+    # or whose manifests cannot be sized — record None: unknown, same
+    # contract as missing drift. The detection is explicit (never a
+    # broad except): any real failure inside the measurement must
+    # propagate, not silently blind the monitor forever (the manifest
+    # is immutable once committed).
+    n_batch = int(agg["n"])
+    prior = committed_batches(root)
+    has_vectors = all(
+        os.path.isdir(_batch_path(root, "vectors", m["batch"]))
+        for m in prior
+    )
+    if has_vectors:
         batch_float = vecs.select(
             "vec_id",
             F.col("embedding").cast("array<float>").alias("embedding"),
         )
-        if prior:
-            all_vec = _read(spark, root, "vectors").unionByName(batch_float)
-            all_assign = _read(spark, root, "ivf_assign").unionByName(assign)
+        try:
+            n_prior = index_size(root) if prior else 0
+        except ValueError:  # pre-upgrade manifests, unreadable footers
+            n_prior = None
+        if n_prior is None:
+            probe_recall = None
         else:
-            all_vec, all_assign = batch_float, assign
-        probe_recall = _probe_coverage_stats(
-            spark, vecs, all_vec, all_assign, books["ivf"]
-        )
-    except Exception:  # legacy layout: vectors/ dirs absent
+            if prior:
+                all_vec = _read(spark, root, "vectors").unionByName(
+                    batch_float
+                )
+                all_assign = _read(spark, root, "ivf_assign").unionByName(
+                    assign
+                )
+            else:
+                all_vec, all_assign = batch_float, assign
+            probe_recall = _probe_coverage_stats(
+                spark, vecs, n_batch, all_vec, n_prior + n_batch,
+                all_assign, books["ivf"],
+            )
+    else:
         probe_recall = None
     return {
         "n": int(agg["n"]),
@@ -325,27 +349,56 @@ OCCUPANCY_TVD_THRESHOLD = 0.25
 #: neighbors still live inside its nprobe probed lists. Each delivery
 #: therefore measures PROBE COVERAGE: sample up to
 #: ``PROBE_RECALL_QUERY_SAMPLE`` delivery vectors as queries, take their
-#: exact top-``PROBE_RECALL_K`` neighbors over the union corpus (ground
-#: truth — one broadcast-sample map over the corpus, append-time only,
-#: never on a serving path), and record what fraction sit in the query's
-#: IVF_PQ_NPROBE probed clusters. The BASE build's coverage is the
-#: reference; a delivery trips when its coverage falls below
-#: ``PROBE_RECALL_RATIO_THRESHOLD`` x base minus a 2-standard-error
-#: binomial noise margin (no false flags from small samples).
+#: exact top-``PROBE_RECALL_K`` neighbors over a DETERMINISTIC
+#: hash-subsample of the union corpus capped at
+#: ``PROBE_RECALL_CORPUS_CAP`` rows (the truth pass must not break the
+#: store's delivery-linear append contract — the subsample bounds it at
+#: sample x cap exact cosines per delivery regardless of corpus size;
+#: top-k within a uniform subsample are genuinely near points, and
+#: their probe coverage estimates the same quantity with more variance,
+#: which the noise margin already absorbs), and record what fraction sit
+#: in the query's IVF_PQ_NPROBE probed clusters. Append-time only, never
+#: on a serving path. The BASE build's coverage is the reference; a
+#: delivery trips when its coverage falls below
+#: ``PROBE_RECALL_RATIO_THRESHOLD`` x base minus a binomial noise margin
+#: of ``incremental_embeddings.RECALL_FLOOR_MARGIN_SD`` standard errors
+#: (shared constant). The margin treats the query x k neighbor pairs as
+#: independent trials, which understates variance when one query's
+#: neighbors cluster — the ratio threshold is deliberately loose (0.6)
+#: so that conservatism, not the margin alone, carries the no-false-flag
+#: property.
 PROBE_RECALL_QUERY_SAMPLE = 16
 PROBE_RECALL_K = 10
+PROBE_RECALL_CORPUS_CAP = 20_000
 PROBE_RECALL_RATIO_THRESHOLD = 0.6
+
+
+def _hash_subsample(df: DataFrame, n_total: int, cap: int, key: str) -> DataFrame:
+    """Deterministic ~``cap``-row subsample of an ``n_total``-row relation
+    (identity map when it already fits): hash-threshold on the key, so
+    the subsample is stable across runs and needs no count job."""
+    if n_total <= cap:
+        return df
+    frac_ppm = int(1_000_000 * cap / n_total)
+    return df.filter(
+        F.pmod(F.xxhash64(F.col(key), F.lit("probe-recall")), F.lit(1_000_000))
+        < frac_ppm
+    )
 
 
 def _probe_coverage_stats(
     spark: SparkSession,
     batch_vecs: DataFrame,
+    n_batch: int,
     all_vec: DataFrame,
+    n_total: int,
     all_assign: DataFrame,
     ivf_cb,
 ) -> dict:
-    """{queries, k, nprobe, possible, covered} for one delivery — the
-    manifest's measured serving-recall input (see the constants block)."""
+    """{queries, k, corpus_cap, possible, covered} for one delivery — the
+    manifest's measured serving-recall input (see the constants block).
+    ``n_batch``/``n_total`` come from counts the caller already has, so
+    the measurement adds no cardinality jobs."""
     from pyspark.sql import Window
 
     from ph_ee_nats_importer_rdbms_spark.analytics.dedup import _dot, _norm
@@ -363,6 +416,12 @@ def _probe_coverage_stats(
         )
         .localCheckpoint(eager=True)
     )
+    corpus = _hash_subsample(
+        all_vec.select("vec_id", "embedding"),
+        n_total,
+        PROBE_RECALL_CORPUS_CAP,
+        "vec_id",
+    )
     cent = F.broadcast(
         spark.createDataFrame(
             [(cid, [float(v) for v in vec]) for cid, vec in enumerate(ivf_cb)],
@@ -378,7 +437,7 @@ def _probe_coverage_stats(
     )
     truth = (
         F.broadcast(queries)
-        .crossJoin(all_vec.select("vec_id", "embedding"))
+        .crossJoin(corpus)
         .filter(F.col("query_id") != F.col("vec_id"))
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= PROBE_RECALL_K)
@@ -391,8 +450,9 @@ def _probe_coverage_stats(
         .count()
     )
     return {
-        "queries": queries.count(),
+        "queries": min(PROBE_RECALL_QUERY_SAMPLE, n_batch),
         "k": PROBE_RECALL_K,
+        "corpus_cap": PROBE_RECALL_CORPUS_CAP,
         "possible": truth.count(),
         "covered": int(covered),
     }
@@ -428,15 +488,26 @@ def _probe_recall_low(
     possible: int | None, recall: float | None, ref: float | None,
     ratio_threshold: float,
 ) -> bool | None:
-    """Noise-guarded coverage trip: measured coverage more than two
-    binomial standard errors below ratio_threshold x the base build's
-    coverage. Unknown inputs -> None (never a trip)."""
+    """Noise-guarded coverage trip: measured coverage more than
+    ``incremental_embeddings.RECALL_FLOOR_MARGIN_SD`` binomial standard
+    errors below ratio_threshold x the base build's coverage (the margin
+    constant is shared with the embedding store's recall trip — one
+    tuning site). Unknown inputs -> None (never a trip). The binomial SE
+    treats query x k pairs as independent, which understates variance
+    when one query's neighbors cluster; the loose ratio threshold (not
+    the margin alone) carries the no-false-flag property."""
     import math
+
+    from ph_ee_nats_importer_rdbms_spark.analytics.incremental_embeddings import (
+        RECALL_FLOOR_MARGIN_SD,
+    )
 
     if possible is None or recall is None or ref is None:
         return None
     target = ratio_threshold * ref
-    margin = 2.0 * math.sqrt(max(target * (1 - target), 0.0) / possible)
+    margin = RECALL_FLOOR_MARGIN_SD * math.sqrt(
+        max(target * (1 - target), 0.0) / possible
+    )
     return bool(recall < target - margin)
 
 
@@ -492,9 +563,11 @@ def drift_report(
     for m in manifests:
         d = m.get("drift")
         if not d or base is None:
+            # the recall reference is a store-level constant — populate
+            # it even on unknown rows so the column reads uniformly
             rows.append(
                 (m["seq"], m["batch"], None, None, None, None, None,
-                 None, None, None, None, None)
+                 None, None, base_recall, None, None)
             )
             continue
         # mean_qerr == 0.0 is a LEGITIMATE reference (tiny corpora where
@@ -550,12 +623,17 @@ def needs_retrain(
     root: str,
     qerr_ratio_threshold: float = QERR_RATIO_THRESHOLD,
     occupancy_tvd_threshold: float = OCCUPANCY_TVD_THRESHOLD,
+    probe_recall_ratio_threshold: float = PROBE_RECALL_RATIO_THRESHOLD,
 ) -> bool:
     """True when ANY committed delivery trips a drift threshold — the
     operational answer to 'is this frozen index still serving the
     distribution it was trained on'."""
     report = drift_report(
-        spark, root, qerr_ratio_threshold, occupancy_tvd_threshold
+        spark,
+        root,
+        qerr_ratio_threshold,
+        occupancy_tvd_threshold,
+        probe_recall_ratio_threshold,
     )
     return bool(
         report.filter(F.col("needs_retrain")).limit(1).collect()
@@ -869,8 +947,9 @@ def search_store(
 
 # --- staged store: the registry's store-backed serving artifact -----------
 
-#: cache-disabled fallback memo: (applicationId, sf_dir) -> built root
-_STAGED_STORE_MEMO: dict[tuple[str, str], str] = {}
+#: cache-disabled fallback memo:
+#: (applicationId, sf_dir, src_size, src_mtime_ns) -> built root
+_STAGED_STORE_MEMO: dict[tuple[str, str, int, int], str] = {}
 
 
 def _build_staged_store(spark: SparkSession, sf_dir: str, root: str) -> None:
@@ -903,8 +982,12 @@ def staged_store_root(spark: SparkSession, sf_dir: str) -> str:
     ``ann_search_store`` entry serves from, so the driver's oracle gate
     covers the STORE-backed read path, not just the staged-dataset one
     (VERDICT r7 task #2). Completeness = presence of the final dir name:
-    builders work in a tmp sibling and ``os.rename`` into place; losers
-    of a concurrent race discard their tmp (equivalent output)."""
+    builders work in a tmp sibling and ``os.rename`` into place; losing
+    a concurrent race (the final path appeared underneath us) discards
+    the tmp, any OTHER rename failure propagates with the real error
+    instead of returning a path that doesn't exist. Stale tmp siblings
+    from crashed builders of any pid are swept before building."""
+    import atexit
     import shutil
     import tempfile
 
@@ -912,20 +995,33 @@ def staged_store_root(spark: SparkSession, sf_dir: str) -> str:
 
     ds_dir = staging.artifact_dir(sf_dir, "vstore")
     if ds_dir is None:
-        key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+        # cache disabled: session-scoped build, keyed on DATA IDENTITY
+        # too (the driver regenerates testdata in place — a stale store
+        # must not outlive its source), removed at interpreter exit.
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir),
+            st.st_size,
+            st.st_mtime_ns,
+        )
         if key not in _STAGED_STORE_MEMO:
             path = tempfile.mkdtemp(prefix="spark-graft-vstore-")
-            # mkdtemp created it; build_vector_index tolerates existing
+            atexit.register(shutil.rmtree, path, ignore_errors=True)
             _build_staged_store(spark, sf_dir, path)
             _STAGED_STORE_MEMO[key] = path
         return _STAGED_STORE_MEMO[key]
     path = os.path.join(ds_dir, "vector_store")
     if not os.path.isdir(path):
+        for name in os.listdir(ds_dir):
+            if name.startswith("vector_store.tmp-"):
+                shutil.rmtree(os.path.join(ds_dir, name), ignore_errors=True)
         tmp = f"{path}.tmp-{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
         _build_staged_store(spark, sf_dir, tmp)
         try:
             os.rename(tmp, path)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(path):  # not a benign lost race
+                raise
     return path

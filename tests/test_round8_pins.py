@@ -102,3 +102,24 @@ def test_ann_ivf_pq_from_store_sizes_without_counting(
     # footer unreadable and no n_store: refuse loudly, never count
     with pytest.raises(ValueError, match="cannot size the refine pool"):
         sim.ann_ivf_pq_from_store(spark, sf_dir, store)
+
+
+def test_recall_truth_pass_is_corpus_capped_and_deterministic(spark, sf_dir):
+    """The measured-recall truth passes must not break the stores'
+    delivery-linear append contract: above the cap, the corpus side of
+    the exact-cosine pass is a DETERMINISTIC hash-subsample of ~cap
+    rows; at or below the cap it is the identity."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import (
+        incremental_vectors as iv,
+    )
+
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    n = 500
+    # identity below the cap
+    assert iv._hash_subsample(e, n, 20_000, "vec_id").count() == n
+    # ~cap rows above it, deterministic across calls
+    s1 = {r["vec_id"] for r in iv._hash_subsample(e, n, 50, "vec_id").select("vec_id").collect()}
+    s2 = {r["vec_id"] for r in iv._hash_subsample(e, n, 50, "vec_id").select("vec_id").collect()}
+    assert s1 == s2 and 10 <= len(s1) <= 150
