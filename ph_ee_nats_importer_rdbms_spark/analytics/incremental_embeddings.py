@@ -682,3 +682,84 @@ def streaming_append_sink(root: str):
             )
 
     return sink
+
+
+# --- staged store: the registry's store-backed near-dup artifact ----------
+
+
+def _build_staged_embedding_store(
+    spark: SparkSession, sf_dir: str, root: str
+) -> None:
+    """Deterministic two-delivery build over the dataset's embeddings
+    (even vec_ids as the base, odd appended) with the band structure the
+    REGISTRY operator uses — sized by ``embed_bands_for`` at the FULL
+    corpus cardinality with the same deterministic plane draw, so the
+    frozen structure equals ``embed_bucket_table``'s regardless of how
+    the corpus splits into deliveries. Append-equals-rebuild (the
+    store's pinned parity contract) then makes the committed pairs and
+    labels equal the oracle-checked ``embedding_dups`` /
+    ``embedding_dup_clusters`` outputs at any scale."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
+        _embed_corpus_size,
+        embed_bands_for,
+    )
+    from ph_ee_nats_importer_rdbms_spark.sources.files import (
+        load_table,
+        spread,
+    )
+
+    v = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    bands, r = embed_bands_for(_embed_corpus_size(sf_dir))
+    structure = {
+        "bands": bands,
+        "planes_per_band": r,
+        "planes": hyperplanes(bands * r, EMBED_DIM),
+    }
+    build_embedding_store(
+        spark, v.filter(F.col("vec_id") % 2 == 0), root, planes=structure
+    )
+    append_embedding_batch(spark, v.filter(F.col("vec_id") % 2 == 1), root)
+
+
+def staged_embedding_store_root(spark: SparkSession, sf_dir: str) -> str:
+    """Root of the dataset's staged incremental embedding store — the
+    near-dup twin of ``incremental_vectors.staged_store_root``, staged
+    once per (dataset, code) fingerprint (``staging.artifact_tree``
+    owns the completeness/race/cache-disabled semantics). Puts the
+    embedding store's READ PATH under the driver's oracle gate via the
+    ``embedding_dups_store`` / ``embedding_dup_clusters_store`` registry
+    entries."""
+    from ph_ee_nats_importer_rdbms_spark.plans import staging
+
+    return staging.artifact_tree(
+        spark,
+        sf_dir,
+        "estore",
+        "embedding_store",
+        lambda root: _build_staged_embedding_store(spark, sf_dir, root),
+        "embeddings.parquet",
+    )
+
+
+def q_embedding_dups_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``read_pairs`` over the staged incremental store: the committed
+    per-delivery pair lists, which the append-equals-rebuild contract
+    makes exactly the from-scratch near-dup pairs — so the SAME DuckDB
+    oracle that gates ``embedding_dups`` gates the store's read path.
+    Output shape matches the staged-dataset entry (vec_a, vec_b,
+    cosine)."""
+    root = staged_embedding_store_root(spark, sf_dir)
+    return read_pairs(spark, root)
+
+
+def q_embedding_dup_clusters_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``read_clusters`` over the staged incremental store: the LATEST
+    committed labeling (manifest-versioned, merged per delivery by the
+    contraction trick), equal to CC over the full pair graph — gated by
+    the same oracle as ``embedding_dup_clusters``."""
+    root = staged_embedding_store_root(spark, sf_dir)
+    return read_clusters(spark, root)

@@ -947,11 +947,6 @@ def search_store(
 
 # --- staged store: the registry's store-backed serving artifact -----------
 
-#: cache-disabled fallback memo:
-#: (applicationId, sf_dir, src_size, src_mtime_ns) -> built root
-_STAGED_STORE_MEMO: dict[tuple[str, str, int, int], str] = {}
-
-
 def _build_staged_store(spark: SparkSession, sf_dir: str, root: str) -> None:
     """Deterministic two-delivery build over the dataset's embeddings with
     the dataset's SHIPPED codebooks — even vec_ids as the base build, odd
@@ -978,50 +973,18 @@ def _build_staged_store(spark: SparkSession, sf_dir: str, root: str) -> None:
 def staged_store_root(spark: SparkSession, sf_dir: str) -> str:
     """Root of the dataset's staged incremental vector store — built once
     per (dataset, code) fingerprint, like every other staged serving
-    artifact (plans/staging.py). This is the artifact the registry's
-    ``ann_search_store`` entry serves from, so the driver's oracle gate
-    covers the STORE-backed read path, not just the staged-dataset one
-    (VERDICT r7 task #2). Completeness = presence of the final dir name:
-    builders work in a tmp sibling and ``os.rename`` into place; losing
-    a concurrent race (the final path appeared underneath us) discards
-    the tmp, any OTHER rename failure propagates with the real error
-    instead of returning a path that doesn't exist. Stale tmp siblings
-    from crashed builders of any pid are swept before building."""
-    import atexit
-    import shutil
-    import tempfile
-
+    artifact (plans/staging.py — see ``staging.artifact_tree`` for the
+    completeness/race/cache-disabled semantics). This is the artifact
+    the registry's ``ann_search_store`` entry serves from, so the
+    driver's oracle gate covers the STORE-backed read path, not just the
+    staged-dataset one (VERDICT r7 task #2)."""
     from ph_ee_nats_importer_rdbms_spark.plans import staging
 
-    ds_dir = staging.artifact_dir(sf_dir, "vstore")
-    if ds_dir is None:
-        # cache disabled: session-scoped build, keyed on DATA IDENTITY
-        # too (the driver regenerates testdata in place — a stale store
-        # must not outlive its source), removed at interpreter exit.
-        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-        key = (
-            spark.sparkContext.applicationId,
-            os.path.abspath(sf_dir),
-            st.st_size,
-            st.st_mtime_ns,
-        )
-        if key not in _STAGED_STORE_MEMO:
-            path = tempfile.mkdtemp(prefix="spark-graft-vstore-")
-            atexit.register(shutil.rmtree, path, ignore_errors=True)
-            _build_staged_store(spark, sf_dir, path)
-            _STAGED_STORE_MEMO[key] = path
-        return _STAGED_STORE_MEMO[key]
-    path = os.path.join(ds_dir, "vector_store")
-    if not os.path.isdir(path):
-        for name in os.listdir(ds_dir):
-            if name.startswith("vector_store.tmp-"):
-                shutil.rmtree(os.path.join(ds_dir, name), ignore_errors=True)
-        tmp = f"{path}.tmp-{os.getpid()}"
-        _build_staged_store(spark, sf_dir, tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.isdir(path):  # not a benign lost race
-                raise
-    return path
+    return staging.artifact_tree(
+        spark,
+        sf_dir,
+        "vstore",
+        "vector_store",
+        lambda root: _build_staged_store(spark, sf_dir, root),
+        "embeddings.parquet",
+    )

@@ -1005,6 +1005,7 @@ FROM documents GROUP BY 1
 
 from ph_ee_nats_importer_rdbms_spark.analytics import (  # noqa: E402
     dedup as _dd,
+    incremental_embeddings as _ie,
     multimodal as _mm,
     pii as _pii,
     similarity as _sim,
@@ -1065,6 +1066,17 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_dups": (_dd.q_embedding_dups, _dd.EMBEDDING_DUPS_ORACLE),
     "embedding_dup_clusters": (
         _dd.q_embedding_dup_clusters,
+        _dd.EMBEDDING_DUP_CLUSTERS_ORACLE,
+    ),
+    # store-backed read-path twins: the staged INCREMENTAL embedding
+    # store's committed pairs/labels, which append-equals-rebuild makes
+    # exactly the from-scratch outputs — same oracles gate both paths
+    "embedding_dups_store": (
+        _ie.q_embedding_dups_store,
+        _dd.EMBEDDING_DUPS_ORACLE,
+    ),
+    "embedding_dup_clusters_store": (
+        _ie.q_embedding_dup_clusters_store,
         _dd.EMBEDDING_DUP_CLUSTERS_ORACLE,
     ),
     # --- similarity search (analytics/similarity.py) ---

@@ -107,6 +107,19 @@ _DOMAINS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
             "analytics/pq_codebooks.json",
         ),
     ),
+    # the incremental embedding near-dup store staged as a read-path
+    # artifact (registry entries embedding_dups_store /
+    # embedding_dup_clusters_store)
+    "estore": (
+        ("embeddings.parquet",),
+        (
+            "sources/files.py",
+            "analytics/hashing.py",
+            "analytics/dedup.py",
+            "analytics/batch_store.py",
+            "analytics/incremental_embeddings.py",
+        ),
+    ),
 }
 
 
@@ -194,6 +207,69 @@ def artifact_dir(sf_dir: str, domain: str) -> str | None:
     _prune_stale(root, keep=ds)
     os.makedirs(ds, exist_ok=True)
     return ds
+
+
+#: cache-disabled artifact-tree memo:
+#: (applicationId, sf_dir, domain, name, src_size, src_mtime_ns) -> root
+_TREE_MEMO: dict[tuple, str] = {}
+
+
+def artifact_tree(
+    spark: SparkSession,
+    sf_dir: str,
+    domain: str,
+    name: str,
+    build: Callable[[str], None],
+    identity_source: str,
+) -> str:
+    """A staged DIRECTORY-TREE artifact (e.g. an incremental store's
+    root: manifests + batch dirs — not a single parquet relation), built
+    once per (dataset, code) fingerprint by ``build(root)``.
+
+    Completeness = presence of the final dir name: builders work in a
+    tmp sibling and ``os.rename`` into place. Losing a concurrent race
+    (the final path appeared underneath us) discards the tmp; any OTHER
+    rename failure propagates with the real error instead of returning
+    a path that doesn't exist. Stale tmp siblings from crashed builders
+    of any pid are swept before building. With caching disabled the
+    tree builds into a session-scoped temp dir keyed on DATA IDENTITY
+    (``identity_source``'s size+mtime — a dataset regenerated in place
+    must not be served by a stale tree) and is removed at interpreter
+    exit."""
+    import atexit
+    import tempfile
+
+    ds_dir = artifact_dir(sf_dir, domain)
+    if ds_dir is None:
+        st = os.stat(os.path.join(sf_dir, identity_source))
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir),
+            domain,
+            name,
+            st.st_size,
+            st.st_mtime_ns,
+        )
+        if key not in _TREE_MEMO:
+            path = tempfile.mkdtemp(prefix=f"spark-graft-{domain}-")
+            atexit.register(shutil.rmtree, path, ignore_errors=True)
+            build(path)
+            _TREE_MEMO[key] = path
+        return _TREE_MEMO[key]
+    path = os.path.join(ds_dir, name)
+    if not os.path.isdir(path):
+        for entry in os.listdir(ds_dir):
+            if entry.startswith(f"{name}.tmp-"):
+                shutil.rmtree(os.path.join(ds_dir, entry), ignore_errors=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        build(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(path):  # not a benign lost race
+                raise
+    return path
 
 
 def bucketed_dir(sf_dir: str) -> str | None:
