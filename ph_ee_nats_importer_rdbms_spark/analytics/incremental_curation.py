@@ -243,3 +243,68 @@ def read_corpus_report(spark: SparkSession, root: str) -> DataFrame:
     )
     verdict = read_curation(spark, root)
     return corpus_report_of(metrics.join(verdict, "doc_id"))
+
+
+# --- staged store: the registry's store-backed curation artifacts ---------
+
+
+def _build_staged_curation_store(
+    spark: SparkSession, sf_dir: str, root: str
+) -> None:
+    """Deterministic two-delivery build over the dataset's documents
+    (even doc_ids as the base, odd appended), carrying every column the
+    curation artifacts read (lang for the verdict cascade, source for
+    the dataset card). The pinned parity contracts (store build matches
+    q_curation; partials merge to q_vocabulary; the card matches
+    q_corpus_report) make the committed artifacts value-identical to the
+    staged-dataset registry outputs at any delivery split."""
+    from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    build_curation_store(spark, docs.filter(F.col("doc_id") % 2 == 0), root)
+    append_curation_batch(spark, docs.filter(F.col("doc_id") % 2 == 1), root)
+
+
+def staged_curation_store_root(spark: SparkSession, sf_dir: str) -> str:
+    """Root of the dataset's staged incremental curation store — staged
+    once per (dataset, code) fingerprint (``staging.artifact_tree`` owns
+    the completeness/race/cache-disabled semantics). Puts the curation
+    store's READ PATHS under the driver's oracle gate via the
+    ``curation_store`` / ``vocabulary_store`` / ``corpus_report_store``
+    registry entries."""
+    from ph_ee_nats_importer_rdbms_spark.plans import staging
+
+    return staging.artifact_tree(
+        spark,
+        sf_dir,
+        "cstore",
+        "curation_store",
+        lambda root: _build_staged_curation_store(spark, sf_dir, root),
+        "documents.parquet",
+    )
+
+
+def q_curation_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``read_curation`` over the staged incremental store: committed
+    per-delivery metrics joined to the latest labeling through the
+    cascade SHARED with ``q_curation`` — the same DuckDB oracle gates
+    both read paths."""
+    return read_curation(spark, staged_curation_store_root(spark, sf_dir))
+
+
+def q_vocabulary_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``read_vocabulary`` over the staged incremental store: summed
+    per-delivery partials with the same deterministic top-k cut as
+    ``q_vocabulary`` — same oracle, store-backed path."""
+    return read_vocabulary(spark, staged_curation_store_root(spark, sf_dir))
+
+
+def q_corpus_report_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``read_corpus_report`` over the staged incremental store: the
+    dataset card from store-maintained inputs through the aggregate
+    SHARED with ``q_corpus_report`` — same oracle, store-backed path."""
+    return read_corpus_report(
+        spark, staged_curation_store_root(spark, sf_dir)
+    )

@@ -1005,6 +1005,8 @@ FROM documents GROUP BY 1
 
 from ph_ee_nats_importer_rdbms_spark.analytics import (  # noqa: E402
     dedup as _dd,
+    incremental_curation as _icur,
+    incremental_docs as _idoc,
     incremental_embeddings as _ie,
     multimodal as _mm,
     pii as _pii,
@@ -1060,6 +1062,15 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "minhash_signatures": (_dd.q_minhash_signatures, _dd.MINHASH_SIGNATURES_ORACLE),
     "minhash_dups": (_dd.q_minhash_dups, _dd.MINHASH_DUPS_ORACLE),
     "dup_clusters": (_dd.q_dup_clusters, _dd.DUP_CLUSTERS_ORACLE),
+    # store-backed read-path twins (staged incremental doc store)
+    "minhash_dups_store": (
+        _idoc.q_minhash_dups_store,
+        _dd.MINHASH_DUPS_ORACLE,
+    ),
+    "dup_clusters_store": (
+        _idoc.q_dup_clusters_store,
+        _dd.DUP_CLUSTERS_ORACLE,
+    ),
     "simhash": (_dd.q_simhash, _dd.SIMHASH_ORACLE),
     "simhash_dups": (_dd.q_simhash_dups, _dd.SIMHASH_DUPS_ORACLE),
     "ngram_jaccard": (_dd.q_ngram_jaccard, _dd.NGRAM_JACCARD_ORACLE),
@@ -1137,6 +1148,16 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "pii_redact_docs": (_pii.q_pii_redact_docs, _pii.PII_REDACT_DOCS_ORACLE),
     "curation": (_tx.q_curation, _tx._curation_oracle()),
     "corpus_report": (_tx.q_corpus_report, _tx._corpus_report_oracle()),
+    # store-backed read-path twins (staged incremental curation store):
+    # committed per-delivery metrics/partials/labels served through the
+    # SAME cascade/aggregate/top-k code as the staged-dataset entries,
+    # so the same oracles gate both paths
+    "curation_store": (_icur.q_curation_store, _tx._curation_oracle()),
+    "corpus_report_store": (
+        _icur.q_corpus_report_store,
+        _tx._corpus_report_oracle(),
+    ),
+    "vocabulary_store": (_icur.q_vocabulary_store, _tx.VOCABULARY_ORACLE),
     "dedup_spans": (_tx.q_dedup_spans, _tx.DEDUP_SPANS_ORACLE),
     "vocabulary": (_tx.q_vocabulary, _tx.VOCABULARY_ORACLE),
     "token_ids": (_tx.q_token_ids, _tx.TOKEN_IDS_ORACLE),

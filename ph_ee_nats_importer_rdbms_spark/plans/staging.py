@@ -107,6 +107,33 @@ _DOMAINS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
             "analytics/pq_codebooks.json",
         ),
     ),
+    # the incremental document near-dup store staged as a read-path
+    # artifact (registry entries minhash_dups_store / dup_clusters_store)
+    "dstore": (
+        ("documents.parquet",),
+        (
+            "sources/files.py",
+            "analytics/hashing.py",
+            "analytics/dedup.py",
+            "analytics/batch_store.py",
+            "analytics/incremental_docs.py",
+        ),
+    ),
+    # the incremental curation store staged as a read-path artifact
+    # (registry entries curation_store / vocabulary_store /
+    # corpus_report_store); text.py defines the shared cascade/aggregate
+    "cstore": (
+        ("documents.parquet",),
+        (
+            "sources/files.py",
+            "analytics/hashing.py",
+            "analytics/dedup.py",
+            "analytics/text.py",
+            "analytics/batch_store.py",
+            "analytics/incremental_docs.py",
+            "analytics/incremental_curation.py",
+        ),
+    ),
     # the incremental embedding near-dup store staged as a read-path
     # artifact (registry entries embedding_dups_store /
     # embedding_dup_clusters_store)
