@@ -119,3 +119,73 @@ def test_stage_disabled_falls_back_to_in_session(spark, tmp_path, monkeypatch):
     assert df.count() == 2 and len(calls) == 1
     assert staging.cache_root() is None
     assert not staging.is_staged(sfdir, "rel")
+
+
+def test_artifact_tree_contract(spark, sf_dir, tmp_path, monkeypatch):
+    """The shared tree-staging scaffold (round 8): builds once per
+    fingerprint via tmp-sibling + rename, sweeps stale tmp dirs from
+    crashed builders of any pid, treats a lost rename race as benign
+    (final path exists) but re-raises real rename failures, and with
+    caching disabled builds into a session temp dir memoized on data
+    identity."""
+    import os
+
+    from ph_ee_nats_importer_rdbms_spark.plans import staging
+
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_CACHE_DIR", str(tmp_path / "cache"))
+
+    calls = []
+
+    def build(root):
+        calls.append(root)
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, "marker"), "w") as f:
+            f.write("ok")
+
+    # stale tmp from a "crashed" builder of another pid is swept
+    ds = staging.artifact_dir(sf_dir, "vstore")
+    stale = os.path.join(ds, "tree.tmp-99999")
+    os.makedirs(stale)
+    p1 = staging.artifact_tree(spark, sf_dir, "vstore", "tree", build, "embeddings.parquet")
+    assert os.path.exists(os.path.join(p1, "marker"))
+    assert not os.path.exists(stale)
+    assert len(calls) == 1
+
+    # second call: already staged, no rebuild
+    p2 = staging.artifact_tree(spark, sf_dir, "vstore", "tree", build, "embeddings.parquet")
+    assert p2 == p1 and len(calls) == 1
+
+    # lost race: our rename fails because a concurrent winner landed the
+    # final path — benign, the winner's tree is served
+    real_rename = os.rename
+
+    def losing_rename(src, dst):
+        os.makedirs(dst)
+        with open(os.path.join(dst, "marker"), "w") as f:
+            f.write("winner")
+        raise OSError("simulated race loss")
+
+    monkeypatch.setattr(os, "rename", losing_rename)
+    p3 = staging.artifact_tree(spark, sf_dir, "vstore", "tree3", build, "embeddings.parquet")
+    with open(os.path.join(p3, "marker")) as f:
+        assert f.read() == "winner"
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # real rename failure with NO winner -> propagates
+    import pytest as _pytest
+
+    def failing_rename(src, dst):
+        raise OSError("simulated rename failure")
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with _pytest.raises(OSError, match="simulated"):
+        staging.artifact_tree(spark, sf_dir, "vstore", "tree2", build, "embeddings.parquet")
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # cache disabled: session temp dir, memoized per data identity
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_CACHE", "0")
+    calls.clear()
+    t1 = staging.artifact_tree(spark, sf_dir, "vstore", "tree", build, "embeddings.parquet")
+    t2 = staging.artifact_tree(spark, sf_dir, "vstore", "tree", build, "embeddings.parquet")
+    assert t1 == t2 and len(calls) == 1
+    assert os.path.exists(os.path.join(t1, "marker"))
