@@ -92,8 +92,19 @@ def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             return with_routing(flat)
 
+        # hive-partitioned BY TENANT (round 8): the storage analog of the
+        # reference's per-tenant database routing — tenant-equality reads
+        # (Q6 tenant_lookup; at scale, any per-tenant serving query)
+        # become partition-pruned scans instead of full corpus scans.
+        # Tenant cardinality is config-sized by construction (the
+        # registry dimension), so the partition count stays bounded. The
+        # stage name carries the layout version (see load_or_build).
         _ROUTED_CACHE[key] = staging.load_or_build(
-            spark, sf_dir, "routed_events", build
+            spark,
+            sf_dir,
+            "routed_events_by_tenant",
+            build,
+            partition_by=["tenant"],
         )
     return _ROUTED_CACHE[key]
 

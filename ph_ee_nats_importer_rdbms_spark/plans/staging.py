@@ -407,6 +407,7 @@ def load_or_build(
     name: str,
     build: Callable[[], DataFrame],
     domain: str = "zeebe",
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """The staged relation ``name`` for ``sf_dir`` — read from the parquet
     stage when present, else built, persisted, and read back.
@@ -415,6 +416,13 @@ def load_or_build(
     in-session: a parquet-backed relation gives downstream subtrees column
     pruning and a short logical plan, where ``localCheckpoint`` always
     replays whole stored partitions.
+
+    ``partition_by`` writes the stage hive-partitioned on those columns,
+    so downstream equality predicates on them become partition-pruned
+    reads (PartitionFilters in the scan) instead of full scans. A stage
+    that changes its layout must also change its NAME — the fingerprint
+    keys source data + semantics code, not layout, so an existing stage
+    under the old name would otherwise satisfy the lookup forever.
     """
     root = cache_root()
     if root is None:
@@ -426,7 +434,10 @@ def load_or_build(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _prune_stale(root, keep=ds_dir)
         tmp = f"{path}.tmp-{os.getpid()}"
-        build().write.mode("overwrite").parquet(tmp)
+        writer = build().write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
         try:
             os.rename(tmp, path)
         except OSError:

@@ -83,6 +83,17 @@ def test_ann_search_store_prunes_probed_list_partitions(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_tenant_lookup_prunes_tenant_partitions(spark, sf_dir):
+    """The routed stage is hive-partitioned by tenant (the storage analog
+    of the reference's per-tenant database routing), so the Q6 tenant
+    lookup must reach the scan as PartitionFilters — a per-tenant read
+    touches 1/n_tenants of a 100 TB corpus, never all of it."""
+    df = QUERIES["tenant_lookup"][0](spark, sf_dir)
+    plan = _plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("tenant" in ln and "tn1" in ln for ln in pf), plan
+
+
 def test_unigram_hot_tokens_take_the_broadcast_path(spark, sf_dir):
     """The Zipf-head split must be visible in the plan: the hot-token
     count join broadcasts (no reducer ever keys on a stopword). The
