@@ -855,6 +855,23 @@ def _embed_corpus_size(sf_dir: str) -> int:
     return n
 
 
+def registry_band_structure(sf_dir: str) -> dict:
+    """The dataset's band structure exactly as the REGISTRY operator
+    sizes and draws it — {bands, planes_per_band, planes} from
+    :func:`embed_bands_for` at the corpus cardinality with the one
+    deterministic plane draw. Shared by :func:`embed_bucket_table` and
+    the staged incremental embedding store
+    (incremental_embeddings._build_staged_embedding_store) so the two
+    sites cannot drift apart — store-vs-oracle parity depends on them
+    being byte-equivalent."""
+    bands, r = embed_bands_for(_embed_corpus_size(sf_dir))
+    return {
+        "bands": bands,
+        "planes_per_band": r,
+        "planes": hyperplanes(bands * r, EMBED_DIM),
+    }
+
+
 def embed_vector_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, embedding, norm) — per-vector norm computed ONCE at
     ingest, staged per dataset; the verify join reads this, so bands
@@ -880,8 +897,8 @@ def embed_bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     static oracle literal stays valid."""
 
     def build() -> DataFrame:
-        bands, r = embed_bands_for(_embed_corpus_size(sf_dir))
-        planes = hyperplanes(bands * r, EMBED_DIM)
+        s = registry_band_structure(sf_dir)
+        bands, r, planes = s["bands"], s["planes_per_band"], s["planes"]
         e = spread(load_table(spark, sf_dir, "embeddings")).select(
             "vec_id", "embedding"
         )

@@ -286,6 +286,35 @@ def staged_curation_store_root(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def q_minhash_dups_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``incremental_docs.read_pairs`` over the staged CURATION store —
+    which IS a complete document near-dup store (build_curation_store
+    wraps build_index; metrics/vocab ride the same transaction), so the
+    doc-dedup read path shares one staged tree with the curation
+    entries instead of paying the shingle/minhash/band/verify build
+    twice. Tradeoff, named: text.py edits now invalidate this artifact
+    too (the cstore fingerprint covers the cascade code). Same DuckDB
+    oracle as ``minhash_dups`` by append-equals-rebuild parity."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import incremental_docs
+
+    root = staged_curation_store_root(spark, sf_dir)
+    return incremental_docs.read_pairs(spark, root)
+
+
+def q_dup_clusters_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest committed labeling of the staged curation store, in the
+    registry's cluster shape (doc_id, cluster_id, is_keeper) — equal to
+    CC over the full pair graph, gated by the ``dup_clusters`` oracle."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import incremental_docs
+
+    root = staged_curation_store_root(spark, sf_dir)
+    return incremental_docs.read_labels(spark, root).select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )
+
+
 def q_curation_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``read_curation`` over the staged incremental store: committed
     per-delivery metrics joined to the latest labeling through the

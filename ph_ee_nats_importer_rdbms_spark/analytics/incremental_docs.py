@@ -382,60 +382,3 @@ def append_batch(
         "labeled_nodes": labels.count(),
     }
 
-
-# --- staged store: the registry's store-backed doc-dedup artifact ---------
-
-
-def _build_staged_doc_store(spark: SparkSession, sf_dir: str, root: str) -> None:
-    """Deterministic two-delivery build over the dataset's documents
-    (even doc_ids as the base, odd appended). The store runs the SAME
-    kernels the registry operators stage (shingles_of / signatures_of /
-    bands_of / jaccard_verify — imported from dedup.py, not reimplemented),
-    and append-equals-rebuild is the store's pinned parity contract, so
-    the committed pairs and labels equal the oracle-checked
-    ``minhash_dups`` / ``dup_clusters`` outputs at any scale."""
-    from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    build_index(spark, docs.filter(F.col("doc_id") % 2 == 0), root)
-    append_batch(spark, docs.filter(F.col("doc_id") % 2 == 1), root)
-
-
-def staged_doc_store_root(spark: SparkSession, sf_dir: str) -> str:
-    """Root of the dataset's staged incremental document near-dup store —
-    the docs twin of the vector/embedding staged stores, built once per
-    (dataset, code) fingerprint (``staging.artifact_tree`` owns the
-    completeness/race/cache-disabled semantics). Puts the doc store's
-    READ PATH under the driver's oracle gate via the
-    ``minhash_dups_store`` / ``dup_clusters_store`` registry entries."""
-    from ph_ee_nats_importer_rdbms_spark.plans import staging
-
-    return staging.artifact_tree(
-        spark,
-        sf_dir,
-        "dstore",
-        "doc_store",
-        lambda root: _build_staged_doc_store(spark, sf_dir, root),
-        "documents.parquet",
-    )
-
-
-def q_minhash_dups_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``read_pairs`` over the staged incremental doc store: the
-    committed per-delivery verified pair lists, value-identical to the
-    staged-dataset ``minhash_dups`` by the append-equals-rebuild
-    contract — the same DuckDB oracle gates both read paths."""
-    root = staged_doc_store_root(spark, sf_dir)
-    return read_pairs(spark, root)
-
-
-def q_dup_clusters_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Latest committed labeling of the staged doc store, in the
-    registry's cluster shape (doc_id, cluster_id, is_keeper) — equal to
-    CC over the full pair graph, gated by the ``dup_clusters`` oracle."""
-    root = staged_doc_store_root(spark, sf_dir)
-    return read_labels(spark, root).select(
-        F.col("node").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        (F.col("node") == F.col("label")).alias("is_keeper"),
-    )

@@ -700,8 +700,7 @@ def _build_staged_embedding_store(
     labels equal the oracle-checked ``embedding_dups`` /
     ``embedding_dup_clusters`` outputs at any scale."""
     from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
-        _embed_corpus_size,
-        embed_bands_for,
+        registry_band_structure,
     )
     from ph_ee_nats_importer_rdbms_spark.sources.files import (
         load_table,
@@ -711,14 +710,11 @@ def _build_staged_embedding_store(
     v = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
-    bands, r = embed_bands_for(_embed_corpus_size(sf_dir))
-    structure = {
-        "bands": bands,
-        "planes_per_band": r,
-        "planes": hyperplanes(bands * r, EMBED_DIM),
-    }
     build_embedding_store(
-        spark, v.filter(F.col("vec_id") % 2 == 0), root, planes=structure
+        spark,
+        v.filter(F.col("vec_id") % 2 == 0),
+        root,
+        planes=registry_band_structure(sf_dir),
     )
     append_embedding_batch(spark, v.filter(F.col("vec_id") % 2 == 1), root)
 

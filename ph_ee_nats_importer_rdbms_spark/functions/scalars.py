@@ -102,9 +102,19 @@ def first_dash_prefix(c: Column | str) -> Column:
 
 
 def first_dash_suffix(c: Column | str) -> Column:
-    """Tenant name: substring after the FIRST dash (keeps later dashes)."""
+    """Tenant name: substring after the FIRST dash (keeps later dashes).
+
+    No dash AND trailing dash both mean "no tenant" and normalize to
+    NULL — one canonical no-tenant shape (the DuckDB oracle mirrors
+    with NULLIF). This also makes the tenant-partitioned routed stage
+    round-trip exactly: hive partitioning folds '' into NULL on
+    read-back, so an engine that never emits '' cannot diverge across
+    the storage layer."""
     col = _col(c)
-    return F.when(F.instr(col, "-") > 0, F.substr(col, F.instr(col, "-") + F.lit(1)))
+    return F.when(
+        F.instr(col, "-") > 0,
+        F.nullif(F.substr(col, F.instr(col, "-") + F.lit(1)), F.lit("")),
+    )
 
 
 def has_parent(c: Column | str) -> Column:

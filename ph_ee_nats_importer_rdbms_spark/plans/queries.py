@@ -98,7 +98,10 @@ def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # become partition-pruned scans instead of full corpus scans.
         # Tenant cardinality is config-sized by construction (the
         # registry dimension), so the partition count stays bounded. The
-        # stage name carries the layout version (see load_or_build).
+        # stage name carries the layout version (see load_or_build);
+        # the superseded unpartitioned stage is dropped so a rename
+        # never doubles the largest staged relation's disk.
+        staging.drop_stage(sf_dir, "routed_events")
         _ROUTED_CACHE[key] = staging.load_or_build(
             spark,
             sf_dir,
@@ -1017,7 +1020,6 @@ FROM documents GROUP BY 1
 from ph_ee_nats_importer_rdbms_spark.analytics import (  # noqa: E402
     dedup as _dd,
     incremental_curation as _icur,
-    incremental_docs as _idoc,
     incremental_embeddings as _ie,
     multimodal as _mm,
     pii as _pii,
@@ -1073,13 +1075,15 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "minhash_signatures": (_dd.q_minhash_signatures, _dd.MINHASH_SIGNATURES_ORACLE),
     "minhash_dups": (_dd.q_minhash_dups, _dd.MINHASH_DUPS_ORACLE),
     "dup_clusters": (_dd.q_dup_clusters, _dd.DUP_CLUSTERS_ORACLE),
-    # store-backed read-path twins (staged incremental doc store)
+    # store-backed read-path twins, served from the staged CURATION
+    # store (which embeds a complete doc near-dup store — one staged
+    # tree, no duplicate shingle/minhash/band build)
     "minhash_dups_store": (
-        _idoc.q_minhash_dups_store,
+        _icur.q_minhash_dups_store,
         _dd.MINHASH_DUPS_ORACLE,
     ),
     "dup_clusters_store": (
-        _idoc.q_dup_clusters_store,
+        _icur.q_dup_clusters_store,
         _dd.DUP_CLUSTERS_ORACLE,
     ),
     "simhash": (_dd.q_simhash, _dd.SIMHASH_ORACLE),

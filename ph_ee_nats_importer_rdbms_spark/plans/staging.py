@@ -107,21 +107,12 @@ _DOMAINS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
             "analytics/pq_codebooks.json",
         ),
     ),
-    # the incremental document near-dup store staged as a read-path
-    # artifact (registry entries minhash_dups_store / dup_clusters_store)
-    "dstore": (
-        ("documents.parquet",),
-        (
-            "sources/files.py",
-            "analytics/hashing.py",
-            "analytics/dedup.py",
-            "analytics/batch_store.py",
-            "analytics/incremental_docs.py",
-        ),
-    ),
-    # the incremental curation store staged as a read-path artifact
-    # (registry entries curation_store / vocabulary_store /
-    # corpus_report_store); text.py defines the shared cascade/aggregate
+    # the incremental curation store staged as a read-path artifact —
+    # it EMBEDS a complete doc near-dup store, so it also serves the
+    # minhash_dups_store / dup_clusters_store entries (one staged tree,
+    # registry entries curation_store / vocabulary_store /
+    # corpus_report_store ride the same build); text.py defines the
+    # shared cascade/aggregate
     "cstore": (
         ("documents.parquet",),
         (
@@ -211,6 +202,19 @@ def _prune_stale(root: str, keep: str) -> None:
         shutil.rmtree(full, ignore_errors=True)
 
 
+def drop_stage(sf_dir: str, name: str, domain: str = "zeebe") -> None:
+    """Remove a SUPERSEDED staged relation by name (e.g. after a layout
+    rename: the fingerprint keys data+semantics, not layout, so the old
+    name would otherwise sit in the live fingerprint dir forever)."""
+    root = cache_root()
+    if root is None:
+        return
+    shutil.rmtree(
+        os.path.join(_dataset_dir(root, sf_dir, domain), name),
+        ignore_errors=True,
+    )
+
+
 def is_staged(sf_dir: str, name: str, domain: str = "zeebe") -> bool:
     root = cache_root()
     if root is None:
@@ -286,8 +290,20 @@ def artifact_tree(
     path = os.path.join(ds_dir, name)
     if not os.path.isdir(path):
         for entry in os.listdir(ds_dir):
-            if entry.startswith(f"{name}.tmp-"):
-                shutil.rmtree(os.path.join(ds_dir, entry), ignore_errors=True)
+            if not entry.startswith(f"{name}.tmp-"):
+                continue
+            # sweep ONLY dead builders' tmp dirs: a live concurrent
+            # builder's half-written tree must not be deleted under it —
+            # its rename would then commit a tree missing early files,
+            # and 'final dir exists' would mark the corrupt tree
+            # complete forever.
+            try:
+                pid = int(entry.rsplit("-", 1)[1])
+            except ValueError:
+                pid = None
+            if pid is not None and _pid_alive(pid):
+                continue
+            shutil.rmtree(os.path.join(ds_dir, entry), ignore_errors=True)
         tmp = f"{path}.tmp-{os.getpid()}"
         build(tmp)
         try:
@@ -297,6 +313,18 @@ def artifact_tree(
             if not os.path.isdir(path):  # not a benign lost race
                 raise
     return path
+
+
+def _pid_alive(pid: int) -> bool:
+    """True when a process with this pid exists (signal-0 probe; EPERM
+    means it exists but is not ours — still alive)."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
 
 
 def bucketed_dir(sf_dir: str) -> str | None:

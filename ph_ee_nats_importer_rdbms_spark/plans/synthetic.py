@@ -194,7 +194,7 @@ resolved AS (
 routed AS (
   SELECT *,
          split_part(bpmn_process_id, '-', 1) AS process_id,
-         substr(bpmn_process_id, length(split_part(bpmn_process_id, '-', 1)) + 2) AS tenant,
+         nullif(substr(bpmn_process_id, length(split_part(bpmn_process_id, '-', 1)) + 2), '') AS tenant,
          CASE split_part(bpmn_process_id, '-', 1)
            WHEN 'PayeeQuoteTransfer' THEN 'TRANSFER'
            WHEN 'PayerFundTransfer' THEN 'TRANSFER'

@@ -87,7 +87,14 @@ def test_tenant_lookup_prunes_tenant_partitions(spark, sf_dir):
     """The routed stage is hive-partitioned by tenant (the storage analog
     of the reference's per-tenant database routing), so the Q6 tenant
     lookup must reach the scan as PartitionFilters — a per-tenant read
-    touches 1/n_tenants of a 100 TB corpus, never all of it."""
+    touches 1/n_tenants of a 100 TB corpus, never all of it. Pruning is
+    a property of the STAGED layout: with the stage cache disabled the
+    relation is an in-memory checkpoint with no files to prune, so the
+    assertion only applies when staging is on."""
+    from ph_ee_nats_importer_rdbms_spark.plans import staging
+
+    if staging.cache_root() is None:
+        pytest.skip("stage cache disabled: no parquet layout to prune")
     df = QUERIES["tenant_lookup"][0](spark, sf_dir)
     plan = _plan(df)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]

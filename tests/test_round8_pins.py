@@ -123,3 +123,40 @@ def test_recall_truth_pass_is_corpus_capped_and_deterministic(spark, sf_dir):
     s1 = {r["vec_id"] for r in iv._hash_subsample(e, n, 50, "vec_id").select("vec_id").collect()}
     s2 = {r["vec_id"] for r in iv._hash_subsample(e, n, 50, "vec_id").select("vec_id").collect()}
     assert s1 == s2 and 10 <= len(s1) <= 150
+
+
+def test_tenant_split_normalizes_empty_to_null_in_both_engines(spark):
+    """F5 canonical no-tenant shape: no dash AND trailing dash both yield
+    NULL, in Spark and in the DuckDB oracle expression — required for the
+    tenant-partitioned stage to round-trip exactly (hive partitioning
+    folds '' into NULL on read-back, so '' must never exist)."""
+    import duckdb
+
+    from ph_ee_nats_importer_rdbms_spark.functions.scalars import (
+        first_dash_suffix,
+    )
+
+    ids = ["proc-tn1", "proc-", "proc", "a-b-c", "-lead"]
+    got = {
+        r["id"]: r["t"]
+        for r in spark.createDataFrame([(s,) for s in ids], "id string")
+        .select("id", first_dash_suffix("id").alias("t"))
+        .collect()
+    }
+    assert got == {
+        "proc-tn1": "tn1",
+        "proc-": None,
+        "proc": None,
+        "a-b-c": "b-c",
+        "-lead": "lead",
+    }
+
+    con = duckdb.connect()
+    duck = "nullif(substr(s, length(split_part(s, '-', 1)) + 2), '')"
+    want = {
+        s: con.execute(
+            f"SELECT {duck} FROM (SELECT ? AS s)", [s]
+        ).fetchone()[0]
+        for s in ids
+    }
+    assert want == got

@@ -142,13 +142,22 @@ def test_artifact_tree_contract(spark, sf_dir, tmp_path, monkeypatch):
         with open(os.path.join(root, "marker"), "w") as f:
             f.write("ok")
 
-    # stale tmp from a "crashed" builder of another pid is swept
+    # stale tmp from a CRASHED builder (dead pid) is swept; a LIVE
+    # concurrent builder's tmp is left alone (deleting it under the
+    # builder would let its rename commit a half-written tree)
+    import subprocess
+
     ds = staging.artifact_dir(sf_dir, "vstore")
-    stale = os.path.join(ds, "tree.tmp-99999")
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    stale = os.path.join(ds, f"tree.tmp-{dead.pid}")
+    live = os.path.join(ds, f"tree.tmp-{os.getppid()}")
     os.makedirs(stale)
+    os.makedirs(live)
     p1 = staging.artifact_tree(spark, sf_dir, "vstore", "tree", build, "embeddings.parquet")
     assert os.path.exists(os.path.join(p1, "marker"))
     assert not os.path.exists(stale)
+    assert os.path.exists(live)  # live builder's tmp survives the sweep
     assert len(calls) == 1
 
     # second call: already staged, no rebuild
