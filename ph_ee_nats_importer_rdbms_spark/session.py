@@ -62,7 +62,13 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # single-JVM local mode shares one heap between "driver" and all
+        # 32 executor threads; at the 100x bench corpora a full staging
+        # session (zeebe re-import + the incremental-store builds) OOMs
+        # a 16g heap while the box carries 128 GiB — 48g leaves ample OS
+        # page-cache headroom. On a real cluster this maps to executor
+        # memory, not driver memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
