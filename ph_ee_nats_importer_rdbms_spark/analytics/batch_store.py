@@ -146,3 +146,20 @@ def batch_id_of(df: DataFrame, key: str) -> str:
         ).alias("h")
     ).collect()[0]
     return row["h"][:16]
+
+
+def hash_subsample(
+    df: DataFrame, n_total: int, cap: int, key: str, salt: str
+) -> DataFrame:
+    """Deterministic ~``cap``-row subsample of an ``n_total``-row relation
+    (identity map when it already fits): hash-threshold on the key, so
+    the subsample is stable across runs and needs no count job. ONE
+    implementation for every store's measured-recall truth pass — the
+    ppm-threshold rule must not fork per store."""
+    if n_total <= cap:
+        return df
+    frac_ppm = int(1_000_000 * cap / n_total)
+    return df.filter(
+        F.pmod(F.xxhash64(F.col(key), F.lit(salt)), F.lit(1_000_000))
+        < frac_ppm
+    )

@@ -254,16 +254,9 @@ def _measured_recall_stats(
         F.col("embedding").alias("emb_a"),
         F.col("norm").alias("norm_a"),
     )
-    corpus = all_vec
-    if n_total > RECALL_CORPUS_CAP:
-        frac_ppm = int(1_000_000 * RECALL_CORPUS_CAP / n_total)
-        corpus = corpus.filter(
-            F.pmod(
-                F.xxhash64(F.col("vec_id"), F.lit("band-recall")),
-                F.lit(1_000_000),
-            )
-            < frac_ppm
-        )
+    corpus = bs.hash_subsample(
+        all_vec, n_total, RECALL_CORPUS_CAP, "vec_id", "band-recall"
+    )
     b = corpus.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
@@ -310,6 +303,56 @@ def _measured_recall_stats(
         "true_pairs": int(n_true),
         "caught_pairs": int(n_caught),
     }
+
+
+def _recall_input(
+    spark: SparkSession,
+    root: str,
+    structure,
+    new_vec: DataFrame,
+    new_bk: DataFrame,
+    all_vec: DataFrame,
+    all_bk: DataFrame,
+    n_delivery: int,
+    n_total: int,
+) -> dict:
+    """Route the recall measurement. Preferred path: the union of the
+    per-batch ``recall_sample`` artifacts (this delivery's recomputed —
+    deterministic — rather than re-read), with the sample BUCKETED
+    IN-FLIGHT against the frozen structure: corpus-free I/O, so the
+    monitor cannot break the store's delivery-linear append contract.
+    Fallback for legacy-layout stores and pre-upgrade batches without
+    sample dirs: the full-union measurement (corpus-proportional,
+    documented)."""
+    committed = bs.committed_batches(root)
+    if not _is_legacy(root) and all(
+        os.path.isdir(bs.batch_path(root, "recall_sample", m["batch"]))
+        for m in committed
+    ):
+        from functools import reduce
+
+        cur = bs.hash_subsample(
+            new_vec, n_total, RECALL_CORPUS_CAP, "vec_id", "band-recall"
+        )
+        parts = [
+            spark.read.schema(VECTORS_SCHEMA).parquet(
+                bs.batch_path(root, "recall_sample", m["batch"])
+            )
+            for m in committed
+        ]
+        sample_union = reduce(DataFrame.unionByName, parts, cur).localCheckpoint(
+            eager=True
+        )
+        samp_bk = _bucketed(sample_union, structure)
+        # the union IS the (already-capped) truth corpus: pass a size at
+        # the cap so the helper's own subsample is the identity map
+        return _measured_recall_stats(
+            new_vec, sample_union, new_bk, samp_bk, n_delivery,
+            RECALL_CORPUS_CAP,
+        )
+    return _measured_recall_stats(
+        new_vec, all_vec, new_bk, all_bk, n_delivery, n_total
+    )
 
 
 def _structure_stats(structure, n_total: int, n_delivery: int) -> dict:
@@ -384,6 +427,11 @@ def build_embedding_store(
         vec = _vectors_of(vectors).localCheckpoint(eager=True)
         artifacts = {"buckets": slim, "vectors": vec}
     pairs = _verified_pairs(slim, slim, vec).localCheckpoint(eager=True)
+    n = vec.count()
+    if not isinstance(planes, list):
+        artifacts["recall_sample"] = bs.hash_subsample(
+            vec, n, RECALL_CORPUS_CAP, "vec_id", "band-recall"
+        )
     bs.write_artifacts(
         root,
         bs.BASE_BATCH,
@@ -398,14 +446,15 @@ def build_embedding_store(
             ),
         },
     )
-    n = vec.count()
     bs.commit(
         root,
         {
             "seq": 0,
             "batch": bs.BASE_BATCH,
             "structure_drift": _structure_stats(structure, n, n),
-            "recall": _measured_recall_stats(vec, vec, slim, slim, n, n),
+            "recall": _recall_input(
+                spark, root, structure, vec, slim, vec, slim, n, n
+            ),
         },
     )
 
@@ -495,6 +544,19 @@ def append_embedding_batch(
             )
         ),
     ).localCheckpoint(eager=True)
+    n = new_vec.count()
+    # prior corpus size from the committed delivered relation (a slim
+    # vec_id parquet — the count folds from footer metadata, no scan);
+    # counting it directly keeps totals correct on stores with
+    # pre-upgrade manifests that carry no running total.
+    n_prior = bs.read_union(spark, root, "delivered", _DELIVERED).count()
+    if not _is_legacy(root):
+        # each delivery samples ITSELF at the commit-time corpus rate —
+        # the recall truth pass reads the union of these small dirs, not
+        # the corpus payload (see _measured_recall_stats)
+        artifacts["recall_sample"] = bs.hash_subsample(
+            new_vec, n_prior + n, RECALL_CORPUS_CAP, "vec_id", "band-recall"
+        )
     bs.write_artifacts(
         root,
         batch,
@@ -505,20 +567,15 @@ def append_embedding_batch(
             "labels": labels,
         },
     )
-    n = new_vec.count()
-    # prior corpus size from the committed delivered relation (a slim
-    # vec_id parquet — the count folds from footer metadata, no scan);
-    # counting it directly keeps totals correct on stores with
-    # pre-upgrade manifests that carry no running total.
-    n_prior = bs.read_union(spark, root, "delivered", _DELIVERED).count()
     bs.commit(
         root,
         {
             "seq": len(committed),
             "batch": batch,
             "structure_drift": _structure_stats(structure, n_prior + n, n),
-            "recall": _measured_recall_stats(
-                new_vec, all_vec, new_bk, all_bk, n, n_prior + n
+            "recall": _recall_input(
+                spark, root, structure, new_vec, new_bk, all_vec, all_bk,
+                n, n_prior + n,
             ),
         },
     )

@@ -84,6 +84,16 @@ _SCHEMAS = {
             T.StructField("cluster_id", T.IntegerType()),
         ]
     ),
+    # per-delivery hash-subsample feeding the probe-coverage truth pass:
+    # each batch samples ITSELF at commit-time rate cap/n_total, so the
+    # measurement reads the union of these small dirs instead of the
+    # whole committed corpus (delivery-linear appends, corpus-free scans)
+    "recall_sample": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    ),
 }
 
 _BASE_BATCH = "base"
@@ -194,20 +204,52 @@ def _encode_and_write(
     assign = ivf_assign_of(spark, vecs, books["ivf"]).select(
         "vec_id", "cluster_id"
     ).localCheckpoint(eager=True)
-    for name, df in (
+    batch_float = vecs.select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    # corpus size BEFORE this delivery, from manifests/footers — sizes
+    # the batch's self-sample rate (None on unsizeable pre-upgrade
+    # stores: the sample and the measurement are skipped, never guessed)
+    prior = committed_batches(root)
+    try:
+        n_prior = index_size(root) if prior else 0
+    except ValueError:  # pre-upgrade manifests, unreadable footers
+        n_prior = None
+    agg = codes.agg(
+        F.count("*").alias("n"), F.avg("qerr").alias("mean_qerr")
+    ).collect()[0]
+    n_batch = int(agg["n"])
+    artifacts = [
         ("pq_codes", codes.select("vec_id", "codes", "approx_norm2")),
         ("ivf_assign", assign),
         ("delivered", vectors.select("vec_id")),
         # the store CARRIES its corpus (like the embedding store): raw
         # vectors are what a retrain re-trains and re-encodes against —
         # codes from the frozen books cannot be transcoded to new books
-        (
-            "vectors",
-            vecs.select(
-                "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
-            ),
-        ),
-    ):
+        ("vectors", batch_float),
+    ]
+    if n_prior is not None:
+        # each delivery samples ITSELF at the commit-time corpus rate
+        # (cap / running total): the truth pass then reads the union of
+        # these per-batch samples — ~cap rows per committed epoch of
+        # corpus doubling, never the corpus itself — so appends stay
+        # delivery-linear in I/O, not just in compute. Older batches are
+        # oversampled relative to later ones (their rate was set when
+        # the corpus was smaller); the monitor's reference coverage is
+        # measured under the same scheme, so the comparison is apples
+        # to apples.
+        artifacts.append(
+            (
+                "recall_sample",
+                _hash_subsample(
+                    batch_float,
+                    n_prior + n_batch,
+                    PROBE_RECALL_CORPUS_CAP,
+                    "vec_id",
+                ),
+            )
+        )
+    for name, df in artifacts:
         df.write.mode("overwrite").parquet(_batch_path(root, name, batch))
     # the serving layout: codes joined into their inverted lists, one
     # partition dir per cluster — probes become a partition-pruned read
@@ -218,52 +260,67 @@ def _encode_and_write(
     ).write.mode("overwrite").partitionBy("cluster_id").parquet(
         _batch_path(root, "lists", batch)
     )
-    agg = codes.agg(
-        F.count("*").alias("n"), F.avg("qerr").alias("mean_qerr")
-    ).collect()[0]
     occ = {
         str(r["cluster_id"]): r["c"]
         for r in assign.groupBy("cluster_id").agg(F.count("*").alias("c")).collect()
     }
-    # measured serving-recall input over the UNION corpus (committed
-    # batches + this delivery, truth pass bounded by the corpus-cap
-    # subsample). Pre-upgrade stores that carry no vectors/ artifact —
-    # or whose manifests cannot be sized — record None: unknown, same
-    # contract as missing drift. The detection is explicit (never a
-    # broad except): any real failure inside the measurement must
-    # propagate, not silently blind the monitor forever (the manifest
-    # is immutable once committed).
-    n_batch = int(agg["n"])
-    prior = committed_batches(root)
-    has_vectors = all(
+    # measured serving-recall input. Preferred path: the union of the
+    # per-batch recall_sample artifacts (this delivery's included) —
+    # corpus-FREE I/O, with the sampled neighbors' cluster ids
+    # recomputed in-flight against the frozen centroids (deterministic:
+    # ivf_assign_of), so neither the vectors nor the ivf_assign union is
+    # ever scanned at append time. Fallback for pre-upgrade stores whose
+    # batches carry vectors/ but no recall_sample/: the full-union
+    # measurement (documented corpus-proportional cost). Stores that
+    # cannot be sized record None — unknown, same contract as missing
+    # drift. Detection is explicit (never a broad except): any real
+    # failure inside the measurement must propagate, not silently blind
+    # the monitor forever (the manifest is immutable once committed).
+    if n_prior is None:
+        probe_recall = None
+    elif all(
+        os.path.isdir(_batch_path(root, "recall_sample", m["batch"]))
+        for m in prior
+    ):
+        parts = [
+            spark.read.schema(_SCHEMAS["recall_sample"]).parquet(
+                _batch_path(root, "recall_sample", m["batch"])
+            )
+            for m in prior
+        ]
+        from functools import reduce
+
+        sample_union = reduce(
+            DataFrame.unionByName,
+            parts,
+            _hash_subsample(
+                batch_float, n_prior + n_batch, PROBE_RECALL_CORPUS_CAP,
+                "vec_id",
+            ),
+        ).localCheckpoint(eager=True)
+        samp_assign = ivf_assign_of(
+            spark, sample_union, books["ivf"]
+        ).select("vec_id", "cluster_id")
+        probe_recall = _probe_coverage_stats(
+            spark, vecs, n_batch, sample_union,
+            # the union IS the (already-capped) truth corpus: pass a
+            # size at the cap so the stats helper's subsample is the
+            # identity map
+            PROBE_RECALL_CORPUS_CAP, samp_assign, books["ivf"],
+        )
+    elif all(
         os.path.isdir(_batch_path(root, "vectors", m["batch"]))
         for m in prior
-    )
-    if has_vectors:
-        batch_float = vecs.select(
-            "vec_id",
-            F.col("embedding").cast("array<float>").alias("embedding"),
-        )
-        try:
-            n_prior = index_size(root) if prior else 0
-        except ValueError:  # pre-upgrade manifests, unreadable footers
-            n_prior = None
-        if n_prior is None:
-            probe_recall = None
+    ):
+        if prior:
+            all_vec = _read(spark, root, "vectors").unionByName(batch_float)
+            all_assign = _read(spark, root, "ivf_assign").unionByName(assign)
         else:
-            if prior:
-                all_vec = _read(spark, root, "vectors").unionByName(
-                    batch_float
-                )
-                all_assign = _read(spark, root, "ivf_assign").unionByName(
-                    assign
-                )
-            else:
-                all_vec, all_assign = batch_float, assign
-            probe_recall = _probe_coverage_stats(
-                spark, vecs, n_batch, all_vec, n_prior + n_batch,
-                all_assign, books["ivf"],
-            )
+            all_vec, all_assign = batch_float, assign
+        probe_recall = _probe_coverage_stats(
+            spark, vecs, n_batch, all_vec, n_prior + n_batch,
+            all_assign, books["ivf"],
+        )
     else:
         probe_recall = None
     return {
@@ -349,16 +406,17 @@ OCCUPANCY_TVD_THRESHOLD = 0.25
 #: neighbors still live inside its nprobe probed lists. Each delivery
 #: therefore measures PROBE COVERAGE: sample up to
 #: ``PROBE_RECALL_QUERY_SAMPLE`` delivery vectors as queries, take their
-#: exact top-``PROBE_RECALL_K`` neighbors over a DETERMINISTIC
-#: hash-subsample of the union corpus capped at
-#: ``PROBE_RECALL_CORPUS_CAP`` rows (the truth pass must not break the
-#: store's delivery-linear append contract — the subsample bounds it at
-#: sample x cap exact cosines per delivery regardless of corpus size;
-#: top-k within a uniform subsample are genuinely near points, and
-#: their probe coverage estimates the same quantity with more variance,
-#: which the noise margin already absorbs), and record what fraction sit
-#: in the query's IVF_PQ_NPROBE probed clusters. Append-time only, never
-#: on a serving path. The BASE build's coverage is the reference; a
+#: exact top-``PROBE_RECALL_K`` neighbors over the union of the stores'
+#: per-batch ``recall_sample`` artifacts — each delivery hash-samples
+#: ITSELF at commit-time rate ``PROBE_RECALL_CORPUS_CAP / running
+#: total``, so the truth pass reads a few-×-cap rows however large the
+#: corpus grows and appends stay delivery-linear in I/O as well as
+#: compute (top-k within a deterministic subsample are genuinely near
+#: points; the estimate carries more variance, which the noise margin
+#: absorbs) — and record what fraction sit in the query's
+#: IVF_PQ_NPROBE probed clusters, with the sampled neighbors' cluster
+#: ids recomputed in-flight against the frozen centroids (no ivf_assign
+#: scan either). Append-time only, never on a serving path. The BASE build's coverage is the reference; a
 #: delivery trips when its coverage falls below
 #: ``PROBE_RECALL_RATIO_THRESHOLD`` x base minus a binomial noise margin
 #: of ``incremental_embeddings.RECALL_FLOOR_MARGIN_SD`` standard errors
@@ -374,16 +432,8 @@ PROBE_RECALL_RATIO_THRESHOLD = 0.6
 
 
 def _hash_subsample(df: DataFrame, n_total: int, cap: int, key: str) -> DataFrame:
-    """Deterministic ~``cap``-row subsample of an ``n_total``-row relation
-    (identity map when it already fits): hash-threshold on the key, so
-    the subsample is stable across runs and needs no count job."""
-    if n_total <= cap:
-        return df
-    frac_ppm = int(1_000_000 * cap / n_total)
-    return df.filter(
-        F.pmod(F.xxhash64(F.col(key), F.lit("probe-recall")), F.lit(1_000_000))
-        < frac_ppm
-    )
+    """Store-salted view of the shared :func:`batch_store.hash_subsample`."""
+    return bs.hash_subsample(df, n_total, cap, key, "probe-recall")
 
 
 def _probe_coverage_stats(

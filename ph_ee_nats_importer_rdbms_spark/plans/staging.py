@@ -292,16 +292,17 @@ def artifact_tree(
         for entry in os.listdir(ds_dir):
             if not entry.startswith(f"{name}.tmp-"):
                 continue
-            # sweep ONLY dead builders' tmp dirs: a live concurrent
-            # builder's half-written tree must not be deleted under it —
-            # its rename would then commit a tree missing early files,
-            # and 'final dir exists' would mark the corrupt tree
-            # complete forever.
+            # sweep dead builders' tmp dirs AND our own pid's (a tmp with
+            # our pid is a crashed earlier attempt in THIS process — it
+            # cannot be a live concurrent builder, and building into a
+            # dirty tree makes the store builders fail their re-delivery
+            # guards or, worse, rename a corrupt tree into place). A tmp
+            # from a different LIVE pid is left alone.
             try:
                 pid = int(entry.rsplit("-", 1)[1])
             except ValueError:
                 pid = None
-            if pid is not None and _pid_alive(pid):
+            if pid is not None and pid != os.getpid() and _pid_alive(pid):
                 continue
             shutil.rmtree(os.path.join(ds_dir, entry), ignore_errors=True)
         tmp = f"{path}.tmp-{os.getpid()}"
@@ -457,18 +458,52 @@ def load_or_build(
         # persistence disabled -> round-1 behavior
         return build().localCheckpoint(eager=True)
 
+    import json
+
     ds_dir = _dataset_dir(root, sf_dir, domain)
     path = os.path.join(ds_dir, name)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _prune_stale(root, keep=ds_dir)
         tmp = f"{path}.tmp-{os.getpid()}"
-        writer = build().write.mode("overwrite")
+        df = build()
+        writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
+        if partition_by:
+            # sidecar: the built schema's column order and types. Hive
+            # partition read-back TYPE-INFERS partition columns (a
+            # numeric-looking value like '007' would come back as int 7,
+            # silently changing grouping keys and oracle agreement) and
+            # moves them to the end of the schema; the sidecar lets the
+            # read restore the exact written shape.
+            with open(os.path.join(tmp, "_stage_schema.json"), "w") as f:
+                json.dump(
+                    [(fld.name, fld.dataType.simpleString()) for fld in df.schema],
+                    f,
+                )
         try:
             os.rename(tmp, path)
         except OSError:
             # another builder won the race; its output is equivalent
             shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(path)
+    sidecar = os.path.join(path, "_stage_schema.json")
+    if not os.path.exists(sidecar):
+        return spark.read.parquet(path)
+    # partitioned stage: read with type inference OFF (inference is
+    # lossy — '007' infers as int 7 and casting back yields '7'), then
+    # restore the written column order and types from the sidecar. The
+    # inference toggle is analysis-time, so scoping it around the read
+    # is sufficient.
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        out = spark.read.parquet(path)
+    finally:
+        spark.conf.set(conf_key, prev)
+    with open(sidecar) as f:
+        cols = json.load(f)
+    from pyspark.sql import functions as F
+
+    return out.select(*[F.col(c).cast(t).alias(c) for c, t in cols])
