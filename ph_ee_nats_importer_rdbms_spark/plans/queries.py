@@ -170,8 +170,7 @@ def _ms_cols(df: DataFrame) -> DataFrame:
     return df
 
 
-def _q_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _table(spark, sf_dir, "transfers")
+def _project_transfers(df: DataFrame) -> DataFrame:
     return df.select(
         "workflow_instance_key",
         "transaction_id",
@@ -199,8 +198,11 @@ def _q_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_transaction_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _table(spark, sf_dir, "transaction_requests")
+def _q_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _project_transfers(_table(spark, sf_dir, "transfers"))
+
+
+def _project_transaction_requests(df: DataFrame) -> DataFrame:
     return df.select(
         "workflow_instance_key",
         "transaction_id",
@@ -226,8 +228,13 @@ def _q_transaction_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _table(spark, sf_dir, "batches")
+def _q_transaction_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _project_transaction_requests(
+        _table(spark, sf_dir, "transaction_requests")
+    )
+
+
+def _project_batches(df: DataFrame) -> DataFrame:
     return df.select(
         "workflow_instance_key",
         "workflow_key",
@@ -244,6 +251,49 @@ def _q_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("started_at").alias("started_at_ms"),
         F.unix_millis("completed_at").alias("completed_at_ms"),
     )
+
+
+def _q_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _project_batches(_table(spark, sf_dir, "batches"))
+
+
+# --- streaming-engine twins (streaming/replay.py): the SAME projections
+# and the SAME oracles as the batch entries, but the table store was
+# materialized by the 3-hop Structured Streaming topology replaying the
+# raw envelope corpus (availableNow, one file per trigger). A green
+# driver row here certifies the streaming engine end-to-end — envelope
+# parse, C5 buffering, C4 re-key, D1-D4 keyed state, C6 mappers, and
+# the change-log upsert fold — not just its batch twin.
+
+
+def _streaming_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ph_ee_nats_importer_rdbms_spark.streaming import replay
+
+    return replay.streaming_table(spark, sf_dir, name)
+
+
+def _q_transfers_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _project_transfers(_streaming_table(spark, sf_dir, "transfers"))
+
+
+def _q_transaction_requests_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _project_transaction_requests(
+        _streaming_table(spark, sf_dir, "transaction_requests")
+    )
+
+
+def _q_batches_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _project_batches(_streaming_table(spark, sf_dir, "batches"))
+
+
+def _q_variables_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _streaming_table(spark, sf_dir, "variables")
+
+
+def _q_tasks_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _streaming_table(spark, sf_dir, "tasks")
 
 
 def _q_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1038,6 +1088,22 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "zeebe_batches": (_q_batches, synthetic.BATCHES_ORACLE),
     "zeebe_variables": (_q_variables, synthetic.VARIABLES_ORACLE),
     "zeebe_tasks": (_q_tasks, synthetic.TASKS_ORACLE),
+    # the streaming engine under the driver's gate: same oracles, table
+    # store produced by the 3-hop streaming replay (streaming/replay.py)
+    "zeebe_transfers_streaming": (
+        _q_transfers_streaming,
+        synthetic.TRANSFERS_ORACLE,
+    ),
+    "zeebe_transaction_requests_streaming": (
+        _q_transaction_requests_streaming,
+        synthetic.TRANSACTION_REQUESTS_ORACLE,
+    ),
+    "zeebe_batches_streaming": (_q_batches_streaming, synthetic.BATCHES_ORACLE),
+    "zeebe_variables_streaming": (
+        _q_variables_streaming,
+        synthetic.VARIABLES_ORACLE,
+    ),
+    "zeebe_tasks_streaming": (_q_tasks_streaming, synthetic.TASKS_ORACLE),
     "zeebe_routing": (_q_routing, synthetic.ROUTING_ORACLE),
     "transfers_range_filter": (_q_transfers_range, _TRANSFERS_RANGE_ORACLE),
     "transfer_detail_join": (_q_transfer_detail, _TRANSFER_DETAIL_ORACLE),

@@ -63,6 +63,19 @@ _SEMANTIC_SOURCES = (
 # keeps the bare "{base}-{fp}" naming for cache continuity.
 _DOMAINS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
     "zeebe": (("orders.parquet",), _SEMANTIC_SOURCES),
+    # the STREAMING engine's replayed table store (streaming/replay.py):
+    # same corpus identity as zeebe, but keyed on the streaming modules
+    # too — editing a stateful stage rebuilds the replay without
+    # invalidating the batch stage, and vice versa
+    "stream": (
+        ("orders.parquet",),
+        _SEMANTIC_SOURCES
+        + (
+            "streaming/pipeline.py",
+            "streaming/state.py",
+            "streaming/replay.py",
+        ),
+    ),
     "docs": (
         ("documents.parquet",),
         (

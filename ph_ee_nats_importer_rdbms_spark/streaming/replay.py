@@ -1,0 +1,198 @@
+"""Streaming replay of a staged event corpus — the driver-gated proof
+that the STREAMING engine (not just its batch twin) computes the
+reference semantics.
+
+The reference is a streaming importer (NatsConsumer.java:34-35: a NATS
+subscriber feeding per-event stateful correlation). Every ``zeebe_*``
+registry entry runs the batch pipeline, whose agreement with the
+streaming hops is pinned by pytest parity tests — this module closes the
+remaining gap by putting the streaming path itself under the driver's
+DuckDB oracle gate:
+
+    flat corpus -> raw Zeebe envelope JSON (the inverse of
+    operators/classify.parse_envelope, written distributed as ORDERED
+    range chunks) -> the real 3-hop Structured Streaming topology
+    (streaming/pipeline.run_multi_hop, availableNow trigger, ONE FILE
+    PER TRIGGER so keyed state genuinely hands off across micro-batches)
+    -> change-log fold (materialize_tables) -> the five business tables,
+    typed to the exact batch sink schemas (schemas.py) and staged once
+    per (dataset, code) fingerprint.
+
+The ``zeebe_*_streaming`` registry entries read these staged tables and
+are gated by the SAME oracle SQL as their batch twins — a hash mismatch
+anywhere in the streaming engine (envelope parse, C5 buffering, C4
+re-key, D1-D4 state, C6 mappers, the change-log fold) turns a driver row
+red.
+
+Ordering contract: NATS JetStream delivers a stream in order, and the
+reference relies on that (its state machines assume activation precedes
+completion). The replay reproduces ordered delivery at scale without a
+driver-side sort-and-collect: ``repartitionByRange`` over the globally
+unique (timestamp, position) key writes contiguous time ranges as
+separate files, renamed to lexicographic chunk names with strictly
+increasing mtimes so the file stream source (oldest-first) feeds them as
+ordered micro-batches. Intra-chunk order is irrelevant — every stateful
+stage sorts its key group by (timestamp, position) within the batch.
+
+Scale note: this is an INGEST artifact, built once per dataset
+fingerprint (same family as the incremental-store staging builds). On a
+real cluster the equivalent work is the deployed streaming topology
+itself; here the availableNow replay is the bounded batch form of it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ph_ee_nats_importer_rdbms_spark import schemas
+from ph_ee_nats_importer_rdbms_spark.plans import staging
+
+#: micro-batch count for hop 1 — enough to force cross-batch keyed-state
+#: handoff at corpus scale, small enough that per-trigger overhead stays
+#: a staging-time constant.
+REPLAY_CHUNKS = 4
+
+TABLES = ("transfers", "transaction_requests", "batches", "variables", "tasks")
+
+_ENTITY_SCHEMAS = {
+    "transfers": schemas.TRANSFERS_SCHEMA,
+    "transaction_requests": schemas.TRANSACTION_REQUESTS_SCHEMA,
+    "batches": schemas.BATCHES_SCHEMA,
+}
+
+
+def envelope_json() -> Column:
+    """Flat event row -> raw Zeebe 1.x envelope JSON string — the exact
+    inverse of operators/classify.parse_envelope (null fields omitted,
+    like a real broker payload; empty-string bpmnProcessId is PRESERVED —
+    it is the C5 trigger, not a missing field)."""
+    value = F.struct(
+        F.col("bpmn_process_id").alias("bpmnProcessId"),
+        F.col("process_instance_key").alias("processInstanceKey"),
+        F.col("process_definition_key").alias("processDefinitionKey"),
+        F.col("parent_process_instance_key").alias("parentProcessInstanceKey"),
+        F.col("bpmn_element_type").alias("bpmnElementType"),
+        F.col("element_id").alias("elementId"),
+        F.col("name").alias("name"),
+        F.col("job_type").alias("type"),
+        F.col("value").alias("value"),
+    )
+    env = F.struct(
+        F.col("partition_id").alias("partitionId"),
+        F.col("position").alias("position"),
+        F.col("key").alias("key"),
+        F.col("timestamp").alias("timestamp"),
+        F.col("record_type").alias("recordType"),
+        F.col("value_type").alias("valueType"),
+        F.col("intent").alias("intent"),
+        value.alias("value"),
+    )
+    # explicit option: do not depend on the session's jsonGenerator conf
+    return F.to_json(env, {"ignoreNullFields": "true"})
+
+
+def write_ordered_chunks(flat: DataFrame, src_dir: str, chunks: int = REPLAY_CHUNKS) -> None:
+    """Write the corpus as ``chunks`` envelope-JSON files forming an
+    ordered delivery: file k holds a contiguous (timestamp, position)
+    range strictly before file k+1's, named chunk-%03d.jsonl with
+    strictly increasing mtimes (the file stream source processes
+    oldest-first). The write itself is fully distributed; only the
+    metadata renames run on the driver."""
+    tmp = src_dir + ".build"
+    (
+        flat.repartitionByRange(chunks, "timestamp", "position")
+        .select(envelope_json().alias("value"))
+        .write.mode("overwrite")
+        .text(tmp)
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    parts = sorted(
+        n for n in os.listdir(tmp) if n.startswith("part-") and not n.endswith(".crc")
+    )
+    base = 1_000_000_000  # fixed epoch: chunk order is all that matters
+    for i, name in enumerate(parts):
+        dst = os.path.join(src_dir, f"chunk-{i:03d}.jsonl")
+        os.rename(os.path.join(tmp, name), dst)
+        os.utime(dst, (base + i, base + i))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _typed_entity(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """(workflow_instance_key, payload-JSON) change rows -> the batch sink
+    schema. The payload is parsed all-strings (JSON scalars keep their
+    literal text) and each field cast to its schema type — epoch-ms longs
+    become timestamps via timestamp_millis, money strings re-round
+    through decimal(19,4) exactly like the batch json_money cast."""
+    pay = T.StructType(
+        [
+            T.StructField(f.name, T.StringType())
+            for f in schema.fields
+            if f.name != "workflow_instance_key"
+        ]
+    )
+    parsed = df.select(
+        F.col("workflow_instance_key").cast("long").alias("workflow_instance_key"),
+        F.from_json("payload", pay).alias("p"),
+    )
+    cols = []
+    for f in schema.fields:
+        if f.name == "workflow_instance_key":
+            cols.append(F.col("workflow_instance_key"))
+            continue
+        c = F.col(f"p.{f.name}")
+        if isinstance(f.dataType, T.TimestampType):
+            c = F.timestamp_millis(c.cast("long"))
+        else:
+            c = c.cast(f.dataType)
+        cols.append(c.alias(f.name))
+    return parsed.select(*cols)
+
+
+def _build(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """One-time staging build: ordered envelope chunks -> 3 streaming hops
+    -> typed tables under ``root/tables/``. The scaffolding (source files,
+    per-hop checkpoints, intermediate parquet) is removed after the tables
+    commit — the artifact is the table store, not the replay residue."""
+    from ph_ee_nats_importer_rdbms_spark.plans.queries import zeebe_events_df
+    from ph_ee_nats_importer_rdbms_spark.streaming import pipeline as sp
+
+    flat = staging.load_or_build(
+        spark, sf_dir, "flat_events", lambda: zeebe_events_df(spark, sf_dir)
+    )
+    src_dir = os.path.join(root, "source")
+    work_dir = os.path.join(root, "work")
+    write_ordered_chunks(flat, src_dir)
+    paths = sp.run_multi_hop(
+        spark, src_dir, work_dir, available_now=True, max_files_per_trigger=1
+    )
+    tables = sp.materialize_tables(spark, paths["changes"])
+    out_root = os.path.join(root, "tables")
+    for name in TABLES:
+        df = tables[name]
+        if name in _ENTITY_SCHEMAS:
+            df = _typed_entity(df, _ENTITY_SCHEMAS[name])
+        df.write.mode("overwrite").parquet(os.path.join(out_root, name))
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def streaming_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """A business table as materialized by the STREAMING engine, staged
+    once per (dataset, streaming-code) fingerprint. Read path is a plain
+    committed-parquet scan — warm cost is corpus-shaped table I/O, the
+    replay itself is ingest (paid once, like a deployed topology)."""
+    if name not in TABLES:
+        raise ValueError(f"unknown streaming table {name!r}; one of {TABLES}")
+    root = staging.artifact_tree(
+        spark,
+        sf_dir,
+        domain="stream",
+        name="replay_tables",
+        build=lambda tmp: _build(spark, sf_dir, tmp),
+        identity_source="orders.parquet",
+    )
+    return spark.read.parquet(os.path.join(root, "tables", name))
