@@ -370,6 +370,93 @@ GROUP BY lang
 """
 
 
+#: the percentile targets the sketch gate verifies, as (label, quantile)
+_APPROX_PCTS = ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+
+
+def q_length_percentiles_approx_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic DRIVER GATE for the GK sketch (VERDICT r8 task #2).
+
+    ``percentile_approx``'s output depends on sketch compaction order, so
+    its VALUES have no DuckDB twin — but its GUARANTEE is deterministic:
+    each returned value is an actual corpus value whose rank is within
+    n/accuracy (+1 interpolation slack) of the target rank. This entry
+    verifies that guarantee DISTRIBUTED and emits the verdict booleans,
+    which the oracle asserts must all be TRUE — so rows+schema+hash are
+    fully checkable and a sketch-bound violation turns the driver row
+    red. The raw sketch values remain available via
+    :func:`q_length_percentiles_approx`.
+
+    Shape: one corpus pass for the sketch (bounded mergeable state), one
+    corpus pass for the rank check — the sketch output (#langs × 3 rows)
+    is broadcast back against the doc lengths, so the verification is a
+    map-side join + aggregate, no corpus shuffle.
+    """
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    pct = F.expr(
+        "percentile_approx(n_chars, array(0.5, 0.9, 0.99), "
+        f"{APPROX_PCT_ACCURACY})"
+    )
+    sk = d.groupBy("lang").agg(
+        pct.alias("p"), F.count(F.lit(1)).alias("n_docs")
+    )
+    per_pct = sk.select(
+        "lang",
+        "n_docs",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(q) for q, _ in _APPROX_PCTS]),
+                F.col("p"),
+            )
+        ).alias("pct", "v"),
+    )
+    return rank_check(d, per_pct)
+
+
+def rank_check(d: DataFrame, per_pct: DataFrame) -> DataFrame:
+    """Distributed GK-guarantee verification: for each claimed percentile
+    value ``v`` in ``per_pct`` (lang, n_docs, pct, v), count its rank
+    window over ``d`` (lang, n_chars) and emit whether the window is
+    within n/accuracy (+1) of the target rank and whether ``v`` is an
+    actual corpus value. ``per_pct`` is #langs × #pcts rows — broadcast."""
+    from pyspark.sql.functions import broadcast
+
+    joined = d.join(broadcast(per_pct), "lang")
+    ranks = joined.groupBy("lang", "pct", "v", "n_docs").agg(
+        F.sum((F.col("n_chars") < F.col("v")).cast("long")).alias("lo"),
+        F.sum((F.col("n_chars") <= F.col("v")).cast("long")).alias("hi_cnt"),
+        F.max((F.col("n_chars") == F.col("v")).cast("int")).alias("present"),
+    )
+    target = F.col("pct") * (F.col("n_docs") - 1)
+    tol = F.col("n_docs") / F.lit(APPROX_PCT_ACCURACY) + 1
+    hi = F.col("hi_cnt") - 1  # value occupies ranks [lo, hi_cnt-1]
+    dist = F.when(
+        (F.col("lo") <= target) & (target <= hi), F.lit(0.0)
+    ).otherwise(F.least(F.abs(F.col("lo") - target), F.abs(hi - target)))
+    return ranks.select(
+        "lang",
+        F.col("pct").cast("double").alias("pct"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (dist <= tol).alias("within_rank_bound"),
+        (F.col("present") == 1).alias("is_corpus_value"),
+    )
+
+
+LENGTH_PERCENTILES_APPROX_CHECK_ORACLE = """
+SELECT lang,
+       CAST(pct AS DOUBLE) AS pct,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       TRUE AS within_rank_bound,
+       TRUE AS is_corpus_value
+FROM (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS p(pct)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deterministic language-balanced sample
 # ---------------------------------------------------------------------------

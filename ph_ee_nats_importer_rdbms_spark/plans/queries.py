@@ -1211,9 +1211,15 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
         _tr.DECONTAMINATION_CAPPED_ORACLE,
     ),
     "length_percentiles": (_tr.q_length_percentiles, _tr.LENGTH_PERCENTILES_ORACLE),
-    # sketch-based: no DuckDB twin exists; gated by the pytest rank-bound
-    # test against the exact operator instead of a SQL oracle
-    "length_percentiles_approx": (_tr.q_length_percentiles_approx, None),
+    # GK sketch: its VALUES have no DuckDB twin (compaction-order
+    # dependent), but its rank GUARANTEE is deterministic — the entry
+    # verifies the bound distributed and emits verdict booleans the
+    # oracle pins to TRUE, so rows+schema+hash are all checkable
+    # (VERDICT r8 task #2; raw values via q_length_percentiles_approx)
+    "length_percentiles_approx": (
+        _tr.q_length_percentiles_approx_check,
+        _tr.LENGTH_PERCENTILES_APPROX_CHECK_ORACLE,
+    ),
     "balanced_sample": (_tr.q_balanced_sample, _tr.BALANCED_SAMPLE_ORACLE),
     "pack_sequences": (_tr.q_pack_sequences, _tr.PACK_SEQUENCES_ORACLE),
     "mixture_sample": (_tr.q_mixture_sample, _tr.MIXTURE_SAMPLE_ORACLE),

@@ -961,6 +961,41 @@ def test_length_percentiles_approx_within_rank_bound(spark, sf_dir):
             assert dist <= tol, (lang, col, got, target, lo, hi)
 
 
+def test_length_percentiles_approx_gate_trips_on_a_broken_sketch(spark):
+    """The driver-gate entry (rank_check) must actually be able to fail:
+    a claimed p50 at the corpus maximum flips within_rank_bound, and a
+    value absent from the corpus flips is_corpus_value — so a GK-bound
+    violation would turn the CORRECTNESS row red, not pass silently."""
+    from pyspark.sql import functions as F
+
+    from ph_ee_nats_importer_rdbms_spark.analytics import training as tr
+
+    d = spark.createDataFrame(
+        [("en", i) for i in range(1, 101)], "lang string, n_chars int"
+    )
+    claims = spark.createDataFrame(
+        [
+            ("en", 100, 0.5, 50.0),  # true median -> both booleans true
+            ("en", 100, 0.9, 100.0),  # corpus max claimed as p90: rank off
+            ("en", 100, 0.99, 250.0),  # not a corpus value at all
+        ],
+        "lang string, n_docs long, pct double, v double",
+    )
+    got = {
+        r["pct"]: r for r in tr.rank_check(d, claims).collect()
+    }
+    assert got[0.5]["within_rank_bound"] and got[0.5]["is_corpus_value"]
+    assert not got[0.9]["within_rank_bound"] and got[0.9]["is_corpus_value"]
+    assert not got[0.99]["is_corpus_value"]
+    # and the real entry over real data is all-true (the oracle's claim)
+    real = tr.q_length_percentiles_approx_check(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert real and all(
+        r["within_rank_bound"] and r["is_corpus_value"] for r in real
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-4 operator properties (chunking coverage, sampling determinism)
 # ---------------------------------------------------------------------------
