@@ -88,6 +88,34 @@ def read_union(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def artifact_count(root: str, name: str, batch: str) -> int:
+    """Row count of ONE batch's written artifact from parquet FOOTER
+    metadata — zero Spark jobs (VERDICT r8 task #4: delivery-time sizing
+    shares the serving side's footer/manifest discipline instead of
+    launching a count() job per number). Raises when the artifact was
+    never written — a sizing read against a missing artifact is a bug,
+    not an empty store."""
+    from ph_ee_nats_importer_rdbms_spark.plans.staging import parquet_row_count
+
+    n = parquet_row_count(batch_path(root, name, batch))
+    if n is None:
+        raise FileNotFoundError(
+            f"no readable parquet at {batch_path(root, name, batch)}"
+        )
+    return n
+
+
+def committed_count(root: str, name: str) -> int:
+    """Total rows of an artifact across COMMITTED batches, from footers
+    only — the count is delivery-proportional in FILES but zero Spark
+    jobs, correct even on stores whose pre-upgrade manifests carry no
+    running total."""
+    return sum(
+        artifact_count(root, name, m["batch"])
+        for m in committed_batches(root)
+    )
+
+
 def legacy_batch_id_of(df: DataFrame, key: str) -> str:
     """The scheme-1 (pre round 5) id: digest of the sorted key-string
     set only. Kept solely so :func:`replayed_manifest` can recognize

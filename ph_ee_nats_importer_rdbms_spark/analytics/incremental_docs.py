@@ -189,7 +189,7 @@ def read_labels(spark: SparkSession, root: str) -> DataFrame:
 
 def _cc_or_empty(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
-    if edges.count() == 0:
+    if edges.isEmpty():  # bounded probe, not a full count job
         return spark.createDataFrame([], _SCHEMAS["labels"])
     return connected_components(edges)
 
@@ -374,11 +374,13 @@ def append_batch(
             **(extra or {}),
         },
     )
-    n_delivered = new_docs.count()
     _commit(root, {"seq": len(committed), "batch": batch})
+    # delivery stats from the written artifacts' parquet FOOTERS — zero
+    # count() jobs (VERDICT r8 task #4; same discipline as the serving
+    # side's footer-sized reads)
     return {
-        "new_docs": n_delivered,
-        "new_pairs": pairs_new.count(),
-        "labeled_nodes": labels.count(),
+        "new_docs": bs.artifact_count(root, "delivered", batch),
+        "new_pairs": bs.artifact_count(root, "pairs", batch),
+        "labeled_nodes": bs.artifact_count(root, "labels", batch),
     }
 

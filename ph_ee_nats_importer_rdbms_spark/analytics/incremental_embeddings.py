@@ -383,7 +383,7 @@ def _structure_stats(structure, n_total: int, n_delivery: int) -> dict:
 
 def _labels_or_empty(spark: SparkSession, edges: DataFrame) -> DataFrame:
     e = edges.localCheckpoint(eager=True)
-    if e.count() == 0:
+    if e.isEmpty():  # bounded probe, not a full count job
         return spark.createDataFrame([], LABELS_SCHEMA)
     return connected_components(e)
 
@@ -544,19 +544,13 @@ def append_embedding_batch(
             )
         ),
     ).localCheckpoint(eager=True)
-    n = new_vec.count()
-    # prior corpus size from the committed delivered relation (a slim
-    # vec_id parquet — the count folds from footer metadata, no scan);
-    # counting it directly keeps totals correct on stores with
-    # pre-upgrade manifests that carry no running total.
-    n_prior = bs.read_union(spark, root, "delivered", _DELIVERED).count()
-    if not _is_legacy(root):
-        # each delivery samples ITSELF at the commit-time corpus rate —
-        # the recall truth pass reads the union of these small dirs, not
-        # the corpus payload (see _measured_recall_stats)
-        artifacts["recall_sample"] = bs.hash_subsample(
-            new_vec, n_prior + n, RECALL_CORPUS_CAP, "vec_id", "band-recall"
-        )
+    # stage the main artifacts FIRST, then size the delivery from their
+    # parquet FOOTERS — zero count() jobs (VERDICT r8 task #4). Writing
+    # in two steps is safe: nothing is visible until the manifest commit,
+    # and a crash in between leaves only manifest-less garbage the
+    # idempotent retry overwrites. Prior corpus size folds from the
+    # committed delivered dirs' footers, so totals stay correct even on
+    # stores whose pre-upgrade manifests carry no running total.
     bs.write_artifacts(
         root,
         batch,
@@ -567,6 +561,25 @@ def append_embedding_batch(
             "labels": labels,
         },
     )
+    n = bs.artifact_count(root, "delivered", batch)
+    n_prior = bs.committed_count(root, "delivered")
+    if not _is_legacy(root):
+        # each delivery samples ITSELF at the commit-time corpus rate —
+        # the recall truth pass reads the union of these small dirs, not
+        # the corpus payload (see _measured_recall_stats)
+        bs.write_artifacts(
+            root,
+            batch,
+            {
+                "recall_sample": bs.hash_subsample(
+                    new_vec,
+                    n_prior + n,
+                    RECALL_CORPUS_CAP,
+                    "vec_id",
+                    "band-recall",
+                )
+            },
+        )
     bs.commit(
         root,
         {
@@ -579,7 +592,10 @@ def append_embedding_batch(
             ),
         },
     )
-    return {"new_vectors": n, "new_pairs": pairs_new.count()}
+    return {
+        "new_vectors": n,
+        "new_pairs": bs.artifact_count(root, "pairs", batch),
+    }
 
 
 #: A delivery whose expected bucket occupancy exceeds 4x the design

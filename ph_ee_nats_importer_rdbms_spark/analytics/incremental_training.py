@@ -109,15 +109,20 @@ def append_pack_batch(
         )
     )
     packed_new = packed_new.localCheckpoint(eager=True)
-    n_docs = new_docs.count()
-    n_seqs = packed_new.select("shard_id", "seq_id").distinct().count()
     bs.write_artifacts(
         root,
         batch,
         {"packed": packed_new, "delivered": new_docs.select("doc_id")},
     )
+    # n_docs folds from the written artifact's footers (zero jobs); the
+    # distinct sequence count is the delivery's ONE counting job — it is
+    # a number no footer carries (VERDICT r8 task #4)
+    n_seqs = packed_new.select("shard_id", "seq_id").distinct().count()
     bs.commit(root, {"seq": len(committed), "batch": batch})
-    return {"new_docs": n_docs, "new_sequences": n_seqs}
+    return {
+        "new_docs": bs.artifact_count(root, "delivered", batch),
+        "new_sequences": n_seqs,
+    }
 
 
 def fill_report(spark: SparkSession, root: str) -> DataFrame:
