@@ -27,9 +27,17 @@ from __future__ import annotations
 import json
 from collections.abc import Callable, Iterable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 BATCH_SIZE = 1000  # S6
+
+#: Hard cap on micro-batch rows the NON-default driver-collect writer
+#: (``changes_foreach_batch(distributed=False)``) will funnel through
+#: the driver. ~100k change rows is comfortably a small-deployment
+#: trigger and a few tens of MB on the driver; anything bigger belongs
+#: on the distributed writer. The guard collects via limit(cap+1), so
+#: checking the cap can itself never blow the driver.
+DRIVER_COLLECT_MAX_ROWS = 100_000
 
 #: tables: name -> (columns, key columns for upsert; () = append-only)
 TABLES: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
@@ -301,7 +309,21 @@ def changes_foreach_batch(
                 ex(url, stmts)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = batch_df.collect()
+        # SIZE GUARD (VERDICT r8 task #5): this mode funnels the whole
+        # micro-batch through the driver — nothing in the API stops a
+        # large deployment from selecting it, so cap what we will
+        # collect. limit(N+1) bounds the transfer itself (the guard can
+        # never OOM while checking), and the error names the fix.
+        rows = batch_df.limit(DRIVER_COLLECT_MAX_ROWS + 1).collect()
+        if len(rows) > DRIVER_COLLECT_MAX_ROWS:
+            raise ValueError(
+                f"driver-collect JDBC writer got a micro-batch over "
+                f"{DRIVER_COLLECT_MAX_ROWS} rows (epoch {epoch_id}). This "
+                "mode exists for small deployments and py4j executors; "
+                "use distributed=True (the default — executor-side "
+                "foreachPartition, rows never traverse the driver) or "
+                "lower the trigger size."
+            )
         by_tenant: dict[str | None, list[tuple[str, dict]]] = {}
         for r in rows:
             by_tenant.setdefault(r["tenant"], []).append(
@@ -329,11 +351,46 @@ def changes_foreach_batch(
                 )
             _write_groups(by_tenant, ex, resolve)
 
-        # hash-partition on tenant so each task holds whole tenants: one
-        # connection per (tenant, task), no cross-task interleaving
-        batch_df.repartition("tenant").foreachPartition(per_partition)
+        salted_by_tenant(batch_df).foreachPartition(per_partition)
 
     return write_distributed if distributed else write
+
+
+#: sub-partitions per tenant in the distributed writer. Plain
+#: repartition("tenant") serializes a dominant tenant into ONE task —
+#: the classic skew shape at 100× (a 90%-tenant batch writes at 1-task
+#: speed no matter the cluster). 8 bounds any tenant's largest task at
+#: ~1/8 of its rows while keeping connection fan-out at most 8 per
+#: tenant per micro-batch.
+WRITER_SALT = 8
+
+
+def salted_by_tenant(
+    batch_df: DataFrame,
+    salt: int = WRITER_SALT,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Partition change rows for the distributed writer: by tenant, then
+    by a key-hash sub-split WITHIN tenant (VERDICT r8 task #6).
+
+    Correctness under the split: every statement is a keyed upsert or an
+    append (rows_to_statements), and one instance key's rows always hash
+    to the same sub-partition — so concurrent tasks writing the same
+    tenant's database touch disjoint keys, and no per-tenant total order
+    is required by the MERGE semantics. What the split buys is bounded
+    per-task row share under tenant skew: a 90%-tenant micro-batch
+    spreads over ``salt`` tasks instead of one.
+
+    ``num_partitions`` pins the shuffle width (tests; None = the
+    session's shuffle partitions — which must be >= salt x active
+    tenants for the split to bite)."""
+    sub = F.pmod(
+        F.xxhash64(F.col("workflow_instance_key"), F.lit("writer-salt")),
+        F.lit(salt),
+    )
+    if num_partitions is not None:
+        return batch_df.repartition(num_partitions, F.col("tenant"), sub)
+    return batch_df.repartition(F.col("tenant"), sub)
 
 
 def bootstrap_ddl(url: str, executor: Executor, dialect: str = "mysql") -> None:
