@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from ph_ee_nats_importer_rdbms_spark.analytics import batch_store as bs
 from ph_ee_nats_importer_rdbms_spark.analytics import incremental_docs
 from ph_ee_nats_importer_rdbms_spark.analytics.text import (
     curation_verdict,
@@ -88,15 +89,18 @@ def metrics_of(docs: DataFrame) -> DataFrame:
 def build_curation_store(
     spark: SparkSession, docs: DataFrame, root: str
 ) -> None:
-    """Lay the store down from the initial corpus."""
+    """Lay the store down from the initial corpus. The build FREEZES the
+    head-of-vocabulary reference (top-``VOCAB_TOP_K`` token set) into the
+    base commit manifest — the ranks ``token_ids`` and other tokenizer
+    consumers derive from; every later delivery measures its churn
+    against this frozen head (VERDICT r8 task #7)."""
+    vp = vocab_partial_of(docs).localCheckpoint(eager=True)
     incremental_docs.build_index(
         spark,
         docs,
         root,
-        extra={
-            "metrics": metrics_of(docs),
-            "vocab_partial": vocab_partial_of(docs),
-        },
+        extra={"metrics": metrics_of(docs), "vocab_partial": vp},
+        manifest_extra={"vocab_head": _vocab_head(vp)},
     )
 
 
@@ -106,18 +110,39 @@ def append_curation_batch(
     root: str,
     skip_committed: bool = False,
 ) -> dict:
-    """Fold one delivery in: batch metrics + near-dup append, one
-    transaction. Inherits the re-delivery guard and crash-safety of the
-    underlying store (a retried crashed batch overwrites its own dirs)."""
+    """Fold one delivery in: batch metrics + near-dup append + the
+    vocabulary-churn record, one transaction. Inherits the re-delivery
+    guard and crash-safety of the underlying store (a retried crashed
+    batch overwrites its own dirs).
+
+    The churn record mirrors the embedding store's measured-recall
+    monitor: the post-delivery head-of-vocabulary (committed partials ∪
+    this delivery's partial, merged IN-FLIGHT — vocab-cardinality I/O,
+    never a corpus re-tokenization) is Jaccard-compared against the
+    frozen build-time head, and the number lands in this delivery's
+    commit manifest where :func:`vocab_needs_refresh` thresholds it."""
+    vp = vocab_partial_of(new_docs).localCheckpoint(eager=True)
+    frozen = _frozen_vocab_head(root)
+    manifest_extra: dict = {}
+    if frozen is not None:
+        committed_vp = incremental_docs.read_artifact(
+            spark, root, "vocab_partial", VOCAB_PARTIAL_SCHEMA
+        )
+        cur = set(_vocab_head(committed_vp.unionByName(vp)))
+        ref = set(frozen)
+        union = len(cur | ref)
+        j = (len(cur & ref) / union) if union else 1.0
+        manifest_extra["vocab_churn"] = {
+            "top_k": len(frozen),
+            "jaccard": round(j, 4),
+        }
     return incremental_docs.append_batch(
         spark,
         new_docs,
         root,
-        extra={
-            "metrics": metrics_of(new_docs),
-            "vocab_partial": vocab_partial_of(new_docs),
-        },
+        extra={"metrics": metrics_of(new_docs), "vocab_partial": vp},
         skip_committed=skip_committed,
+        manifest_extra=manifest_extra,
     )
 
 
@@ -227,6 +252,103 @@ def _metric_tokens():
     from ph_ee_nats_importer_rdbms_spark.analytics.text import _tokens
 
     return _tokens()
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary staleness trip-wire (VERDICT r8 task #7)
+# ---------------------------------------------------------------------------
+
+#: Head-of-vocabulary Jaccard below this trips ``vocab_needs_refresh``:
+#: more than ~20% of the top-k token set a tokenizer consumer froze its
+#: ranks on has churned out — re-derive the vocabulary artifacts
+#: (token_ids maps, rank-based filters) before training on new packs.
+VOCAB_REFRESH_JACCARD = 0.8
+
+_VOCAB_CHURN_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("batch", T.StringType()),
+        T.StructField("top_k", T.IntegerType()),
+        T.StructField("jaccard", T.DoubleType()),
+        T.StructField("needs_refresh", T.BooleanType()),
+    ]
+)
+
+
+def _vocab_head(partials: DataFrame, top_k: int | None = None) -> list[str]:
+    """Top-k token SET of a (summed) vocabulary-partial relation — the
+    deterministic (count desc, token asc) head, collected as a
+    config-sized list (k = VOCAB_TOP_K = 100 strings)."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.text import VOCAB_TOP_K
+
+    k = top_k or VOCAB_TOP_K
+    merged = partials.groupBy("token").agg(
+        F.sum("n_occurrences").alias("n_occurrences")
+    )
+    return [
+        r["token"]
+        for r in merged.orderBy(
+            F.col("n_occurrences").desc(), F.col("token").asc()
+        ).limit(k).collect()
+    ]
+
+
+def _frozen_vocab_head(root: str) -> list[str] | None:
+    """The build-time frozen head from the commit manifests (the LATEST
+    manifest carrying one, so a rebuild's fresh reference supersedes the
+    original). None on pre-upgrade stores — churn is then unknown, not
+    healthy, mirroring the recall monitor's no-stats contract."""
+    head = None
+    for m in bs.committed_batches(root):
+        if "vocab_head" in m:
+            head = m["vocab_head"]
+    return head
+
+
+def vocab_churn_report(spark: SparkSession, root: str) -> DataFrame:
+    """Per-delivery head-of-vocabulary churn relation, thresholded into a
+    ``needs_refresh`` flag — one row per committed append, computed
+    entirely from the commit manifests (config-sized; no data scan). The
+    vocabulary analog of the embedding store's ``structure_drift_report``:
+    the frozen artifact here is the RANK REFERENCE tokenizer consumers
+    derived from, and the monitored signal is how much of that head the
+    corpus has churned away. Pre-upgrade deliveries carry no record and
+    surface NULL metrics with a NULL flag (unknown, not healthy)."""
+    rows = []
+    for m in bs.committed_batches(root):
+        if "vocab_head" in m and "vocab_churn" not in m:
+            continue  # the build itself: churn vs itself is 1 by definition
+        c = m.get("vocab_churn")
+        if not c:
+            rows.append((m["seq"], m["batch"], None, None, None))
+            continue
+        j = float(c["jaccard"])
+        rows.append(
+            (
+                m["seq"],
+                m["batch"],
+                int(c["top_k"]),
+                j,
+                bool(j < VOCAB_REFRESH_JACCARD),
+            )
+        )
+    return spark.createDataFrame(rows, _VOCAB_CHURN_SCHEMA)
+
+
+def vocab_needs_refresh(spark: SparkSession, root: str) -> bool:
+    """True when the LATEST recorded delivery's head churn is past the
+    threshold. Unlike occupancy, churn is not monotone (a later delivery
+    can swing the head back), so the newest measurement — not an ANY
+    fold — is the current state. The remedy is consumer-side: re-derive
+    rank-frozen artifacts against :func:`read_vocabulary`'s current
+    head, then rebuild the store (a fresh build re-freezes the
+    reference)."""
+    measured = [
+        r
+        for r in vocab_churn_report(spark, root).collect()
+        if r["needs_refresh"] is not None
+    ]
+    return bool(measured and measured[-1]["needs_refresh"])
 
 
 def read_corpus_report(spark: SparkSession, root: str) -> DataFrame:

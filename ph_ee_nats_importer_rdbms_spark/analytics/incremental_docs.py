@@ -239,6 +239,7 @@ def build_index(
     docs: DataFrame,
     root: str,
     extra: dict[str, DataFrame] | None = None,
+    manifest_extra: dict | None = None,
 ) -> None:
     """Full build from a (doc_id, text) relation.
 
@@ -247,7 +248,9 @@ def build_index(
     into batch dirs with everything else and become visible atomically
     with the one commit manifest. Read back with :func:`read_artifact`.
     The curation store (incremental_curation.py) rides its per-doc
-    metrics on this."""
+    metrics on this. ``manifest_extra`` adds caller-defined JSON fields
+    to the commit manifest itself (config-sized monitoring statistics —
+    the curation store's vocabulary-churn record rides here)."""
     sh = shingles_of(docs).localCheckpoint(eager=True)
     sigs = signatures_of(sh).localCheckpoint(eager=True)
     bands = bands_of(sigs).localCheckpoint(eager=True)
@@ -276,7 +279,7 @@ def build_index(
             **(extra or {}),
         },
     )
-    _commit(root, {"seq": 0, "batch": _BASE_BATCH})
+    _commit(root, {"seq": 0, "batch": _BASE_BATCH, **(manifest_extra or {})})
 
 
 def append_batch(
@@ -285,6 +288,7 @@ def append_batch(
     root: str,
     extra: dict[str, DataFrame] | None = None,
     skip_committed: bool = False,
+    manifest_extra: dict | None = None,
 ) -> dict:
     """Fold a new document batch into the store; returns append stats.
 
@@ -374,7 +378,10 @@ def append_batch(
             **(extra or {}),
         },
     )
-    _commit(root, {"seq": len(committed), "batch": batch})
+    _commit(
+        root,
+        {"seq": len(committed), "batch": batch, **(manifest_extra or {})},
+    )
     # delivery stats from the written artifacts' parquet FOOTERS — zero
     # count() jobs (VERDICT r8 task #4; same discipline as the serving
     # side's footer-sized reads)

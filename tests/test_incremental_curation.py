@@ -251,3 +251,94 @@ def test_corpus_report_from_store_matches_registry_query(
     got = {tuple(r) for r in cur.read_corpus_report(spark, root).collect()}
     want = {tuple(r) for r in q_corpus_report(spark, sf_dir).collect()}
     assert got == want and got
+
+
+def test_vocab_churn_recorded_and_trips_needs_refresh(spark, tmp_path):
+    """The staleness trip-wire (VERDICT r8 task #7), mirroring the recall
+    monitor's shape: every append records head-of-vocabulary Jaccard vs
+    the build-frozen reference in its commit manifest; a same-
+    distribution delivery keeps the flag down, a vocabulary-shifted
+    delivery trips it; a LATER delivery swinging the head back clears it
+    (latest measurement wins — churn is not monotone)."""
+    schema = "doc_id long, text string, lang string"
+    # >VOCAB_TOP_K distinct tokens per family, so the head is a genuine
+    # top-k CUT (equal counts, deterministic token-asc tie-break) and a
+    # dominance swing actually replaces it
+    base_text = " ".join(f"w{i:03d}" for i in range(150))
+    shift_text = " ".join(f"x{i:03d}" for i in range(150))
+
+    root = str(tmp_path / "vocab")
+    cur.build_curation_store(
+        spark,
+        spark.createDataFrame(
+            [(i, base_text, "en") for i in range(20)], schema
+        ),
+        root,
+    )
+    # the build manifest carries the frozen head: w000..w099
+    frozen = cur._frozen_vocab_head(root)
+    assert frozen and "w000" in frozen and "w120" not in frozen
+
+    # same-distribution delivery: head stable, no trip
+    cur.append_curation_batch(
+        spark,
+        spark.createDataFrame([(100 + i, base_text, "en") for i in range(5)], schema),
+        root,
+    )
+    assert not cur.vocab_needs_refresh(spark, root)
+
+    # vocabulary-shifted flood: the head churns past the threshold
+    # (delivery sizes stay small — identical texts make the near-dup
+    # append quadratic in the delivery, and dominance only needs ratios)
+    cur.append_curation_batch(
+        spark,
+        spark.createDataFrame(
+            [(200 + i, shift_text, "en") for i in range(120)], schema
+        ),
+        root,
+    )
+    report = {r["seq"]: r for r in cur.vocab_churn_report(spark, root).collect()}
+    assert report[1]["needs_refresh"] is False
+    assert report[2]["needs_refresh"] is True
+    assert report[2]["jaccard"] < cur.VOCAB_REFRESH_JACCARD
+    assert cur.vocab_needs_refresh(spark, root)
+
+    # base vocabulary floods back: head returns, latest measurement clears
+    cur.append_curation_batch(
+        spark,
+        spark.createDataFrame(
+            [(1000 + i, base_text, "en") for i in range(200)], schema
+        ),
+        root,
+    )
+    assert not cur.vocab_needs_refresh(spark, root)
+
+
+def test_vocab_churn_unknown_on_pre_upgrade_store(spark, tmp_path):
+    """A store whose manifests predate the churn record (no vocab_head)
+    surfaces NULL metrics with a NULL flag — unknown, not healthy — and
+    never trips the refresh flag on absence of evidence."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import incremental_docs as inc
+
+    schema = "doc_id long, text string, lang string"
+    root = str(tmp_path / "legacy")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en")], schema
+    )
+    inc.build_index(
+        spark,
+        docs,
+        root,
+        extra={
+            "metrics": cur.metrics_of(docs),
+            "vocab_partial": cur.vocab_partial_of(docs),
+        },
+    )
+    cur.append_curation_batch(
+        spark,
+        spark.createDataFrame([(2, "alpha beta gamma delta", "en")], schema),
+        root,
+    )
+    rows = cur.vocab_churn_report(spark, root).collect()
+    assert all(r["needs_refresh"] is None for r in rows)
+    assert not cur.vocab_needs_refresh(spark, root)
