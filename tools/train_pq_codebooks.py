@@ -78,16 +78,31 @@ def _lloyd(x: np.ndarray, k: int, iters: int, seed: int) -> tuple[np.ndarray, fl
     return c, float(d2.min(axis=1).sum())
 
 
+#: training-set cap: a PQ/k-means training set is a SAMPLE by design
+#: (FAISS trains k=16 codebooks on tens of thousands of points; 500k is
+#: ~100x that). Corpora above the cap train on a deterministic
+#: hash-sample instead of a driver-OOM-sized whole-corpus collect —
+#: existing artifact keys are merged, never retrained, so shipped
+#: codebooks (and the sf0.01 oracle literals) are unaffected.
+TRAIN_SAMPLE_CAP = 500_000
+
+
 def _train_corpus(
     spark, sf_dir: str, m: int, k: int, iters: int, seeds
 ) -> list[list[list[float]]]:
+    from pyspark.sql import functions as F
+
     from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
 
-    rows = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("embedding")
-        .toPandas()["embedding"]
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > TRAIN_SAMPLE_CAP:
+        frac_ppm = int(1_000_000 * TRAIN_SAMPLE_CAP / n)
+        emb = emb.filter(
+            F.pmod(F.xxhash64(F.col("vec_id"), F.lit("pq-train")), F.lit(1_000_000))
+            < frac_ppm
+        )
+    rows = emb.select("embedding").toPandas()["embedding"]
     x = np.asarray([np.asarray(v, dtype=np.float64) for v in rows])
     dim = x.shape[1]
     dsub = dim // m
