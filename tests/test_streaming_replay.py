@@ -122,3 +122,17 @@ def test_stream_domain_fingerprints_streaming_code():
     # and it still keys on the zeebe semantics (mappers, classify, ...)
     for m in staging._DOMAINS["zeebe"][1]:
         assert m in modules
+
+
+def test_streaming_entry_warm_path_is_a_pure_table_read(spark, sf_dir):
+    """The warm cost contract of the replay entries: once staged, a
+    zeebe_*_streaming query is a single parquet scan + projection — no
+    Exchange, no join, no Python (the replay itself is ingest, paid once
+    per fingerprint)."""
+    from ph_ee_nats_importer_rdbms_spark.plans.queries import QUERIES
+
+    df = QUERIES["zeebe_transfers_streaming"][0](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "Join", "CartesianProduct", "Python"):
+        assert bad not in plan, f"{bad} in streaming read-path plan:\n{plan}"
+    assert "FileScan parquet" in plan
