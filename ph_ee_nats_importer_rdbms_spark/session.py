@@ -46,7 +46,17 @@ def build_session(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    shuffle = str(shuffle_partitions or int(cpus))
+    # Shuffle width defaults to the thread count (right for the bench
+    # SFs), but MUST grow with the corpus: per-task aggregate state is
+    # ~data/partitions, and a 1000x corpus over 32 partitions is a
+    # multi-GB-per-task OOM (observed at sf100 in dup_ngram_frac's
+    # (doc, gram) collapse). SPARK_GRAFT_SHUFFLE_PARTITIONS is the
+    # single-box analog of sizing spark.sql.shuffle.partitions for the
+    # cluster; AQE coalesces the excess on small stages either way.
+    shuffle = str(
+        shuffle_partitions
+        or int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+    )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
