@@ -26,8 +26,11 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
     _DUCK_COSINE,
     _cosine,
+    _dot,
     _duck_bucket,
     _embed_bucket_col,
+    _norm,
+    EMBED_COSINE_THRESHOLD,
 )
 from ph_ee_nats_importer_rdbms_spark.analytics.hashing import hyperplanes
 from ph_ee_nats_importer_rdbms_spark.plans import staging
@@ -1568,6 +1571,143 @@ WHERE rank <= {SEMANTIC_SAMPLE_K}
 
 
 SEMANTIC_SAMPLE_ORACLE = _semantic_sample_oracle()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — cluster-then-dedup semantic deduplication
+# ---------------------------------------------------------------------------
+
+#: semantic-dup cosine; same tuned-for-synthetic value as the LSH-banded
+#: near-dup family (dedup.py) — a real corpus would run 0.95+
+SEMDEDUP_COS = EMBED_COSINE_THRESHOLD
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): k-means-cluster the embedding
+    space, compare pairs ONLY within a cluster, and inside each
+    above-threshold pair drop the member MORE similar to its centroid —
+    keeping the less prototypical example preserves diversity, the
+    paper's keeper rule. Output is corpus-grain: (vec_id, cluster_id,
+    centroid_cos, dropped, dup_of) where dup_of is the best-ranked
+    (lowest centroid_cos, then lowest id) neighbor that caused the drop.
+    Pairwise-greedy semantics by design — transitive-closure grouping is
+    the ``embedding_dup_clusters`` entry's job.
+
+    Scale shape: reuses the STAGED IVF index (``ivf_assign``) for the
+    clustering — assignment is a broadcast argmax, linear in corpus.
+    The within-cluster pair join is the SemDeDup cost model: quadratic
+    in CLUSTER size, never corpus size, and nlist grows with the corpus
+    under the per-corpus codebook deployment (similarity to the paper's
+    "k large enough that clusters fit"); per-pair cosine reuses
+    precomputed norms. At the oracle scales the learned 16-list codebook
+    bounds occupancy at a few dozen vectors."""
+    cent = F.broadcast(
+        spark.createDataFrame(
+            [(cid, vec) for cid, vec in enumerate(_codebook(sf_dir))],
+            "cid INT, cemb ARRAY<DOUBLE>",
+        )
+    )
+    v = (
+        ivf_assignments(spark, sf_dir)
+        .join(cent, F.col("cluster_id") == F.col("cid"))
+        .select(
+            "vec_id",
+            "cluster_id",
+            "embedding",
+            F.round(_cosine("embedding", "cemb"), 6).alias("ccos"),
+            _norm("embedding").alias("nrm"),
+        )
+    )
+    a = v.select(
+        "cluster_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("ccos").alias("ccos_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = v.select(
+        F.col("cluster_id").alias("cluster_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("ccos").alias("ccos_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    qual = (
+        a.join(
+            b,
+            (F.col("cluster_id") == F.col("cluster_b"))
+            & (F.col("vec_a") != F.col("vec_b")),
+        )
+        .filter(
+            F.round(
+                _dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 4
+            )
+            >= SEMDEDUP_COS
+        )
+        .filter(
+            (F.col("ccos_b") < F.col("ccos_a"))
+            | (
+                (F.col("ccos_b") == F.col("ccos_a"))
+                & (F.col("vec_b") < F.col("vec_a"))
+            )
+        )
+    )
+    drops = qual.groupBy("vec_a").agg(
+        F.min_by("vec_b", F.struct("ccos_b", "vec_b")).alias("dup_of")
+    )
+    return (
+        v.join(drops, v.vec_id == drops.vec_a, "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("ccos").alias("centroid_cos"),
+            F.col("dup_of").isNotNull().alias("dropped"),
+            "dup_of",
+        )
+    )
+
+
+def _semdedup_oracle() -> str:
+    rows = ",\n    ".join(
+        f"({cid}, CAST([{', '.join(repr(v) for v in vec)}] AS DOUBLE[]))"
+        for cid, vec in enumerate(IVF_CODEBOOKS[ORACLE_SF_BASE])
+    )
+    c6 = _duck_pair_cosine("e.embedding", "c.cemb").format(nd=6)
+    p4 = _duck_pair_cosine("a.embedding", "b.embedding").format(nd=4)
+    return f"""
+WITH cent(cid, cemb) AS (
+  VALUES {rows}
+),
+assign AS (
+  SELECT vec_id, embedding, cid AS cluster_id, ccos FROM (
+    SELECT e.vec_id, e.embedding, c.cid, {c6} AS ccos,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {c6} DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+qual AS (
+  SELECT a.vec_id, b.vec_id AS other, b.ccos AS occos
+  FROM assign a JOIN assign b
+    ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+  WHERE {p4} >= {SEMDEDUP_COS}
+    AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))
+),
+drops AS (
+  SELECT vec_id, other AS dup_of FROM (
+    SELECT vec_id, other,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY occos, other) AS rn
+    FROM qual
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, a.cluster_id, a.ccos AS centroid_cos,
+       d.dup_of IS NOT NULL AS dropped, d.dup_of
+FROM assign a LEFT JOIN drops d USING (vec_id)
+"""
+
+
+SEMDEDUP_ORACLE = _semdedup_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -1068,6 +1068,7 @@ FROM documents GROUP BY 1
 
 
 from ph_ee_nats_importer_rdbms_spark.analytics import (  # noqa: E402
+    bpe as _bpe,
     dedup as _dd,
     incremental_curation as _icur,
     incremental_embeddings as _ie,
@@ -1189,6 +1190,8 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "ann_recall": (_sim.q_ann_recall, _sim.ANN_RECALL_ORACLE),
     "semantic_sample": (_sim.q_semantic_sample, _sim.SEMANTIC_SAMPLE_ORACLE),
+    # SemDeDup (cluster-then-dedup over the staged IVF index)
+    "semdedup": (_sim.q_semdedup, _sim.SEMDEDUP_ORACLE),
     "embedding_outliers": (
         _sim.q_embedding_outliers,
         _sim.EMBEDDING_OUTLIERS_ORACLE,
@@ -1248,6 +1251,10 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_spans": (_tx.q_dedup_spans, _tx.DEDUP_SPANS_ORACLE),
     "vocabulary": (_tx.q_vocabulary, _tx.VOCABULARY_ORACLE),
     "token_ids": (_tx.q_token_ids, _tx.TOKEN_IDS_ORACLE),
+    # subword tokenizer: iteration-0 pair statistic + frozen-merge encode
+    # (the merge table itself is trained distributed — analytics/bpe.py)
+    "bpe_pair_counts": (_bpe.q_bpe_pair_counts, _bpe.BPE_PAIR_COUNTS_ORACLE),
+    "bpe_encode": (_bpe.q_bpe_encode, _bpe.BPE_ENCODE_ORACLE),
     "source_stats": (_tx.q_source_stats, _tx.SOURCE_STATS_ORACLE),
     # --- multimodal (analytics/multimodal.py) ---
     "media_features": (_mm.q_media_features, _mm.MEDIA_FEATURES_ORACLE),
