@@ -1,0 +1,262 @@
+"""Token-level quality classifier: weak-label Naive-Bayes distillation.
+
+The CCNet/fastText curation pattern the heuristic scorers (text.py)
+feed into: take a cheap rule-based signal as WEAK LABELS (here the
+heuristic ``quality_score``), train a linear token model on them once,
+then score every document with the model — the learned classifier
+generalizes past the rule's exact features and, in a real deployment,
+past the labeled subset. The reference importer has no analytics
+surface at all (SURVEY.md §2.7); this is part of the training-data
+pipeline layer.
+
+Training is ONE distributed pass, no iteration: per-doc distinct
+tokens (presence/Bernoulli features), document-frequency counts per
+class via a map-side-combinable aggregate, a config-sized top-k cut,
+then add-one-smoothed log-odds per token. Like the IVF/PQ codebooks
+and the BPE merge table, the trained model is a FROZEN ARTIFACT
+(``nb_quality.json``, ``tools/train_nb_quality.py``) versioned with
+the corpus; serving is MAP-ONLY — the weights ship as a broadcast map
+literal folded over each doc's distinct tokens, no join, no shuffle.
+
+Float discipline: weights are frozen as integer MICRO-log-odds
+(round(w * 1e6)). Integer addition is associative, so the per-doc
+score is identical under ANY summation order in ANY engine — no
+sorted-fold gymnastics (contrast unigram_logprob's ordered fold) and
+no transcendental cross-engine risk at serve time: ln() runs only at
+training time, in one place (numpy float64), and ships as literals.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ph_ee_nats_importer_rdbms_spark.analytics.text import (
+    _tokens,
+    _duck_tokens,
+    QUALITY_ORACLE,
+    quality_of,
+)
+from ph_ee_nats_importer_rdbms_spark.plans import staging
+from ph_ee_nats_importer_rdbms_spark.sources.files import load_table, spread
+
+#: weak-label threshold on the heuristic quality score (~corpus median,
+#: so both classes are populated at every test scale)
+NB_LABEL_THRESHOLD = 0.62
+
+#: feature vocabulary: top-k tokens by document frequency — config-sized
+#: BY CONSTRUCTION so the weight table always broadcasts
+NB_VOCAB_K = 200
+
+_NB_ARTIFACT = os.path.join(os.path.dirname(__file__), "nb_quality.json")
+
+ORACLE_SF_BASE = "sf0.01"
+
+
+def _load_models() -> dict:
+    if not os.path.exists(_NB_ARTIFACT):
+        return {}
+    with open(_NB_ARTIFACT) as f:
+        return json.load(f)["models"]
+
+
+NB_MODELS: dict[str, dict] = _load_models()
+
+
+def model_for(sf_dir: str) -> dict:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return NB_MODELS.get(base) or NB_MODELS.get("default") or {
+        "prior_micros": 0,
+        "weights": {},
+    }
+
+
+# ---------------------------------------------------------------------------
+# Training (one distributed pass + a config-sized collect)
+# ---------------------------------------------------------------------------
+
+
+def class_doc_frequencies(
+    spark: SparkSession, sf_dir: str, vocab_k: int = NB_VOCAB_K
+) -> tuple[list[tuple[str, int, int]], int, int]:
+    """((token, df_pos, df_neg) for the top-``vocab_k`` tokens by total
+    document frequency, n_pos, n_neg) — the sufficient statistics of the
+    Bernoulli NB model. One corpus-linear pass: weak label and distinct
+    tokens come off the same scan; the per-token class counts aggregate
+    map-side-combinably; only the top-k cut (config-sized) collects."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    labeled = quality_of(d, keep=("text",)).select(
+        "doc_id",
+        (F.col("quality_score") >= NB_LABEL_THRESHOLD).alias("label"),
+        F.explode(F.array_distinct(_tokens())).alias("token"),
+    )
+    df_counts = labeled.groupBy("token").agg(
+        F.sum(F.col("label").cast("long")).alias("df_pos"),
+        F.sum((~F.col("label")).cast("long")).alias("df_neg"),
+    )
+    top = (
+        df_counts.orderBy(
+            (F.col("df_pos") + F.col("df_neg")).desc(), F.col("token").asc()
+        )
+        .limit(vocab_k)
+        .collect()
+    )
+    totals = (
+        quality_of(d)
+        .agg(
+            F.sum(
+                (F.col("quality_score") >= NB_LABEL_THRESHOLD).cast("long")
+            ).alias("n_pos"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .first()
+    )
+    n_pos = int(totals["n_pos"])
+    n_neg = int(totals["n_docs"]) - n_pos
+    return (
+        [(r["token"], int(r["df_pos"]), int(r["df_neg"])) for r in top],
+        n_pos,
+        n_neg,
+    )
+
+
+def fit_weights(
+    stats: list[tuple[str, int, int]], n_pos: int, n_neg: int
+) -> dict:
+    """FULL add-one-smoothed Bernoulli log-odds, frozen as integer
+    micros. Absent-token evidence is folded into the prior (Σ_t
+    ln((1−p_t⁺)/(1−p_t⁻)) is doc-independent) and each present token
+    contributes its presence-vs-absence odds delta — algebraically the
+    complete Bernoulli NB score with the same present-tokens-only fold
+    at serve time. Dropping the absence terms (the multinomial-style
+    shortcut) scores at CHANCE on short-vocabulary corpora, where most
+    tokens appear in most documents and the signal lives in what a
+    document LACKS. ln() runs here only — training time, one
+    implementation — so the serving plans never evaluate a
+    transcendental."""
+    weights: dict[str, int] = {}
+    absent_sum = 0.0
+    for t, dp, dn in stats:
+        p_pos = (dp + 1) / (n_pos + 2)
+        p_neg = (dn + 1) / (n_neg + 2)
+        present = math.log(p_pos / p_neg)
+        absent = math.log((1 - p_pos) / (1 - p_neg))
+        weights[t] = round((present - absent) * 1_000_000)
+        absent_sum += absent
+    prior = round(
+        (math.log((n_pos + 1) / (n_neg + 1)) + absent_sum) * 1_000_000
+    )
+    return {
+        "prior_micros": prior,
+        "weights": weights,
+        "n_pos": n_pos,
+        "n_neg": n_neg,
+    }
+
+
+def train_nb_for_sf(spark: SparkSession, sf_dir: str) -> dict:
+    stats, n_pos, n_neg = class_doc_frequencies(spark, sf_dir)
+    return fit_weights(stats, n_pos, n_neg)
+
+
+# ---------------------------------------------------------------------------
+# Serving (map-only; frozen integer weights)
+# ---------------------------------------------------------------------------
+
+
+def nb_score_col(model: dict) -> Column:
+    """score_micros for the ``text`` column: prior + Σ weights of the
+    doc's DISTINCT in-vocabulary tokens — a fold over a map literal,
+    order-free because the addends are integers."""
+    weights = model["weights"]
+    if weights:
+        pairs: list[Column] = []
+        for t in sorted(weights):
+            pairs += [F.lit(t), F.lit(int(weights[t]))]
+        wmap = F.create_map(*pairs)
+        fold = F.aggregate(
+            F.array_distinct(_tokens()),
+            F.lit(int(model["prior_micros"])).cast("long"),
+            lambda acc, t: acc + F.coalesce(wmap[t], F.lit(0)).cast("long"),
+        )
+    else:
+        fold = F.lit(int(model["prior_micros"])).cast("long")
+    return fold
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score_micros, nb_score, predicted, weak_label): every
+    document scored by the frozen NB model next to the weak label it
+    was distilled from (the agreement rate is the monitoring stat a
+    production filter tracks). Single map-only pass — the weak label
+    and the token fold share one scan via ``quality_of(keep=)``; staged
+    per dataset (``docs`` domain) like the other per-doc curation
+    relations."""
+    model = model_for(sf_dir)
+
+    def build() -> DataFrame:
+        d = spread(load_table(spark, sf_dir, "documents"))
+        q = quality_of(d, keep=("text",))
+        score = nb_score_col(model)
+        return q.select(
+            "doc_id",
+            score.alias("score_micros"),
+            (score / F.lit(1_000_000.0)).alias("nb_score"),
+            (score > 0).alias("predicted"),
+            (F.col("quality_score") >= NB_LABEL_THRESHOLD).alias(
+                "weak_label"
+            ),
+        )
+
+    return staging.load_memoized(
+        spark, sf_dir, "nb_quality", build, domain="docs"
+    )
+
+
+def _quality_classifier_oracle() -> str:
+    model = NB_MODELS.get(ORACLE_SF_BASE) or {"prior_micros": 0, "weights": {}}
+    weights = model["weights"]
+    prior = int(model["prior_micros"])
+    if weights:
+        def q(t: str) -> str:
+            return t.replace("'", "''")
+
+        rows = ",\n    ".join(
+            f"('{q(t)}', {int(weights[t])})" for t in sorted(weights)
+        )
+        score_cte = f"""
+w(token, micros) AS (
+  VALUES {rows}
+),
+tok AS (
+  SELECT doc_id, unnest(list_distinct({_duck_tokens()})) AS token
+  FROM documents
+),
+agg AS (
+  SELECT t.doc_id, CAST(sum(w.micros) AS BIGINT) AS s
+  FROM tok t JOIN w USING (token) GROUP BY t.doc_id
+),
+scored AS (
+  SELECT d.doc_id, {prior} + COALESCE(a.s, 0) AS score_micros
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+)"""
+    else:
+        score_cte = f"""
+scored AS (
+  SELECT doc_id, CAST({prior} AS BIGINT) AS score_micros FROM documents
+)"""
+    return f"""
+WITH {score_cte},
+qual AS ({QUALITY_ORACLE})
+SELECT s.doc_id, s.score_micros,
+       s.score_micros / 1000000.0 AS nb_score,
+       s.score_micros > 0 AS predicted,
+       q.quality_score >= {NB_LABEL_THRESHOLD} AS weak_label
+FROM scored s JOIN qual q ON s.doc_id = q.doc_id
+"""
+
+
+QUALITY_CLASSIFIER_ORACLE = _quality_classifier_oracle()

@@ -207,8 +207,12 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_ALLOWED = "abcdefghijklmnopqrstuvwxyz0123456789 \t\n\x0b\f\r"
 
 
-def quality_of(d: DataFrame) -> DataFrame:
-    """:func:`q_quality` as a relation transform (see lang_id_of)."""
+def quality_of(d: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """:func:`q_quality` as a relation transform (see lang_id_of).
+    ``keep`` carries extra input columns through (same single map-only
+    pass) for composers that need the score NEXT TO other per-doc
+    derivations — the NB classifier keeps ``text`` so its token fold and
+    the weak label come off one scan instead of a doc_id self-join."""
     toks = _tokens()
     n_tokens = F.size(toks)
     n_chars = F.length("text")
@@ -241,6 +245,7 @@ def quality_of(d: DataFrame) -> DataFrame:
         stop_ratio.alias("stop_ratio"),
         mean_tok_len.alias("mean_tok_len"),
         score.alias("quality_score"),
+        *keep,
     )
 
 

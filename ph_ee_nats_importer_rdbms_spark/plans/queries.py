@@ -1069,6 +1069,7 @@ FROM documents GROUP BY 1
 
 from ph_ee_nats_importer_rdbms_spark.analytics import (  # noqa: E402
     bpe as _bpe,
+    classifier as _clf,
     dedup as _dd,
     incremental_curation as _icur,
     incremental_embeddings as _ie,
@@ -1255,6 +1256,12 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     # (the merge table itself is trained distributed — analytics/bpe.py)
     "bpe_pair_counts": (_bpe.q_bpe_pair_counts, _bpe.BPE_PAIR_COUNTS_ORACLE),
     "bpe_encode": (_bpe.q_bpe_encode, _bpe.BPE_ENCODE_ORACLE),
+    # weak-label NB distillation of the heuristic quality score
+    # (frozen integer-micro weights — analytics/classifier.py)
+    "quality_classifier": (
+        _clf.q_quality_classifier,
+        _clf.QUALITY_CLASSIFIER_ORACLE,
+    ),
     "source_stats": (_tx.q_source_stats, _tx.SOURCE_STATS_ORACLE),
     # --- multimodal (analytics/multimodal.py) ---
     "media_features": (_mm.q_media_features, _mm.MEDIA_FEATURES_ORACLE),
