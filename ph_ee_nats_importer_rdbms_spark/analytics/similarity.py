@@ -1600,7 +1600,18 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the per-corpus codebook deployment (similarity to the paper's
     "k large enough that clusters fit"); per-pair cosine reuses
     precomputed norms. At the oracle scales the learned 16-list codebook
-    bounds occupancy at a few dozen vectors."""
+    bounds occupancy at a few dozen vectors. The labeled relation is a
+    per-dataset curation artifact like the near-dup pair lists, so it
+    stages (``emb`` domain): the pair join runs once at ingest."""
+    return _staged(
+        spark,
+        sf_dir,
+        "semdedup",
+        lambda: _semdedup_build(spark, sf_dir),
+    )
+
+
+def _semdedup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = F.broadcast(
         spark.createDataFrame(
             [(cid, vec) for cid, vec in enumerate(_codebook(sf_dir))],
