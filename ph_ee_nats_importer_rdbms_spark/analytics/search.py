@@ -1,0 +1,195 @@
+"""BM25 keyword retrieval over the ``documents`` corpus.
+
+The lexical complement of the ANN serving family (similarity.py):
+top-k documents per keyword query under Okapi BM25 (Lucene's
+non-negative idf variant). Sits with the training-data operators
+because corpus-scale keyword retrieval is how curation teams pull
+targeted slices (contamination probes, topic audits) without an
+external search cluster.
+
+Scale shape — the part that matters at 100 TB: scoring touches ONLY
+the query terms' postings. The term-frequency relation is filtered by
+a broadcast join against the config-sized query-term set BEFORE any
+aggregation, so the per-query work is proportional to the matched
+postings, not the corpus; document length and corpus stats are
+map-side-combinable aggregates; the final top-k is a per-query window
+over the (tiny) scored-candidate relation. Per-doc scores fold over
+the token-SORTED term list (float addition is not associative — the
+unordered SUM would be engine- and run-nondeterministic), then round
+to 4dp before ranking so an ulp never flips a rank; ties break on
+doc_id.
+
+The query set is corpus-derived and deterministic: query ``q`` is the
+vocabulary tokens ranked ``q*TERMS_PER_QUERY+1 ..`` (by occurrence,
+text.q_vocabulary's order), so the DuckDB oracle reconstructs the
+identical queries from the same parquet."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ph_ee_nats_importer_rdbms_spark.analytics.text import (
+    VOCAB_TOP_K,
+    _duck_tokens,
+    _tokens,
+    q_vocabulary,
+)
+from ph_ee_nats_importer_rdbms_spark.plans import staging
+from ph_ee_nats_importer_rdbms_spark.sources.files import load_table, spread
+
+BM25_N_QUERIES = 4
+TERMS_PER_QUERY = 3
+BM25_TOP_K = 10
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, rank, doc_id, score): BM25 top-``BM25_TOP_K`` per query.
+    Staged per dataset (``docs`` domain) — the scored top-k is a small
+    materialized artifact like the other curation relations."""
+
+    def build() -> DataFrame:
+        return _bm25_build(spark, sf_dir)
+
+    return staging.load_memoized(
+        spark, sf_dir, "bm25_search", build, domain="docs"
+    )
+
+
+def _bm25_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    # config-sized query-term relation from the corpus vocabulary
+    qterms = (
+        q_vocabulary(spark, sf_dir)
+        .filter(F.col("rank") <= BM25_N_QUERIES * TERMS_PER_QUERY)
+        .select(
+            F.floor((F.col("rank") - 1) / TERMS_PER_QUERY)
+            .cast("int")
+            .alias("qid"),
+            "token",
+        )
+    )
+    # per-doc lengths and per-(doc, token) tf in one shuffle each
+    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    # postings restricted to query terms BEFORE df/scoring — the
+    # broadcast semi-filter is what keeps per-query cost postings-
+    # proportional at corpus scale
+    hits = tf.join(F.broadcast(qterms), "token")
+    df_counts = hits.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    terms = (
+        hits.join(F.broadcast(df_counts), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            "token",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (
+                        1
+                        - BM25_B
+                        + BM25_B * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("term"),
+        )
+    )
+    folded = terms.groupBy("qid", "doc_id").agg(
+        F.round(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(token, term))),"
+                " cast(0.0 as double), (a, x) -> a + x.term)"
+            ),
+            4,
+        ).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        folded.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
+BM25_SEARCH_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({_duck_tokens()}) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+  FROM tok GROUP BY token
+),
+vocab AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC)
+              AS INT) AS rank, token
+  FROM counts
+  ORDER BY n_occurrences DESC, token ASC
+  LIMIT {VOCAB_TOP_K}
+),
+qterms AS (
+  SELECT CAST(floor((rank - 1) / {TERMS_PER_QUERY}) AS INT) AS qid, token
+  FROM vocab WHERE rank <= {BM25_N_QUERIES * TERMS_PER_QUERY}
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+),
+dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+),
+hits AS (
+  SELECT q.qid, t.doc_id, t.token, t.tf FROM tf t JOIN qterms q USING (token)
+),
+dfc AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM hits GROUP BY token
+),
+terms AS (
+  SELECT h.qid, h.doc_id, h.token,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (h.tf * ({BM25_K1} + 1))
+           / (h.tf + {BM25_K1}
+              * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl)) AS term
+  FROM hits h
+  JOIN dfc d USING (token)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+),
+folded AS (
+  SELECT qid, doc_id,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(term ORDER BY token, term)),
+                           (a, b) -> a + b), 4) AS score
+  FROM terms GROUP BY qid, doc_id
+)
+SELECT qid, CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM folded
+)
+WHERE rank <= {BM25_TOP_K}
+"""

@@ -1075,6 +1075,7 @@ from ph_ee_nats_importer_rdbms_spark.analytics import (  # noqa: E402
     incremental_embeddings as _ie,
     multimodal as _mm,
     pii as _pii,
+    search as _srch,
     similarity as _sim,
     text as _tx,
     training as _tr,
@@ -1262,6 +1263,8 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
         _clf.q_quality_classifier,
         _clf.QUALITY_CLASSIFIER_ORACLE,
     ),
+    # lexical retrieval (BM25 top-k; the keyword twin of ann_search)
+    "bm25_search": (_srch.q_bm25_search, _srch.BM25_SEARCH_ORACLE),
     "source_stats": (_tx.q_source_stats, _tx.SOURCE_STATS_ORACLE),
     # --- multimodal (analytics/multimodal.py) ---
     "media_features": (_mm.q_media_features, _mm.MEDIA_FEATURES_ORACLE),
