@@ -62,6 +62,12 @@ def test_dimension_joins_broadcast(spark, sf_dir):
         "corpus_diff",
         "chunk_documents",
         "events_anomaly",
+        # round 9: subword/classifier/semantic-dedup/retrieval additions
+        "bpe_pair_counts",
+        "bpe_encode",
+        "quality_classifier",
+        "semdedup",
+        "bm25_search",
     ],
 )
 def test_no_cartesian_or_stray_python(spark, sf_dir, name):
