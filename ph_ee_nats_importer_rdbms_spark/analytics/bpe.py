@@ -46,6 +46,7 @@ import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
+from ph_ee_nats_importer_rdbms_spark.analytics.text import _duck_tokens, _tokens
 from ph_ee_nats_importer_rdbms_spark.sources.files import load_table, spread
 
 #: pair-count cut for the bpe_pair_counts registry entry
@@ -80,16 +81,10 @@ def merges_for(sf_dir: str) -> list[tuple[str, str]]:
 # ---------------------------------------------------------------------------
 # Symbol-string primitives (shared by trainer, encoder, and oracle SQL)
 # ---------------------------------------------------------------------------
-
-
-def _tokens(col: str = "text") -> Column:
-    """Whitespace tokens, lowercased — same pre-tokenization as
-    text.py's vocabulary (one corpus, one word definition)."""
-    return F.split(F.trim(F.lower(F.col(col))), r"\s+")
-
-
-def _duck_tokens(col: str = "text") -> str:
-    return rf"regexp_split_to_array(trim(lower({col})), '\s+')"
+# Pre-tokenization is IMPORTED from text.py (_tokens/_duck_tokens): one
+# corpus, one word definition — a change to the shared tokenizer changes
+# the BPE surface together with the rest of the curation stack instead of
+# silently diverging from it.
 
 
 def _spaced(word: Column) -> Column:
@@ -290,8 +285,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     as its subword sequence under the corpus's frozen merge table —
     the id-izable training artifact downstream of ``token_ids``'s
     word-level encode. Map-only (a per-token ``transform`` applying the
-    literal replace chain); staged per dataset (``docs`` domain) like
-    the other materialized training artifacts."""
+    literal replace chain); staged per dataset (``lex`` domain — keyed
+    on this module, the shared tokenizer, AND the frozen
+    ``bpe_merges.json``, so retraining the merge table invalidates the
+    stage) like the other materialized training artifacts."""
     from ph_ee_nats_importer_rdbms_spark.plans import staging
 
     merges = merges_for(sf_dir)
@@ -311,7 +308,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return staging.load_memoized(
-        spark, sf_dir, "bpe_encode", build, domain="docs"
+        spark, sf_dir, "bpe_encode", build, domain="lex"
     )
 
 

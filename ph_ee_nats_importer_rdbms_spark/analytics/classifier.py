@@ -84,9 +84,11 @@ def class_doc_frequencies(
 ) -> tuple[list[tuple[str, int, int]], int, int]:
     """((token, df_pos, df_neg) for the top-``vocab_k`` tokens by total
     document frequency, n_pos, n_neg) — the sufficient statistics of the
-    Bernoulli NB model. One corpus-linear pass: weak label and distinct
-    tokens come off the same scan; the per-token class counts aggregate
-    map-side-combinably; only the top-k cut (config-sized) collects."""
+    Bernoulli NB model. Training-time-only cost, TWO corpus-linear
+    scans: the per-token class df-counts (weak label and distinct tokens
+    off one scan, map-side-combinable aggregate, config-sized top-k
+    collect) plus a separate class-totals aggregate — run once per
+    corpus by the offline trainer, never at serve time."""
     d = spread(load_table(spark, sf_dir, "documents"))
     labeled = quality_of(d, keep=("text",)).select(
         "doc_id",
@@ -193,8 +195,9 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     was distilled from (the agreement rate is the monitoring stat a
     production filter tracks). Single map-only pass — the weak label
     and the token fold share one scan via ``quality_of(keep=)``; staged
-    per dataset (``docs`` domain) like the other per-doc curation
-    relations."""
+    per dataset (``lex`` domain — keyed on this module AND the frozen
+    ``nb_quality.json``, so retraining the weights invalidates the
+    stage) like the other per-doc curation relations."""
     model = model_for(sf_dir)
 
     def build() -> DataFrame:
@@ -212,7 +215,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return staging.load_memoized(
-        spark, sf_dir, "nb_quality", build, domain="docs"
+        spark, sf_dir, "nb_quality", build, domain="lex"
     )
 
 

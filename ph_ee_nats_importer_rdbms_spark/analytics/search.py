@@ -46,14 +46,16 @@ BM25_B = 0.75
 
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(qid, rank, doc_id, score): BM25 top-``BM25_TOP_K`` per query.
-    Staged per dataset (``docs`` domain) — the scored top-k is a small
-    materialized artifact like the other curation relations."""
+    Staged per dataset (``lex`` domain — keyed on this module and the
+    shared tokenizer, so editing either invalidates the stage) — the
+    scored top-k is a small materialized artifact like the other
+    curation relations."""
 
     def build() -> DataFrame:
         return _bm25_build(spark, sf_dir)
 
     return staging.load_memoized(
-        spark, sf_dir, "bm25_search", build, domain="docs"
+        spark, sf_dir, "bm25_search", build, domain="lex"
     )
 
 

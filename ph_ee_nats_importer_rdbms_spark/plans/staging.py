@@ -102,6 +102,24 @@ _DOMAINS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
         ("documents.parquet",),
         ("sources/files.py", "analytics/multimodal.py"),
     ),
+    # lexical/model-serving relations (bpe_encode, nb_quality, bm25_search):
+    # their semantics live in the tokenizer/classifier/retrieval modules AND
+    # in the frozen trained artifacts (merge table, NB weights) — retraining
+    # an artifact or editing a module must invalidate these stages, exactly
+    # like the emb domain keys ivf_centroids.json/pq_codebooks.json. text.py
+    # is keyed because all three share its word definition (_tokens).
+    "lex": (
+        ("documents.parquet",),
+        (
+            "sources/files.py",
+            "analytics/text.py",
+            "analytics/bpe.py",
+            "analytics/classifier.py",
+            "analytics/search.py",
+            "analytics/bpe_merges.json",
+            "analytics/nb_quality.json",
+        ),
+    ),
     "train": (
         ("documents.parquet",),
         ("sources/files.py", "analytics/hashing.py", "analytics/training.py"),

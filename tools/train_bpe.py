@@ -35,6 +35,18 @@ _DEFAULT_DIRS = [
 ]
 
 
+def _scale_of(d: str) -> float:
+    """Parsed scale factor of a corpus dir basename ('sf10' -> 10.0);
+    unparseable names rank last."""
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(d)))
+    try:
+        return float(m.group(1)) if m else float("-inf")
+    except ValueError:
+        return float("-inf")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-merges", type=int, default=40)
@@ -51,8 +63,11 @@ def main() -> None:
         table = train_bpe_for_sf(spark, sf_dir, args.n_merges)
         merges[base] = [list(m) for m in table]
         print(f"{base}: {len(table)} merges, head={table[:5]}")
-    # unknown corpora get the largest trained table (the most statistics)
-    default_key = max(args.sf_dirs, key=lambda d: os.path.basename(d))
+    # unknown corpora get the largest trained table (the most statistics);
+    # select by PARSED scale factor, not lexicographic basename ('sf2'
+    # would beat 'sf10'), and normpath before basename so a trailing
+    # slash can't yield '' here while the dict key used normpath
+    default_key = max(args.sf_dirs, key=_scale_of)
     merges["default"] = merges[os.path.basename(os.path.normpath(default_key))]
     with open(ARTIFACT, "w") as f:
         json.dump({"n_merges": args.n_merges, "merges": merges}, f)

@@ -32,6 +32,18 @@ _DEFAULT_DIRS = [
 ]
 
 
+def _scale_of(d: str) -> float:
+    """Parsed scale factor of a corpus dir basename ('sf10' -> 10.0);
+    unparseable names rank last."""
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(d)))
+    try:
+        return float(m.group(1)) if m else float("-inf")
+    except ValueError:
+        return float("-inf")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dirs", nargs="+", default=_DEFAULT_DIRS)
@@ -52,7 +64,9 @@ def main() -> None:
             f"{base}: {len(m['weights'])} weights,"
             f" n_pos={m['n_pos']} n_neg={m['n_neg']}"
         )
-    default_key = max(args.sf_dirs, key=lambda d: os.path.basename(d))
+    # largest corpus by PARSED scale factor (lexicographic basename would
+    # rank 'sf2' over 'sf10'); normpath guards trailing-slash dirs
+    default_key = max(args.sf_dirs, key=_scale_of)
     models["default"] = models[os.path.basename(os.path.normpath(default_key))]
     with open(ARTIFACT, "w") as f:
         json.dump({"models": models}, f)
