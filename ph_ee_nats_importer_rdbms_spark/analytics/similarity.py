@@ -1581,6 +1581,18 @@ SEMANTIC_SAMPLE_ORACLE = _semantic_sample_oracle()
 #: near-dup family (dedup.py) — a real corpus would run 0.95+
 SEMDEDUP_COS = EMBED_COSINE_THRESHOLD
 
+#: per-sub-bucket occupancy cap for the within-cluster pair join. The
+#: shipped-codebook deployment keeps occupancy near corpus/nlist, but a
+#: drifted corpus can hand the frozen codebook one HOT cluster — the
+#: quadratic the rest of the codebase routes around (DECON_MAX_DF,
+#: DUP_NGRAM_HOT_DF). Clusters above the cap hash-split into
+#: ceil(occ/cap) sub-buckets and the pair join salts BOTH sides over
+#: them, so no single task ever builds more than ~cap x cap candidate
+#: pairs (the total pair count is SemDeDup's cost model and unchanged —
+#: this bounds per-task work and memory, not the algorithm's output:
+#: every cross-sub-bucket pair is still generated exactly once).
+SEMDEDUP_OCC_CAP = 512
+
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al., 2023): k-means-cluster the embedding
@@ -1600,14 +1612,72 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the per-corpus codebook deployment (similarity to the paper's
     "k large enough that clusters fit"); per-pair cosine reuses
     precomputed norms. At the oracle scales the learned 16-list codebook
-    bounds occupancy at a few dozen vectors. The labeled relation is a
-    per-dataset curation artifact like the near-dup pair lists, so it
-    stages (``emb`` domain): the pair join runs once at ingest."""
+    bounds occupancy at a few dozen vectors; a HOT cluster (drifted
+    corpus vs a frozen codebook) is bounded by ``SEMDEDUP_OCC_CAP``
+    sub-bucketing — both join sides salt over ceil(occ/cap) hash
+    sub-buckets so no task exceeds ~cap² pair candidates while every
+    pair is still generated exactly once (``_semdedup_cluster_pairs``).
+    The labeled relation is a per-dataset curation artifact like the
+    near-dup pair lists, so it stages (``emb`` domain): the pair join
+    runs once at ingest."""
     return _staged(
         spark,
         sf_dir,
         "semdedup",
         lambda: _semdedup_build(spark, sf_dir),
+    )
+
+
+def _semdedup_cluster_pairs(v: DataFrame, occ_cap: int) -> DataFrame:
+    """All ordered within-cluster pairs of ``v`` (vec_id, cluster_id,
+    embedding, ccos, nrm) with PER-TASK work bounded by ``occ_cap``².
+
+    Clusters at or under the cap join on ``cluster_id`` directly (the
+    sub-bucket machinery degenerates to nsub=1 — one no-op explode per
+    side). A hot cluster hash-splits its members into nsub =
+    ceil(occ/cap) sub-buckets and BOTH sides replicate nsub× with the
+    peer sub-bucket as an extra join key, so the shuffle key becomes
+    (cluster, sb_a, sb_b): each join task holds two ~cap-sized member
+    lists instead of the whole cluster, and pair (a, b) is generated
+    exactly once — at a's (sb_a, qb=sb_b) copy against b's (pa=sb_a,
+    sb_b) copy. Exact semantics at any occupancy; the occupancy
+    relation is nlist-sized and broadcasts."""
+    occ = v.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("occ"))
+    splits = F.broadcast(
+        occ.select(
+            "cluster_id",
+            F.greatest(
+                F.ceil(F.col("occ") / F.lit(occ_cap)).cast("int"), F.lit(1)
+            ).alias("nsub"),
+        )
+    )
+    vs = v.join(splits, "cluster_id").withColumn(
+        "sb", F.pmod(F.xxhash64("vec_id"), F.col("nsub")).cast("int")
+    )
+    a = vs.select(
+        "cluster_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("ccos").alias("ccos_a"),
+        F.col("nrm").alias("nrm_a"),
+        F.col("sb").alias("sb_a"),
+        F.explode(F.sequence(F.lit(0), F.col("nsub") - 1)).alias("qb"),
+    )
+    b = vs.select(
+        F.col("cluster_id").alias("cluster_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("ccos").alias("ccos_b"),
+        F.col("nrm").alias("nrm_b"),
+        F.col("sb").alias("sb_b"),
+        F.explode(F.sequence(F.lit(0), F.col("nsub") - 1)).alias("pa"),
+    )
+    return a.join(
+        b,
+        (F.col("cluster_id") == F.col("cluster_b"))
+        & (F.col("sb_a") == F.col("pa"))
+        & (F.col("qb") == F.col("sb_b"))
+        & (F.col("vec_a") != F.col("vec_b")),
     )
 
 
@@ -1629,26 +1699,8 @@ def _semdedup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             _norm("embedding").alias("nrm"),
         )
     )
-    a = v.select(
-        "cluster_id",
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("ccos").alias("ccos_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = v.select(
-        F.col("cluster_id").alias("cluster_b"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("ccos").alias("ccos_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
     qual = (
-        a.join(
-            b,
-            (F.col("cluster_id") == F.col("cluster_b"))
-            & (F.col("vec_a") != F.col("vec_b")),
-        )
+        _semdedup_cluster_pairs(v, SEMDEDUP_OCC_CAP)
         .filter(
             F.round(
                 _dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 4
