@@ -59,19 +59,25 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qterms_of(vocab: DataFrame) -> DataFrame:
+    """The config-sized (qid, token) query relation derived from a
+    ranked vocabulary — shared by the staged build (q_vocabulary) and
+    the store read path (read_vocabulary), so both construct the
+    identical deterministic query set."""
+    return vocab.filter(
+        F.col("rank") <= BM25_N_QUERIES * TERMS_PER_QUERY
+    ).select(
+        F.floor((F.col("rank") - 1) / TERMS_PER_QUERY)
+        .cast("int")
+        .alias("qid"),
+        "token",
+    )
+
+
 def _bm25_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     # config-sized query-term relation from the corpus vocabulary
-    qterms = (
-        q_vocabulary(spark, sf_dir)
-        .filter(F.col("rank") <= BM25_N_QUERIES * TERMS_PER_QUERY)
-        .select(
-            F.floor((F.col("rank") - 1) / TERMS_PER_QUERY)
-            .cast("int")
-            .alias("qid"),
-            "token",
-        )
-    )
+    qterms = _qterms_of(q_vocabulary(spark, sf_dir))
     # per-doc lengths and per-(doc, token) tf in one shuffle each
     toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(
@@ -82,9 +88,21 @@ def _bm25_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
     )
-    # postings restricted to query terms BEFORE df/scoring — the
-    # broadcast semi-filter is what keeps per-query cost postings-
-    # proportional at corpus scale
+    return _bm25_score(qterms, tf, dl, stats)
+
+
+def _bm25_score(
+    qterms: DataFrame, tf: DataFrame, dl: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """Okapi BM25 top-k over a (doc_id, token, tf) postings relation —
+    the scoring shared by the staged whole-corpus build and the
+    store-backed read path (identical plan shape, so append-equals-
+    rebuild parity lets one DuckDB oracle gate both). ``stats`` is a
+    one-row (n_docs, avgdl) relation.
+
+    Postings are restricted to query terms BEFORE df/scoring — the
+    broadcast semi-filter is what keeps per-query cost postings-
+    proportional at corpus scale."""
     hits = tf.join(F.broadcast(qterms), "token")
     df_counts = hits.groupBy("token").agg(
         F.count_distinct("doc_id").alias("df")
