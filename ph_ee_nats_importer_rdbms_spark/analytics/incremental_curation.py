@@ -99,7 +99,11 @@ def build_curation_store(
         spark,
         docs,
         root,
-        extra={"metrics": metrics_of(docs), "vocab_partial": vp},
+        extra={
+            "metrics": metrics_of(docs),
+            "vocab_partial": vp,
+            **bm25_partials_of(docs),
+        },
         manifest_extra={"vocab_head": _vocab_head(vp)},
     )
 
@@ -140,7 +144,11 @@ def append_curation_batch(
         spark,
         new_docs,
         root,
-        extra={"metrics": metrics_of(new_docs), "vocab_partial": vp},
+        extra={
+            "metrics": metrics_of(new_docs),
+            "vocab_partial": vp,
+            **bm25_partials_of(new_docs),
+        },
         skip_committed=skip_committed,
         manifest_extra=manifest_extra,
     )
@@ -179,6 +187,55 @@ def read_curation(spark: SparkSession, root: str) -> DataFrame:
         )
     )
     return curation_verdict(metrics.join(dup, "doc_id", "left"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 index partials (keyword-retrieval statistic, maintained per delivery)
+# ---------------------------------------------------------------------------
+
+#: per-batch partial of the BM25 inverted index: the delivery's
+#: (doc_id, token, tf) postings. Deliveries carry disjoint doc_ids (the
+#: store's re-delivery guard enforces exactly that), so the union of
+#: committed partials IS the whole-corpus postings relation — no merge
+#: aggregate needed at read, unlike the vocabulary partials.
+BM25_POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("token", T.StringType()),
+        T.StructField("tf", T.LongType()),
+    ]
+)
+
+#: per-batch (doc_id, dl) document lengths — the BM25 normalizer inputs;
+#: same disjoint-union-at-read semantics as the postings.
+BM25_DL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dl", T.LongType()),
+    ]
+)
+
+
+def bm25_partials_of(docs: DataFrame) -> dict[str, DataFrame]:
+    """One delivery's BM25 index partials — the same postings/length
+    relations ``search._bm25_build`` derives from the whole corpus, cut
+    at the batch boundary: (doc_id, token, tf) term frequencies and
+    (doc_id, dl) lengths (docs with zero tokens drop out of both, as in
+    the corpus build). Delivery-proportional cost: one tokenize + two
+    map-side-combinable aggregates over the batch, riding the curation
+    store's transaction so postings can never be committed without
+    their lengths (VERDICT r9 task #5)."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.text import _tokens
+
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    return {
+        "bm25_postings": toks.groupBy("doc_id", "token").agg(
+            F.count(F.lit(1)).alias("tf")
+        ),
+        "bm25_dl": toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("dl")
+        ),
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -153,6 +153,70 @@ def _bm25_score(
     )
 
 
+def read_bm25_search(spark: SparkSession, root: str) -> DataFrame:
+    """BM25 top-k served from a curation store's committed index
+    partials — the store-backed twin of :func:`q_bm25_search`
+    (VERDICT r9 task #5).
+
+    No corpus re-tokenization anywhere: postings and lengths are the
+    unions of the per-delivery artifacts (disjoint doc_ids make the
+    plain union the whole-corpus relation), the query-term set derives
+    from the store's merged vocabulary partials, and corpus stats
+    aggregate the doc-count-sized length relation. The (config-sized,
+    ≤ ``BM25_N_QUERIES * TERMS_PER_QUERY`` rows) query-term collect
+    turns into an ``isin`` literal filter on the postings scan — a
+    pushed parquet predicate, so the read touches only matching row
+    groups instead of relying on a post-scan broadcast join to drop
+    the rest of the index. Scoring is the SHARED :func:`_bm25_score`,
+    so append-equals-rebuild parity lets the same DuckDB oracle gate
+    both paths."""
+    from pyspark.sql import types as T
+
+    from ph_ee_nats_importer_rdbms_spark.analytics import (
+        incremental_curation as icur,
+        incremental_docs,
+    )
+
+    qrows = [
+        (int(r["qid"]), r["token"])
+        for r in _qterms_of(icur.read_vocabulary(spark, root)).collect()
+    ]
+    qterms = spark.createDataFrame(
+        qrows,
+        T.StructType(
+            [
+                T.StructField("qid", T.IntegerType()),
+                T.StructField("token", T.StringType()),
+            ]
+        ),
+    )
+    tf = incremental_docs.read_artifact(
+        spark, root, "bm25_postings", icur.BM25_POSTINGS_SCHEMA
+    ).filter(F.col("token").isin([t for _, t in qrows]))
+    dl = incremental_docs.read_artifact(
+        spark, root, "bm25_dl", icur.BM25_DL_SCHEMA
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    return _bm25_score(qterms, tf, dl, stats)
+
+
+def q_bm25_search_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``read_bm25_search`` over the dataset's staged incremental
+    curation store (two-delivery build) — puts the per-delivery BM25
+    index maintenance under the driver's oracle gate; same oracle as
+    ``bm25_search`` by append-equals-rebuild parity."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.incremental_curation import (
+        staged_curation_store_root,
+    )
+
+    return read_bm25_search(
+        spark, staged_curation_store_root(spark, sf_dir)
+    )
+
+
 BM25_SEARCH_ORACLE = rf"""
 WITH tok AS (
   SELECT doc_id, unnest({_duck_tokens()}) AS token FROM documents

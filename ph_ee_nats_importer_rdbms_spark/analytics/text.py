@@ -850,7 +850,25 @@ def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     sanity table every corpus report includes). One explode + one
     map-side-combinable aggregate; the top-k cut is a single ordered
     limit over the (tiny) distinct-token relation. Deterministic total
-    order: (count desc, token asc)."""
+    order: (count desc, token asc).
+
+    Staged per dataset (``docs`` domain): the vocabulary is a 100-row
+    artifact that several consumers re-derive per call otherwise —
+    token_ids collects it for its broadcast map, BM25 derives its
+    query-term set from it — and each re-derive is a full corpus
+    re-tokenization (measured ~2-3s/call at sf0.1; corpus-linear at
+    scale)."""
+    from ph_ee_nats_importer_rdbms_spark.plans import staging
+
+    def build() -> DataFrame:
+        return _vocabulary_build(spark, sf_dir)
+
+    return staging.load_memoized(
+        spark, sf_dir, "vocabulary", build, domain="docs"
+    )
+
+
+def _vocabulary_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     # Two-level aggregate instead of count_distinct: the distinct-count
     # form plans as a 2x Expand before the shuffle, while grouping on

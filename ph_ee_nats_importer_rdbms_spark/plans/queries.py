@@ -1265,6 +1265,12 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # lexical retrieval (BM25 top-k; the keyword twin of ann_search)
     "bm25_search": (_srch.q_bm25_search, _srch.BM25_SEARCH_ORACLE),
+    # store-backed twin: postings/lengths maintained per delivery by the
+    # curation store, scored through the SAME _bm25_score at read
+    "bm25_search_store": (
+        _srch.q_bm25_search_store,
+        _srch.BM25_SEARCH_ORACLE,
+    ),
     "source_stats": (_tx.q_source_stats, _tx.SOURCE_STATS_ORACLE),
     # --- multimodal (analytics/multimodal.py) ---
     "media_features": (_mm.q_media_features, _mm.MEDIA_FEATURES_ORACLE),

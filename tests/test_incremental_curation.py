@@ -253,6 +253,70 @@ def test_corpus_report_from_store_matches_registry_query(
     assert got == want and got
 
 
+def test_bm25_from_store_matches_registry_query(spark, sf_dir, tmp_path):
+    """BM25 served from committed per-delivery postings/length partials
+    equals the oracle-checked whole-corpus q_bm25_search row for row
+    (VERDICT r9 task #5) — the union-at-read identity rests on the
+    store's disjoint-delivery guarantee, the scoring on the shared
+    _bm25_score."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.search import (
+        q_bm25_search,
+        read_bm25_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    root = str(tmp_path / "cur")
+    cur.build_curation_store(spark, docs.filter(docs.doc_id < 200), root)
+    cur.append_curation_batch(
+        spark, docs.filter((docs.doc_id >= 200) & (docs.doc_id < 350)), root
+    )
+    cur.append_curation_batch(spark, docs.filter(docs.doc_id >= 350), root)
+
+    got = {tuple(r) for r in read_bm25_search(spark, root).collect()}
+    want = {tuple(r) for r in q_bm25_search(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_bm25_postings_ride_the_same_transaction(spark, tmp_path):
+    """A re-delivered (already-committed) batch is a no-op for the BM25
+    partials too — postings can never double-count a delivery whose
+    band entries were deduplicated by the store's guard."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import incremental_docs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta gamma delta epsilon zeta", "en"),
+            (2, "alpha gamma delta epsilon zeta eta theta", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    batch = spark.createDataFrame(
+        [(3, "beta beta beta gamma delta epsilon zeta", "en")],
+        "doc_id long, text string, lang string",
+    )
+    root = str(tmp_path / "cur")
+    cur.build_curation_store(spark, docs, root)
+    cur.append_curation_batch(spark, batch, root)
+    before = {
+        tuple(r)
+        for r in incremental_docs.read_artifact(
+            spark, root, "bm25_postings", cur.BM25_POSTINGS_SCHEMA
+        ).collect()
+    }
+    assert (3, "beta", 3) in before
+    # replay the SAME delivery: skip_committed makes it a no-op
+    cur.append_curation_batch(spark, batch, root, skip_committed=True)
+    after = {
+        tuple(r)
+        for r in incremental_docs.read_artifact(
+            spark, root, "bm25_postings", cur.BM25_POSTINGS_SCHEMA
+        ).collect()
+    }
+    assert after == before
+
+
 def test_vocab_churn_recorded_and_trips_needs_refresh(spark, tmp_path):
     """The staleness trip-wire (VERDICT r8 task #7), mirroring the recall
     monitor's shape: every append records head-of-vocabulary Jaccard vs

@@ -68,6 +68,8 @@ def test_dimension_joins_broadcast(spark, sf_dir):
         "quality_classifier",
         "semdedup",
         "bm25_search",
+        # round 10: store-served BM25 (per-delivery postings partials)
+        "bm25_search_store",
     ],
 )
 def test_no_cartesian_or_stray_python(spark, sf_dir, name):
@@ -75,6 +77,23 @@ def test_no_cartesian_or_stray_python(spark, sf_dir, name):
     assert "CartesianProduct" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, f"{name} has Python in the hot path"
+
+
+def test_bm25_store_pushes_query_terms_to_postings_scan(spark, sf_dir):
+    """The store-backed BM25 read (VERDICT r9 task #5): the config-sized
+    query-term set must reach the committed postings artifact as a pushed
+    parquet In-filter — the shape that reads matching row groups of a
+    100 TB inverted index instead of scanning it and dropping rows after
+    the fact."""
+    df = QUERIES["bm25_search_store"][0](spark, sf_dir)
+    plan = _plan(df)
+    pushed = [
+        ln
+        for ln in plan.splitlines()
+        if "PushedFilters" in ln and "In(token" in ln
+    ]
+    assert pushed, plan
+    assert "CartesianProduct" not in plan
 
 
 def test_ann_search_store_prunes_probed_list_partitions(spark, sf_dir):
