@@ -87,14 +87,40 @@ def metrics_of(docs: DataFrame) -> DataFrame:
 
 
 def build_curation_store(
-    spark: SparkSession, docs: DataFrame, root: str
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    nb_model: dict | None = None,
 ) -> None:
-    """Lay the store down from the initial corpus. The build FREEZES the
-    head-of-vocabulary reference (top-``VOCAB_TOP_K`` token set) into the
-    base commit manifest — the ranks ``token_ids`` and other tokenizer
-    consumers derive from; every later delivery measures its churn
-    against this frozen head (VERDICT r8 task #7)."""
+    """Lay the store down from the initial corpus. The build FREEZES
+    three references into the base commit manifest, each monitored per
+    delivery against exactly the artifact consumers depend on:
+
+    - the head-of-vocabulary (top-``VOCAB_TOP_K`` token set) — the rank
+      reference ``token_ids`` and other tokenizer consumers derive from
+      (VERDICT r8 task #7);
+    - the NB quality model (``nb_model``; defaults to the shipped
+      artifact's fallback entry — the staged builder passes the
+      dataset's own ``model_for``) plus its build-time distillation
+      agreement, the reference every delivery's agreement is ratioed
+      against (VERDICT r9 task #6);
+    - the head of the BPE iteration-0 pair statistic — the relation the
+      frozen merge table was argmaxed over (VERDICT r9 task #6)."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.classifier import (
+        model_for,
+    )
+
+    model = nb_model if nb_model is not None else model_for("")
     vp = vocab_partial_of(docs).localCheckpoint(eager=True)
+    pp = bpe_pair_partial_of(docs).localCheckpoint(eager=True)
+    manifest_extra: dict = {
+        "vocab_head": _vocab_head(vp),
+        "bpe_pair_head": _pair_head(pp),
+    }
+    agreement = _nb_agreement(docs, model)
+    if agreement is not None:
+        manifest_extra["nb_model"] = model
+        manifest_extra["nb_agreement_ref"] = agreement
     incremental_docs.build_index(
         spark,
         docs,
@@ -102,9 +128,10 @@ def build_curation_store(
         extra={
             "metrics": metrics_of(docs),
             "vocab_partial": vp,
+            "bpe_pair_partial": pp,
             **bm25_partials_of(docs),
         },
-        manifest_extra={"vocab_head": _vocab_head(vp)},
+        manifest_extra=manifest_extra,
     )
 
 
@@ -126,6 +153,7 @@ def append_curation_batch(
     frozen build-time head, and the number lands in this delivery's
     commit manifest where :func:`vocab_needs_refresh` thresholds it."""
     vp = vocab_partial_of(new_docs).localCheckpoint(eager=True)
+    pp = bpe_pair_partial_of(new_docs).localCheckpoint(eager=True)
     frozen = _frozen_vocab_head(root)
     manifest_extra: dict = {}
     if frozen is not None:
@@ -140,6 +168,24 @@ def append_curation_batch(
             "top_k": len(frozen),
             "jaccard": round(j, 4),
         }
+    frozen_pairs = _frozen_pair_head(root)
+    if frozen_pairs is not None:
+        committed_pp = incremental_docs.read_artifact(
+            spark, root, "bpe_pair_partial", BPE_PAIR_PARTIAL_SCHEMA
+        )
+        cur_p = {tuple(p) for p in _pair_head(committed_pp.unionByName(pp))}
+        ref_p = {tuple(p) for p in frozen_pairs}
+        union_p = len(cur_p | ref_p)
+        jp = (len(cur_p & ref_p) / union_p) if union_p else 1.0
+        manifest_extra["bpe_pair_churn"] = {
+            "top_k": len(frozen_pairs),
+            "jaccard": round(jp, 4),
+        }
+    frozen_nb = _frozen_nb(root)
+    if frozen_nb is not None:
+        agreement = _nb_agreement(new_docs, frozen_nb[0])
+        if agreement is not None:
+            manifest_extra["nb_agreement"] = agreement
     return incremental_docs.append_batch(
         spark,
         new_docs,
@@ -147,6 +193,7 @@ def append_curation_batch(
         extra={
             "metrics": metrics_of(new_docs),
             "vocab_partial": vp,
+            "bpe_pair_partial": pp,
             **bm25_partials_of(new_docs),
         },
         skip_committed=skip_committed,
@@ -408,6 +455,246 @@ def vocab_needs_refresh(spark: SparkSession, root: str) -> bool:
     return bool(measured and measured[-1]["needs_refresh"])
 
 
+# ---------------------------------------------------------------------------
+# Frozen-artifact drift trip-wires: NB classifier + BPE merge table
+# (VERDICT r9 task #6 — mirror the vocab-churn / recall-monitor shape)
+# ---------------------------------------------------------------------------
+
+#: latest delivery's distillation agreement below this FRACTION of the
+#: build-time reference trips ``nb_needs_refresh``: the corpus the frozen
+#: classifier weights were distilled on has shifted enough that the model
+#: no longer reproduces the weak labeler it distills — retrain
+#: (tools/train_nb_quality.py) before filtering new packs with it.
+NB_REFRESH_RATIO = 0.8
+
+#: head-of-pair-statistic Jaccard below this trips ``bpe_needs_refresh``:
+#: more than ~20% of the top-k adjacent-symbol pairs the frozen merge
+#: table was trained against have churned out — retrain the merges
+#: (tools/train_bpe.py) before tokenizing new packs.
+BPE_REFRESH_JACCARD = 0.8
+
+#: per-batch partial of the BPE iteration-0 pair statistic: the
+#: delivery's weighted adjacent character-pair counts. Word counts sum
+#: across disjoint deliveries, so pair counts (linear in word counts)
+#: sum too — merge-at-read is one map-side-combinable aggregate.
+BPE_PAIR_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("left_sym", T.StringType()),
+        T.StructField("right_sym", T.StringType()),
+        T.StructField("pair_count", T.LongType()),
+    ]
+)
+
+#: pair-statistic head size (reference set the churn is measured over)
+BPE_PAIR_HEAD_K = 50
+
+
+def bpe_pair_partial_of(docs: DataFrame) -> DataFrame:
+    """One delivery's iteration-0 BPE pair statistic — the same
+    spaced-symbol explode as ``bpe.q_bpe_pair_counts``, cut at the batch
+    boundary: delivery word counts, then weighted adjacent-pair sums
+    over the vocabulary-sized relation."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.bpe import (
+        _pairs_of,
+        _spaced,
+    )
+    from ph_ee_nats_importer_rdbms_spark.analytics.text import _tokens
+
+    words = (
+        docs.select(F.explode(_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        words.select(
+            F.split(F.trim(_spaced(F.col("word"))), "  ").alias("syms"),
+            "cnt",
+        )
+        .select(F.explode(_pairs_of(F.col("syms"))).alias("p"), "cnt")
+        .groupBy(
+            F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+        )
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+def _pair_head(
+    partials: DataFrame, top_k: int = BPE_PAIR_HEAD_K
+) -> list[list[str]]:
+    """Top-k (left_sym, right_sym) SET of a (summed) pair-partial
+    relation — deterministic (count desc, l asc, r asc) head, collected
+    as a config-sized list (k = BPE_PAIR_HEAD_K pairs)."""
+    merged = partials.groupBy("left_sym", "right_sym").agg(
+        F.sum("pair_count").alias("pair_count")
+    )
+    return [
+        [r["left_sym"], r["right_sym"]]
+        for r in merged.orderBy(
+            F.col("pair_count").desc(),
+            F.col("left_sym").asc(),
+            F.col("right_sym").asc(),
+        )
+        .limit(top_k)
+        .collect()
+    ]
+
+
+def _nb_agreement(docs: DataFrame, model: dict) -> dict | None:
+    """Distillation agreement of a FROZEN NB model on one delivery:
+    fraction of docs where the frozen weights' prediction matches the
+    weak label they were distilled from — one map-only pass (the weak
+    label and the token fold share the scan, exactly the serving
+    entry's shape). None on an empty delivery."""
+    from ph_ee_nats_importer_rdbms_spark.analytics.classifier import (
+        NB_LABEL_THRESHOLD,
+        nb_score_col,
+    )
+    from ph_ee_nats_importer_rdbms_spark.analytics.text import quality_of
+
+    row = (
+        quality_of(docs, keep=("text",))
+        .select(
+            (
+                (nb_score_col(model) > 0)
+                == (F.col("quality_score") >= NB_LABEL_THRESHOLD)
+            )
+            .cast("double")
+            .alias("agree")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("agree").alias("agreement"),
+        )
+        .first()
+    )
+    if not row["n_docs"]:
+        return None
+    return {
+        "n_docs": int(row["n_docs"]),
+        "agreement": round(float(row["agreement"]), 4),
+    }
+
+
+def _frozen_nb(root: str) -> tuple[dict, float] | None:
+    """(frozen model, build-time reference agreement) from the commit
+    manifests — latest manifest carrying one wins, so a rebuild's fresh
+    reference supersedes the original. None on pre-upgrade stores."""
+    frozen = None
+    for m in bs.committed_batches(root):
+        if "nb_model" in m and "nb_agreement_ref" in m:
+            frozen = (m["nb_model"], float(m["nb_agreement_ref"]["agreement"]))
+    return frozen
+
+
+def _frozen_pair_head(root: str) -> list[list[str]] | None:
+    head = None
+    for m in bs.committed_batches(root):
+        if "bpe_pair_head" in m:
+            head = m["bpe_pair_head"]
+    return head
+
+
+_NB_DRIFT_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("batch", T.StringType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("agreement", T.DoubleType()),
+        T.StructField("ref_agreement", T.DoubleType()),
+        T.StructField("needs_refresh", T.BooleanType()),
+    ]
+)
+
+_BPE_CHURN_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("batch", T.StringType()),
+        T.StructField("top_k", T.IntegerType()),
+        T.StructField("jaccard", T.DoubleType()),
+        T.StructField("needs_refresh", T.BooleanType()),
+    ]
+)
+
+
+def nb_drift_report(spark: SparkSession, root: str) -> DataFrame:
+    """Per-delivery distillation-agreement relation for the frozen NB
+    weights, thresholded into ``needs_refresh`` — one row per committed
+    append, computed entirely from commit manifests (config-sized, no
+    data scan). Pre-upgrade deliveries surface NULLs (unknown, not
+    healthy)."""
+    rows = []
+    for m in bs.committed_batches(root):
+        if "nb_agreement_ref" in m and "nb_agreement" not in m:
+            continue  # the build itself: agreement vs itself is the ref
+        a = m.get("nb_agreement")
+        ref = _frozen_nb(root)
+        if not a or ref is None:
+            rows.append((m["seq"], m["batch"], None, None, None, None))
+            continue
+        ag = float(a["agreement"])
+        rows.append(
+            (
+                m["seq"],
+                m["batch"],
+                int(a["n_docs"]),
+                ag,
+                ref[1],
+                bool(ag < NB_REFRESH_RATIO * ref[1]),
+            )
+        )
+    return spark.createDataFrame(rows, _NB_DRIFT_SCHEMA)
+
+
+def nb_needs_refresh(spark: SparkSession, root: str) -> bool:
+    """True when the LATEST recorded delivery's agreement has fallen
+    past the ratio threshold (latest wins — agreement is not monotone,
+    a later on-distribution delivery clears the flag)."""
+    measured = [
+        r
+        for r in nb_drift_report(spark, root).collect()
+        if r["needs_refresh"] is not None
+    ]
+    return bool(measured and measured[-1]["needs_refresh"])
+
+
+def bpe_pair_churn_report(spark: SparkSession, root: str) -> DataFrame:
+    """Per-delivery pair-statistic churn relation for the frozen BPE
+    merge table, thresholded into ``needs_refresh`` — the vocabulary
+    churn's twin over the iteration-0 pair head (the statistic the
+    first merge argmaxes over). Manifest-only read; pre-upgrade
+    deliveries surface NULLs."""
+    rows = []
+    for m in bs.committed_batches(root):
+        if "bpe_pair_head" in m and "bpe_pair_churn" not in m:
+            continue  # the build itself
+        c = m.get("bpe_pair_churn")
+        if not c:
+            rows.append((m["seq"], m["batch"], None, None, None))
+            continue
+        j = float(c["jaccard"])
+        rows.append(
+            (
+                m["seq"],
+                m["batch"],
+                int(c["top_k"]),
+                j,
+                bool(j < BPE_REFRESH_JACCARD),
+            )
+        )
+    return spark.createDataFrame(rows, _BPE_CHURN_SCHEMA)
+
+
+def bpe_needs_refresh(spark: SparkSession, root: str) -> bool:
+    """True when the LATEST recorded delivery's pair-head churn is past
+    the threshold (latest measurement wins, as for vocabulary)."""
+    measured = [
+        r
+        for r in bpe_pair_churn_report(spark, root).collect()
+        if r["needs_refresh"] is not None
+    ]
+    return bool(measured and measured[-1]["needs_refresh"])
+
+
 def read_corpus_report(spark: SparkSession, root: str) -> DataFrame:
     """The CURRENT dataset card from the store: committed metrics joined
     to the current verdict, through the aggregate SHARED with
@@ -439,10 +726,17 @@ def _build_staged_curation_store(
     staged-dataset registry outputs at any delivery split."""
     from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
 
+    from ph_ee_nats_importer_rdbms_spark.analytics.classifier import model_for
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
-    build_curation_store(spark, docs.filter(F.col("doc_id") % 2 == 0), root)
+    build_curation_store(
+        spark,
+        docs.filter(F.col("doc_id") % 2 == 0),
+        root,
+        nb_model=model_for(sf_dir),
+    )
     append_curation_batch(spark, docs.filter(F.col("doc_id") % 2 == 1), root)
 
 

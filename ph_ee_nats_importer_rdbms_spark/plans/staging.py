@@ -154,6 +154,13 @@ _DOMAINS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
             "analytics/batch_store.py",
             "analytics/incremental_docs.py",
             "analytics/incremental_curation.py",
+            # the drift trip-wires freeze the NB model and the BPE pair
+            # head into the base manifest (r10): retraining an artifact
+            # or editing its module must re-freeze the references
+            "analytics/bpe.py",
+            "analytics/classifier.py",
+            "analytics/bpe_merges.json",
+            "analytics/nb_quality.json",
         ),
     ),
     # the incremental embedding near-dup store staged as a read-path

@@ -378,6 +378,166 @@ def test_vocab_churn_recorded_and_trips_needs_refresh(spark, tmp_path):
     assert not cur.vocab_needs_refresh(spark, root)
 
 
+def test_nb_drift_recorded_and_trips_needs_refresh(spark, tmp_path):
+    """The classifier drift trip-wire (VERDICT r9 task #6): the build
+    freezes the NB model + its distillation agreement; every append
+    records the frozen model's agreement on ITS docs; a delivery where
+    the weak labeler and the frozen weights diverge trips the flag, and
+    a later on-distribution delivery clears it (latest wins)."""
+    schema = "doc_id long, text string, lang string"
+    # weak labels pinned by probe: good -> True (0.706), bad -> False
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs to"
+        " the old mill where the miller was waiting with a bag of grain"
+        " for the horse and the cart on the road to town"
+    )
+    bad = (
+        "zzz9 ### $$$ %% xx!!! ??? @@@ ++++ ==== |||| ~~~~ ^^^^ &&&&"
+        " **** (((( )))) zz31 qq47"
+    )
+    # no weights: the frozen model always predicts True — agreement is
+    # then exactly the fraction of weak-positive docs in the delivery
+    model = {"prior_micros": 1_000_000, "weights": {}}
+
+    root = str(tmp_path / "nb")
+    cur.build_curation_store(
+        spark,
+        spark.createDataFrame([(i, good, "en") for i in range(10)], schema),
+        root,
+        nb_model=model,
+    )
+    frozen = cur._frozen_nb(root)
+    assert frozen is not None and frozen[1] == 1.0
+
+    # on-distribution delivery: agreement holds, no trip
+    cur.append_curation_batch(
+        spark,
+        spark.createDataFrame(
+            [(100 + i, good, "en") for i in range(5)], schema
+        ),
+        root,
+    )
+    assert not cur.nb_needs_refresh(spark, root)
+
+    # shifted delivery: weak labels flip, the frozen weights don't
+    cur.append_curation_batch(
+        spark,
+        spark.createDataFrame(
+            [(200 + i, bad, "en") for i in range(8)], schema
+        ),
+        root,
+    )
+    report = {r["seq"]: r for r in cur.nb_drift_report(spark, root).collect()}
+    assert report[1]["needs_refresh"] is False
+    assert report[2]["needs_refresh"] is True
+    assert report[2]["agreement"] < cur.NB_REFRESH_RATIO * report[2]["ref_agreement"]
+    assert cur.nb_needs_refresh(spark, root)
+
+    # back on distribution: latest measurement clears the flag
+    cur.append_curation_batch(
+        spark,
+        spark.createDataFrame(
+            [(300 + i, good, "en") for i in range(5)], schema
+        ),
+        root,
+    )
+    assert not cur.nb_needs_refresh(spark, root)
+
+
+def test_bpe_pair_churn_recorded_and_trips_needs_refresh(spark, tmp_path):
+    """The merge-table drift trip-wire (VERDICT r9 task #6), the vocab
+    churn's twin over the iteration-0 pair statistic: a character-
+    distribution-shifted flood churns the frozen pair head past the
+    threshold; a later base flood swings it back (latest wins)."""
+    schema = "doc_id long, text string, lang string"
+    # 150 distinct intra-word character pairs per family, disjoint
+    # families — the top-50 head is a genuine cut and floods displace it
+    base_text = " ".join(a + b for a in "abcdefghij" for b in "abcdefghijklmno")
+    shift_text = " ".join(a + b for a in "nopqrstuvw" for b in "klmnopqrstuvwxy")
+
+    root = str(tmp_path / "bpe")
+    cur.build_curation_store(
+        spark,
+        spark.createDataFrame(
+            [(i, base_text, "en") for i in range(20)], schema
+        ),
+        root,
+    )
+    frozen = cur._frozen_pair_head(root)
+    assert frozen and len(frozen) == cur.BPE_PAIR_HEAD_K
+    assert ["a", "a"] in frozen
+
+    cur.append_curation_batch(
+        spark,
+        spark.createDataFrame(
+            [(100 + i, base_text, "en") for i in range(5)], schema
+        ),
+        root,
+    )
+    assert not cur.bpe_needs_refresh(spark, root)
+
+    cur.append_curation_batch(
+        spark,
+        spark.createDataFrame(
+            [(200 + i, shift_text, "en") for i in range(120)], schema
+        ),
+        root,
+    )
+    report = {
+        r["seq"]: r for r in cur.bpe_pair_churn_report(spark, root).collect()
+    }
+    assert report[1]["needs_refresh"] is False
+    assert report[2]["needs_refresh"] is True
+    assert report[2]["jaccard"] < cur.BPE_REFRESH_JACCARD
+    assert cur.bpe_needs_refresh(spark, root)
+
+    cur.append_curation_batch(
+        spark,
+        spark.createDataFrame(
+            [(1000 + i, base_text, "en") for i in range(200)], schema
+        ),
+        root,
+    )
+    assert not cur.bpe_needs_refresh(spark, root)
+
+
+def test_artifact_drift_unknown_on_pre_upgrade_store(spark, tmp_path):
+    """A store whose manifests predate the NB/BPE records surfaces NULL
+    metrics with NULL flags — unknown, not healthy — and never trips on
+    absence of evidence (same contract as the vocab churn monitor)."""
+    from ph_ee_nats_importer_rdbms_spark.analytics import incremental_docs as inc
+
+    schema = "doc_id long, text string, lang string"
+    root = str(tmp_path / "legacy2")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en")], schema
+    )
+    inc.build_index(
+        spark,
+        docs,
+        root,
+        extra={
+            "metrics": cur.metrics_of(docs),
+            "vocab_partial": cur.vocab_partial_of(docs),
+        },
+    )
+    cur.append_curation_batch(
+        spark,
+        spark.createDataFrame([(2, "alpha beta gamma delta", "en")], schema),
+        root,
+    )
+    assert all(
+        r["needs_refresh"] is None
+        for r in cur.nb_drift_report(spark, root).collect()
+    )
+    assert all(
+        r["needs_refresh"] is None
+        for r in cur.bpe_pair_churn_report(spark, root).collect()
+    )
+    assert not cur.nb_needs_refresh(spark, root)
+    assert not cur.bpe_needs_refresh(spark, root)
+
+
 def test_vocab_churn_unknown_on_pre_upgrade_store(spark, tmp_path):
     """A store whose manifests predate the churn record (no vocab_head)
     surfaces NULL metrics with a NULL flag — unknown, not healthy — and
