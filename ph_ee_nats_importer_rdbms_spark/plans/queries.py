@@ -296,6 +296,21 @@ def _q_tasks_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _streaming_table(spark, sf_dir, "tasks")
 
 
+def _q_transfers_streaming_wire(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The transfers table materialized by the streaming engine fed
+    through the NATS WIRE SOURCE (format("nats") / transport=wire over
+    real TCP against the in-repo protocol double) — extends the oracle
+    gate over the source adapter itself (VERDICT r9 task #7); the file
+    bridge is pinned untouched by tests/test_streaming_replay.py."""
+    from ph_ee_nats_importer_rdbms_spark.streaming import replay
+
+    return _project_transfers(
+        replay.streaming_table_wire(spark, sf_dir, "transfers")
+    )
+
+
 def _q_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _table(spark, sf_dir, "variables")
 
@@ -1107,6 +1122,12 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
         synthetic.VARIABLES_ORACLE,
     ),
     "zeebe_tasks_streaming": (_q_tasks_streaming, synthetic.TASKS_ORACLE),
+    # the NATS wire source as the ingestion edge (r10): same oracle,
+    # events consumed via format("nats")/transport=wire — no file bridge
+    "zeebe_transfers_streaming_wire": (
+        _q_transfers_streaming_wire,
+        synthetic.TRANSFERS_ORACLE,
+    ),
     "zeebe_routing": (_q_routing, synthetic.ROUTING_ORACLE),
     "transfers_range_filter": (_q_transfers_range, _TRANSFERS_RANGE_ORACLE),
     "transfer_detail_join": (_q_transfer_detail, _TRANSFER_DETAIL_ORACLE),

@@ -76,6 +76,21 @@ _DOMAINS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
             "streaming/replay.py",
         ),
     ),
+    # the wire-fed replay (streaming/replay._build_wire): same corpus and
+    # streaming semantics as "stream", plus the NATS source adapter the
+    # gate certifies — editing nats_source.py/nats_wire.py rebuilds the
+    # wire tree without invalidating the file-fed replay, and vice versa
+    "streamwire": (
+        ("orders.parquet",),
+        _SEMANTIC_SOURCES
+        + (
+            "streaming/pipeline.py",
+            "streaming/state.py",
+            "streaming/replay.py",
+            "sources/nats_source.py",
+            "sources/nats_wire.py",
+        ),
+    ),
     "docs": (
         ("documents.parquet",),
         (

@@ -95,17 +95,33 @@ def envelope_json() -> Column:
     return F.to_json(env, {"ignoreNullFields": "true"})
 
 
-def write_ordered_chunks(flat: DataFrame, src_dir: str, chunks: int = REPLAY_CHUNKS) -> None:
+def write_ordered_chunks(
+    flat: DataFrame,
+    src_dir: str,
+    chunks: int = REPLAY_CHUNKS,
+    sort_within: bool = False,
+) -> None:
     """Write the corpus as ``chunks`` envelope-JSON files forming an
     ordered delivery: file k holds a contiguous (timestamp, position)
     range strictly before file k+1's, named chunk-%03d.jsonl with
     strictly increasing mtimes (the file stream source processes
     oldest-first). The write itself is fully distributed; only the
-    metadata renames run on the driver."""
+    metadata renames run on the driver.
+
+    ``sort_within=True`` additionally sorts each chunk's lines by
+    (timestamp, position), making the concatenation of the files a
+    STRICT global order — the wire replay publishes from these files,
+    and a broker's sequence numbers must follow event time for any
+    sequence-range micro-batch cut to be time-coherent (the file
+    replay doesn't need this: its batch boundary IS the chunk
+    boundary, and intra-chunk order is irrelevant to the sorted
+    stateful stages)."""
     tmp = src_dir + ".build"
+    ranged = flat.repartitionByRange(chunks, "timestamp", "position")
+    if sort_within:
+        ranged = ranged.sortWithinPartitions("timestamp", "position")
     (
-        flat.repartitionByRange(chunks, "timestamp", "position")
-        .select(envelope_json().alias("value"))
+        ranged.select(envelope_json().alias("value"))
         .write.mode("overwrite")
         .text(tmp)
     )
@@ -178,6 +194,115 @@ def _build(spark: SparkSession, sf_dir: str, root: str) -> None:
         df.write.mode("overwrite").parquet(os.path.join(out_root, name))
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(work_dir, ignore_errors=True)
+
+
+#: publish/drain waves for the wire replay — each wave restarts the
+#: topology against the broker's new tail, so keyed state provably
+#: carries across runs through the checkpoints (the deployed restart
+#: path). Two waves prove the handoff; the per-wave cost is 3 query
+#: startups, so this stays a staging-time constant.
+WIRE_WAVES = 2
+
+
+def _publish_file(url: str, subject: str, path: str) -> int:
+    """Publish one ordered chunk file line-by-line over the NATS wire
+    protocol — a single-socket serial loop because ORDER is the contract
+    (JetStream sequences must follow (timestamp, position)); memory is
+    one line at a time, never the corpus. Returns lines published."""
+    from ph_ee_nats_importer_rdbms_spark.sources.nats_wire import (
+        NatsWireClient,
+    )
+
+    n = 0
+    with NatsWireClient(url) as c:
+        with open(path, "rb") as f:
+            for line in f:
+                line = line.rstrip(b"\n")
+                if line:
+                    c.publish(subject, line)
+                    n += 1
+        c.flush()
+    return n
+
+
+def _build_wire(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """The replay build with the WIRE TRANSPORT as the ingestion edge
+    (VERDICT r9 task #7): raw envelopes are PUBLISHED to a NATS broker
+    (the in-repo protocol double — real TCP, real JetStream API shapes;
+    no broker binary exists in this environment) and hop 1 consumes them
+    via ``format("nats")``/``transport=wire`` — the deployed source
+    adapter (sources/nats_source.py + nats_wire.py), not the file
+    bridge. Delivery happens in ``WIRE_WAVES`` publish→drain waves
+    against one set of checkpoints, exercising the checkpointed-restart
+    resume of the source (each wave's availableNow run starts from the
+    previously committed stream sequence)."""
+    from ph_ee_nats_importer_rdbms_spark.plans.queries import zeebe_events_df
+    from ph_ee_nats_importer_rdbms_spark.streaming import pipeline as sp
+
+    try:
+        from tests.nats_mini_server import MiniNatsServer
+    except ImportError as e:  # pragma: no cover - repo layout guard
+        raise RuntimeError(
+            "the wire replay gate needs the in-repo NATS protocol double "
+            "(tests/nats_mini_server.py on sys.path) or a real broker"
+        ) from e
+
+    flat = staging.load_or_build(
+        spark, sf_dir, "flat_events", lambda: zeebe_events_df(spark, sf_dir)
+    )
+    src_dir = os.path.join(root, "source")
+    work_dir = os.path.join(root, "work")
+    # strict global order: sequence numbers must follow event time
+    write_ordered_chunks(flat, src_dir, chunks=WIRE_WAVES, sort_within=True)
+    chunk_files = sorted(
+        os.path.join(src_dir, n)
+        for n in os.listdir(src_dir)
+        if n.startswith("chunk-")
+    )
+    with MiniNatsServer() as s:
+        for path in chunk_files:
+            _publish_file(s.url, s.js.subject, path)
+            events = sp.read_raw_nats_stream(
+                spark,
+                transport="wire",
+                servers=s.url,
+                stream=s.js.stream,
+            )
+            paths = sp.run_multi_hop(
+                spark, "", work_dir, available_now=True, events=events
+            )
+    tables = sp.materialize_tables(spark, paths["changes"])
+    out_root = os.path.join(root, "tables")
+    for name in TABLES:
+        df = tables[name]
+        if name in _ENTITY_SCHEMAS:
+            df = _typed_entity(df, _ENTITY_SCHEMAS[name])
+        df.write.mode("overwrite").parquet(os.path.join(out_root, name))
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def streaming_table_wire(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """A business table as materialized by the streaming engine fed
+    through the NATS WIRE SOURCE (no file bridge anywhere on the event
+    path — pinned by test). Staged once per (dataset, code) fingerprint
+    in its own ``streamwire`` domain, which additionally keys the source
+    adapter modules: an edit to nats_source.py/nats_wire.py rebuilds
+    this artifact (the adapter is what this gate certifies) without
+    invalidating the file-fed replay, and vice versa."""
+    if name not in TABLES:
+        raise ValueError(f"unknown streaming table {name!r}; one of {TABLES}")
+    root = staging.artifact_tree(
+        spark,
+        sf_dir,
+        domain="streamwire",
+        name="replay_tables_wire",
+        build=lambda tmp: _build_wire(spark, sf_dir, tmp),
+        identity_source="orders.parquet",
+    )
+    return spark.read.parquet(os.path.join(root, "tables", name))
 
 
 def streaming_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
