@@ -1581,6 +1581,40 @@ SEMANTIC_SAMPLE_ORACLE = _semantic_sample_oracle()
 #: near-dup family (dedup.py) — a real corpus would run 0.95+
 SEMDEDUP_COS = EMBED_COSINE_THRESHOLD
 
+#: SemDeDup's OWN clustering artifact, decoupled from the ANN serving
+#: codebook (r10). The paper's cost model is quadratic in CLUSTER size,
+#: which stays bounded only if k grows with the corpus ("k large enough
+#: that clusters fit" — Abbas et al. use 50k clusters for LAION); the
+#: ANN books are sized for nprobe/nlist serving trade-offs instead and
+#: froze at nlist=16, which the sf10 decade run measured as quadratic
+#: (1067s cold at 100x corpus, ~356x the sf0.1 cost). The dedicated
+#: artifact copies the ANN books verbatim at the oracle scales (results
+#: and the driver gate unchanged) and carries occupancy-targeted books
+#: (k ≈ N / SEMDEDUP_TARGET_OCC, tools/train_semdedup_centroids.py) for
+#: the big corpora. Unknown corpora fall back to the ANN codebook —
+#: pre-upgrade behavior, the conservative (coarser) choice.
+_SEMDEDUP_ARTIFACT = os.path.join(
+    os.path.dirname(__file__), "semdedup_centroids.json"
+)
+try:
+    with open(_SEMDEDUP_ARTIFACT) as _f:
+        SEMDEDUP_CODEBOOKS: dict[str, list[list[float]]] = json.load(_f)[
+            "codebooks"
+        ]
+except FileNotFoundError:  # pre-upgrade checkout: ANN books everywhere
+    SEMDEDUP_CODEBOOKS = {}
+
+#: target mean cluster occupancy the per-corpus SemDeDup books are
+#: trained for — the knob that keeps the within-cluster pair join
+#: linear-per-vector at any corpus size (cost/vector ≈ occupancy/2).
+SEMDEDUP_TARGET_OCC = 512
+
+
+def _semdedup_codebook(sf_dir: str) -> list[list[float]]:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    book = SEMDEDUP_CODEBOOKS.get(base)
+    return book if book is not None else _codebook(sf_dir)
+
 #: per-sub-bucket occupancy cap for the within-cluster pair join. The
 #: shipped-codebook deployment keeps occupancy near corpus/nlist, but a
 #: drifted corpus can hand the frozen codebook one HOT cluster — the
@@ -1605,15 +1639,18 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairwise-greedy semantics by design — transitive-closure grouping is
     the ``embedding_dup_clusters`` entry's job.
 
-    Scale shape: reuses the STAGED IVF index (``ivf_assign``) for the
-    clustering — assignment is a broadcast argmax, linear in corpus.
-    The within-cluster pair join is the SemDeDup cost model: quadratic
-    in CLUSTER size, never corpus size, and nlist grows with the corpus
-    under the per-corpus codebook deployment (similarity to the paper's
-    "k large enough that clusters fit"); per-pair cosine reuses
-    precomputed norms. At the oracle scales the learned 16-list codebook
-    bounds occupancy at a few dozen vectors; a HOT cluster (drifted
-    corpus vs a frozen codebook) is bounded by ``SEMDEDUP_OCC_CAP``
+    Scale shape: clusters with SemDeDup's OWN per-corpus codebook
+    (``semdedup_centroids.json``), trained at a fixed occupancy target
+    (k ≈ N / ``SEMDEDUP_TARGET_OCC``) — the paper's "k large enough
+    that clusters fit", made explicit after the sf10 decade run
+    measured the ANN-book reuse (frozen nlist=16) as quadratic in the
+    corpus (~356x cost at 100x data). Assignment is a broadcast argmax,
+    linear in corpus; the within-cluster pair join is then
+    linear-per-vector (cost/vector ≈ occupancy/2); per-pair cosine
+    reuses precomputed norms. At the oracle scales the dedicated book
+    is a verbatim copy of the 16-list ANN book, so results and the
+    driver gate are unchanged. A HOT cluster (drifted corpus vs the
+    frozen book) is additionally bounded by ``SEMDEDUP_OCC_CAP``
     sub-bucketing — both join sides salt over ceil(occ/cap) hash
     sub-buckets so no task exceeds ~cap² pair candidates while every
     pair is still generated exactly once (``_semdedup_cluster_pairs``).
@@ -1682,14 +1719,18 @@ def _semdedup_cluster_pairs(v: DataFrame, occ_cap: int) -> DataFrame:
 
 
 def _semdedup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    book = _semdedup_codebook(sf_dir)
     cent = F.broadcast(
         spark.createDataFrame(
-            [(cid, vec) for cid, vec in enumerate(_codebook(sf_dir))],
+            [(cid, vec) for cid, vec in enumerate(book)],
             "cid INT, cemb ARRAY<DOUBLE>",
         )
     )
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
     v = (
-        ivf_assignments(spark, sf_dir)
+        ivf_assign_of(spark, e, book)
         .join(cent, F.col("cluster_id") == F.col("cid"))
         .select(
             "vec_id",
@@ -1731,9 +1772,14 @@ def _semdedup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_oracle() -> str:
+    # the dedicated SemDeDup book (identical to the ANN book at the
+    # oracle scale by construction — the artifact copies it verbatim)
+    book = SEMDEDUP_CODEBOOKS.get(
+        ORACLE_SF_BASE, IVF_CODEBOOKS[ORACLE_SF_BASE]
+    )
     rows = ",\n    ".join(
         f"({cid}, CAST([{', '.join(repr(v) for v in vec)}] AS DOUBLE[]))"
-        for cid, vec in enumerate(IVF_CODEBOOKS[ORACLE_SF_BASE])
+        for cid, vec in enumerate(book)
     )
     c6 = _duck_pair_cosine("e.embedding", "c.cemb").format(nd=6)
     p4 = _duck_pair_cosine("a.embedding", "b.embedding").format(nd=4)

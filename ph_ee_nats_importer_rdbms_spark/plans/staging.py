@@ -108,9 +108,10 @@ _DOMAINS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
             "analytics/dedup.py",
             "analytics/similarity.py",
             # learned codebooks: retraining must invalidate ivf_assign /
-            # pq_codes
+            # pq_codes / the staged semdedup labeling
             "analytics/ivf_centroids.json",
             "analytics/pq_codebooks.json",
+            "analytics/semdedup_centroids.json",
         ),
     ),
     "media": (

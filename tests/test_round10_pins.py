@@ -83,3 +83,40 @@ def test_semdedup_build_invariant_under_occupancy_cap(spark, sf_dir, monkeypatch
     assert sorted(map(tuple, unbounded.select(*cols).collect())) == sorted(
         map(tuple, forced.select(*cols).collect())
     )
+
+
+def test_semdedup_codebook_scales_with_corpus_but_copies_oracle_books():
+    """SemDeDup's dedicated clustering artifact (the decade-run fix —
+    frozen nlist=16 measured quadratic at sf10): at the oracle scales
+    the books are VERBATIM copies of the ANN books, so results and the
+    driver gate are unchanged; the big-corpus books are occupancy-
+    targeted (k within 2x of N/target), which is what keeps the
+    within-cluster pair join linear-per-vector."""
+    import json
+    import os
+
+    from ph_ee_nats_importer_rdbms_spark.analytics import similarity as sim
+
+    art = json.load(open(sim._SEMDEDUP_ARTIFACT))
+    books = art["codebooks"]
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        assert books[sf] == sim.IVF_CODEBOOKS[sf], f"{sf} book diverged"
+    # the serving lookup resolves copies + falls back to the ANN book
+    assert sim._semdedup_codebook("/x/sf0.01") == sim.IVF_CODEBOOKS["sf0.01"]
+    assert sim._semdedup_codebook("/x/unknown") == sim.IVF_CODEBOOKS["default"]
+    target = int(art["target_occupancy"])
+    scaled = {
+        sf: b
+        for sf, b in books.items()
+        if sf not in ("sf0.001", "sf0.01", "sf0.1", "sf1", "default")
+    }
+    assert scaled, "no occupancy-targeted big-corpus book in the artifact"
+    expected_n = {"sf10": 200_000, "sf100": 2_000_000}
+    for sf, book in scaled.items():
+        n = expected_n.get(sf)
+        if n is None:
+            continue
+        k = len(book)
+        assert n / (2 * target) <= k <= max(16, 2 * n / target), (
+            f"{sf}: k={k} is not occupancy-targeted for n={n}"
+        )
