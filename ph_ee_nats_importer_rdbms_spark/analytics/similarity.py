@@ -286,18 +286,26 @@ def ivf_assign_of(
             "cid INT, cemb ARRAY<DOUBLE>",
         )
     )
-    scored = vectors.crossJoin(cent).select(
+    # the argmax aggregates FIXED-WIDTH columns only (no embedding in
+    # the buffer): an array-typed first() forces SortAggregate, which
+    # SORTS the |corpus|×|codebook| crossJoin output with the embedding
+    # payload attached — measured as a ~45 GB external-sort spill at
+    # 2M vectors × 3907 centroids (the sf100 decade run). With longs
+    # only the plan is a streaming HashAggregate with map-side combine;
+    # embeddings re-attach by a corpus-sized join afterwards.
+    scored = vectors.select("vec_id", "embedding").crossJoin(cent).select(
         "vec_id",
-        "embedding",
         "cid",
         F.round(_cosine("embedding", "cemb"), 6).alias("ccos"),
     )
-    return scored.groupBy("vec_id").agg(
+    assign = scored.groupBy("vec_id").agg(
         F.max_by("cid", F.struct(F.col("ccos"), -F.col("cid"))).alias(
             "cluster_id"
         ),
-        F.first("embedding").alias("embedding"),
     )
+    return assign.join(
+        vectors.select("vec_id", "embedding"), "vec_id"
+    ).select("vec_id", "cluster_id", "embedding")
 
 
 def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1729,6 +1737,10 @@ def _semdedup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
+    # materialize the assigned relation ONCE: the pair generator reads it
+    # three times (occupancy, both join sides) and Spark re-executes
+    # shared subtrees — without this the |corpus|×k assignment crossJoin
+    # runs three times per staged build
     v = (
         ivf_assign_of(spark, e, book)
         .join(cent, F.col("cluster_id") == F.col("cid"))
@@ -1739,6 +1751,7 @@ def _semdedup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_cosine("embedding", "cemb"), 6).alias("ccos"),
             _norm("embedding").alias("nrm"),
         )
+        .localCheckpoint(eager=True)
     )
     qual = (
         _semdedup_cluster_pairs(v, SEMDEDUP_OCC_CAP)
