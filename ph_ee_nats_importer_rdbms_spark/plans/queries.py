@@ -311,6 +311,32 @@ def _q_transfers_streaming_wire(
     )
 
 
+def _wire_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ph_ee_nats_importer_rdbms_spark.streaming import replay
+
+    return replay.streaming_table_wire(spark, sf_dir, name)
+
+
+def _q_transaction_requests_streaming_wire(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _project_transaction_requests(
+        _wire_table(spark, sf_dir, "transaction_requests")
+    )
+
+
+def _q_batches_streaming_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _project_batches(_wire_table(spark, sf_dir, "batches"))
+
+
+def _q_variables_streaming_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _wire_table(spark, sf_dir, "variables")
+
+
+def _q_tasks_streaming_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _wire_table(spark, sf_dir, "tasks")
+
+
 def _q_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _table(spark, sf_dir, "variables")
 
@@ -1127,6 +1153,25 @@ _QUERY_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "zeebe_transfers_streaming_wire": (
         _q_transfers_streaming_wire,
         synthetic.TRANSFERS_ORACLE,
+    ),
+    # r11: the other four business tables off the SAME wire-fed staged
+    # tree (_build_wire materializes all five; registration extends the
+    # oracle gate over each table's wire-fed twin at near-zero build cost)
+    "zeebe_transaction_requests_streaming_wire": (
+        _q_transaction_requests_streaming_wire,
+        synthetic.TRANSACTION_REQUESTS_ORACLE,
+    ),
+    "zeebe_batches_streaming_wire": (
+        _q_batches_streaming_wire,
+        synthetic.BATCHES_ORACLE,
+    ),
+    "zeebe_variables_streaming_wire": (
+        _q_variables_streaming_wire,
+        synthetic.VARIABLES_ORACLE,
+    ),
+    "zeebe_tasks_streaming_wire": (
+        _q_tasks_streaming_wire,
+        synthetic.TASKS_ORACLE,
     ),
     "zeebe_routing": (_q_routing, synthetic.ROUTING_ORACLE),
     "transfers_range_filter": (_q_transfers_range, _TRANSFERS_RANGE_ORACLE),
