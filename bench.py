@@ -39,6 +39,53 @@ from ph_ee_nats_importer_rdbms_spark.plans.queries import QUERIES
 from ph_ee_nats_importer_rdbms_spark.session import build_session
 
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+#: full-detail record of the last complete sweep at each sf — the
+#: reference the outlier pass adjudicates against (the driver's
+#: BENCH_r*.json keeps only the compact summary + a truncated tail, so
+#: per-query history has to be self-maintained)
+_LOCAL_REF = os.path.join(_HERE, "BENCH_LOCAL_LATEST.json")
+
+
+def _previous_round_warm(sf: str) -> dict[str, float]:
+    """Per-query warm timings of the previous sweep at this sf: the
+    self-maintained full-detail reference when present, else whatever
+    name/seconds pairs survive in the newest BENCH_r*.json's truncated
+    tail. Missing or unparseable references mean no adjudication (first
+    round, renamed entries), never a bench failure."""
+    import glob
+    import re
+
+    try:
+        with open(_LOCAL_REF) as f:
+            ref = json.load(f)
+        if str(ref.get("sf")) == str(sf):
+            return {
+                k: float(v)
+                for k, v in ref.get("queries", {}).items()
+                if isinstance(v, (int, float))
+            }
+    except (OSError, ValueError):
+        pass
+    best_n, best = -1, None
+    for p in glob.glob(os.path.join(_HERE, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), p
+    if best is None:
+        return {}
+    try:
+        with open(best) as f:
+            rec = json.load(f)
+        if str(rec.get("sf")) != str(sf):
+            return {}
+        pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', rec.get("tail", ""))
+        return {k: float(v) for k, v in pairs}
+    except (OSError, ValueError):
+        return {}
+
+
 def materialize(df) -> int:
     """Force evaluation of EVERY output column; return the row count.
     count() alone is not materialization — Catalyst prunes unneeded
@@ -94,14 +141,17 @@ def main() -> int:
 
     spark.range(32).repartition(4).mapInPandas(_ident, "id long").count()
 
-    # At the 100x bench scale, 70 queries share one JVM heap: a query
+    # At the 100x bench scale, ~100 queries share one JVM heap: a query
     # scheduled after a multi-GB aggregation pays its neighbor's GC wave
     # (measured at sf10: 4 entries looked supralinear in sequence but
-    # were linear in isolation — BENCH_NOTES round 6). Opt-in GC barrier
+    # were linear in isolation — BENCH_NOTES round 6). GC barrier
     # between queries attributes heap pressure to the query that caused
-    # it instead of whoever runs next.
-    gc_between = os.environ.get("SPARK_GRAFT_BENCH_GC", "0").strip() not in (
-        "0", "", "false", "no", "off",
+    # it instead of whoever runs next — ON by default since round 11:
+    # BENCH_r10 carried phantom warm swings (ann_search_store 12.2s
+    # recorded vs 1.82s isolated) that forced manual adjudication
+    # (VERDICT r10 task #2).
+    gc_between = os.environ.get("SPARK_GRAFT_BENCH_GC", "1").strip() not in (
+        "0", "false", "no", "off",
     )
 
     timings: dict[str, float] = {}
@@ -121,9 +171,48 @@ def main() -> int:
                 file=sys.stderr,
             )
 
+    # Self-adjudicating outlier pass (VERDICT r10 task #2): any entry
+    # whose warm time regressed >2x against the previous round's
+    # recorded warm (and is big enough for the swing to matter) gets an
+    # isolated re-measure — GC barrier, then best-of-two — appended as
+    # "queries_isolated", so a shared-heap phantom is adjudicated by
+    # the artifact itself instead of a manual re-run. Code regressions
+    # reproduce in isolation; context noise does not.
+    isolated: dict[str, float] = {}
+    prev = _previous_round_warm(sf)
+    suspects = [
+        n
+        for n, t in timings.items()
+        if t > 1.0 and n in prev and prev[n] > 0 and t > 2 * prev[n]
+    ]
+    for name in suspects[:12]:  # bound the adjudication cost
+        fn = QUERIES[name][0]
+        best = None
+        for _ in range(2):
+            spark._jvm.System.gc()  # noqa: SLF001
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        isolated[name] = round(best, 3)
+        print(
+            f"# {name} [isolated]: {isolated[name]:.3f}s "
+            f"(warm {timings[name]:.3f}s, prev {prev[name]:.3f}s)",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     total_cold = round(sum(cold.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    if not only:  # a full sweep becomes the next run's reference
+        try:
+            with open(_LOCAL_REF, "w") as f:
+                json.dump(
+                    {"sf": sf_val, "queries": timings, "value": total}, f
+                )
+                f.write("\n")
+        except OSError:
+            pass
     # Full detail line: warm headline keys FIRST, queries_cold last
     # (VERDICT r7 task #4 — round 7's capture window truncated the line
     # and lost the round-comparable warm total to the cold dict).
@@ -135,6 +224,7 @@ def main() -> int:
                 "unit": "sec",
                 "sf": sf_val,
                 "queries": timings,
+                "queries_isolated": isolated,
                 "value_cold": total_cold,
                 "queries_cold": cold,
             }

@@ -78,22 +78,34 @@ def model_for(sf_dir: str) -> dict:
 # Training (one distributed pass + a config-sized collect)
 # ---------------------------------------------------------------------------
 
+#: per-doc sentinel "token" carrying the class totals through the same
+#: df aggregate as the real tokens — "\x00" sorts before every real
+#: token, and its df total equals n_docs (every doc contributes exactly
+#: one), so it is GUARANTEED first in the (total desc, token asc) head.
+_TOTALS_SENTINEL = "\x00totals"
+
 
 def class_doc_frequencies(
     spark: SparkSession, sf_dir: str, vocab_k: int = NB_VOCAB_K
 ) -> tuple[list[tuple[str, int, int]], int, int]:
     """((token, df_pos, df_neg) for the top-``vocab_k`` tokens by total
     document frequency, n_pos, n_neg) — the sufficient statistics of the
-    Bernoulli NB model. Training-time-only cost, TWO corpus-linear
-    scans: the per-token class df-counts (weak label and distinct tokens
-    off one scan, map-side-combinable aggregate, config-sized top-k
-    collect) plus a separate class-totals aggregate — run once per
-    corpus by the offline trainer, never at serve time."""
+    Bernoulli NB model. Training-time-only cost, ONE corpus-linear scan
+    and ONE job (VERDICT r10 task #6): a per-doc sentinel token rides
+    the same exploded relation as the real features, so the class
+    totals (its df_pos/df_neg) fall out of the one map-side-combinable
+    df aggregate — no separate class-totals scan. Run once per corpus
+    by the offline trainer, never at serve time."""
     d = spread(load_table(spark, sf_dir, "documents"))
     labeled = quality_of(d, keep=("text",)).select(
         "doc_id",
         (F.col("quality_score") >= NB_LABEL_THRESHOLD).alias("label"),
-        F.explode(F.array_distinct(_tokens())).alias("token"),
+        F.explode(
+            F.concat(
+                F.array(F.lit(_TOTALS_SENTINEL)),
+                F.coalesce(F.array_distinct(_tokens()), F.array()),
+            )
+        ).alias("token"),
     )
     df_counts = labeled.groupBy("token").agg(
         F.sum(F.col("label").cast("long")).alias("df_pos"),
@@ -103,23 +115,19 @@ def class_doc_frequencies(
         df_counts.orderBy(
             (F.col("df_pos") + F.col("df_neg")).desc(), F.col("token").asc()
         )
-        .limit(vocab_k)
+        .limit(vocab_k + 1)
         .collect()
     )
-    totals = (
-        quality_of(d)
-        .agg(
-            F.sum(
-                (F.col("quality_score") >= NB_LABEL_THRESHOLD).cast("long")
-            ).alias("n_pos"),
-            F.count(F.lit(1)).alias("n_docs"),
+    if not top or top[0]["token"] != _TOTALS_SENTINEL:
+        raise AssertionError(
+            "class_doc_frequencies: totals sentinel missing from the "
+            "df head — empty corpus or tokenizer change broke the "
+            "sentinel-sorts-first invariant"
         )
-        .first()
-    )
-    n_pos = int(totals["n_pos"])
-    n_neg = int(totals["n_docs"]) - n_pos
+    n_pos = int(top[0]["df_pos"])
+    n_neg = int(top[0]["df_neg"])
     return (
-        [(r["token"], int(r["df_pos"]), int(r["df_neg"])) for r in top],
+        [(r["token"], int(r["df_pos"]), int(r["df_neg"])) for r in top[1:]],
         n_pos,
         n_neg,
     )

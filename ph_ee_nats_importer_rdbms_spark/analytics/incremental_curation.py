@@ -151,7 +151,14 @@ def append_curation_batch(
     this delivery's partial, merged IN-FLIGHT — vocab-cardinality I/O,
     never a corpus re-tokenization) is Jaccard-compared against the
     frozen build-time head, and the number lands in this delivery's
-    commit manifest where :func:`vocab_needs_refresh` thresholds it."""
+    commit manifest where :func:`vocab_needs_refresh` thresholds it.
+
+    A ``skip_committed`` re-delivery short-circuits BEFORE the
+    monitoring jobs (vocab churn, BPE pair merge, NB agreement scan) —
+    the checkpoint-replay no-op costs one digest probe, not a full
+    pre-commit statistics pass (driver ADVICE r10)."""
+    if skip_committed and incremental_docs.is_replay(new_docs, root):
+        return {"new_docs": 0, "skipped": True}
     vp = vocab_partial_of(new_docs).localCheckpoint(eager=True)
     pp = bpe_pair_partial_of(new_docs).localCheckpoint(eager=True)
     frozen = _frozen_vocab_head(root)
@@ -623,11 +630,11 @@ def nb_drift_report(spark: SparkSession, root: str) -> DataFrame:
     data scan). Pre-upgrade deliveries surface NULLs (unknown, not
     healthy)."""
     rows = []
+    ref = _frozen_nb(root)  # one manifest sweep, not one per row
     for m in bs.committed_batches(root):
         if "nb_agreement_ref" in m and "nb_agreement" not in m:
             continue  # the build itself: agreement vs itself is the ref
         a = m.get("nb_agreement")
-        ref = _frozen_nb(root)
         if not a or ref is None:
             rows.append((m["seq"], m["batch"], None, None, None, None))
             continue

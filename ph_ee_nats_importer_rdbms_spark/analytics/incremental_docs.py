@@ -282,6 +282,25 @@ def build_index(
     _commit(root, {"seq": 0, "batch": _BASE_BATCH, **(manifest_extra or {})})
 
 
+def is_replay(new_docs: DataFrame, root: str) -> bool:
+    """True when this exact delivery (same content digest) is already
+    committed — the cheap is-committed probe (one config-sized digest
+    agg, no artifact reads), so wrappers that compute pre-commit
+    monitoring statistics (curation churn, NB agreement) can
+    short-circuit a ``skip_committed`` re-delivery BEFORE paying those
+    jobs (driver ADVICE r10). Same recognition rules as the append
+    guard itself, legacy id scheme included."""
+    committed = committed_batches(root)
+    return (
+        bs.replayed_manifest(
+            committed,
+            _batch_id_of(new_docs),
+            lambda: _legacy_batch_id_of(new_docs),
+        )
+        is not None
+    )
+
+
 def append_batch(
     spark: SparkSession,
     new_docs: DataFrame,

@@ -26,6 +26,8 @@ identical queries from the same parquet."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ph_ee_nats_importer_rdbms_spark.analytics.text import (
@@ -153,6 +155,16 @@ def _bm25_score(
     )
 
 
+#: (abs store root, manifest-name tuple) -> (qrows, n_docs, avgdl).
+#: Both values are DETERMINISTIC functions of the committed-manifest set
+#: (vocabulary ranks and corpus length stats derive only from committed
+#: partials), so caching per manifest fingerprint is exact: any append
+#: writes a new manifest file, changing the key. Bounds the per-call
+#: work of read_bm25_search to the one scoring job (VERDICT r10 task
+#: #5 — the collect-per-call small jobs were ~90% of its warm time).
+_BM25_READ_CACHE: dict[tuple[str, tuple[str, ...]], tuple] = {}
+
+
 def read_bm25_search(spark: SparkSession, root: str) -> DataFrame:
     """BM25 top-k served from a curation store's committed index
     partials — the store-backed twin of :func:`q_bm25_search`
@@ -167,7 +179,11 @@ def read_bm25_search(spark: SparkSession, root: str) -> DataFrame:
     turns into an ``isin`` literal filter on the postings scan — a
     pushed parquet predicate, so the read touches only matching row
     groups instead of relying on a post-scan broadcast join to drop
-    the rest of the index. Scoring is the SHARED :func:`_bm25_score`,
+    the rest of the index. The query-term set and the (n_docs, avgdl)
+    scalars are memoized per (store root, manifest fingerprint) — both
+    are pure functions of the committed set, and an append invalidates
+    the key by writing a new manifest — so a warm call runs exactly one
+    job: the scoring itself. Scoring is the SHARED :func:`_bm25_score`,
     so append-equals-rebuild parity lets the same DuckDB oracle gate
     both paths."""
     from pyspark.sql import types as T
@@ -177,10 +193,38 @@ def read_bm25_search(spark: SparkSession, root: str) -> DataFrame:
         incremental_docs,
     )
 
-    qrows = [
-        (int(r["qid"]), r["token"])
-        for r in _qterms_of(icur.read_vocabulary(spark, root)).collect()
+    committed = incremental_docs.committed_batches(root)
+    missing = [
+        m["batch"]
+        for m in committed
+        if not os.path.isdir(os.path.join(root, "bm25_postings", m["batch"]))
     ]
+    if missing:
+        raise ValueError(
+            "read_bm25_search: store predates the BM25 index partials "
+            f"(batches without bm25_postings: {missing}) — rebuild the "
+            "store (or re-deliver) to materialize the index"
+        )
+    key = (
+        os.path.abspath(root),
+        tuple(f"{m['seq']:06d}_{m['batch']}" for m in committed),
+    )
+    cached = _BM25_READ_CACHE.get(key)
+    dl = incremental_docs.read_artifact(
+        spark, root, "bm25_dl", icur.BM25_DL_SCHEMA
+    )
+    if cached is None:
+        qrows = [
+            (int(r["qid"]), r["token"])
+            for r in _qterms_of(icur.read_vocabulary(spark, root)).collect()
+        ]
+        srow = dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        ).first()
+        cached = (qrows, int(srow["n_docs"]), float(srow["avgdl"]))
+        _BM25_READ_CACHE[key] = cached
+    qrows, n_docs, avgdl = cached
     qterms = spark.createDataFrame(
         qrows,
         T.StructType(
@@ -193,12 +237,14 @@ def read_bm25_search(spark: SparkSession, root: str) -> DataFrame:
     tf = incremental_docs.read_artifact(
         spark, root, "bm25_postings", icur.BM25_POSTINGS_SCHEMA
     ).filter(F.col("token").isin([t for _, t in qrows]))
-    dl = incremental_docs.read_artifact(
-        spark, root, "bm25_dl", icur.BM25_DL_SCHEMA
-    )
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    stats = spark.createDataFrame(
+        [(n_docs, avgdl)],
+        T.StructType(
+            [
+                T.StructField("n_docs", T.LongType()),
+                T.StructField("avgdl", T.DoubleType()),
+            ]
+        ),
     )
     return _bm25_score(qterms, tf, dl, stats)
 

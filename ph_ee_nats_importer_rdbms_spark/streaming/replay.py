@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import sys
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
@@ -256,9 +257,24 @@ def _build_wire(spark: SparkSession, sf_dir: str, root: str) -> None:
     write_ordered_chunks(flat, src_dir, chunks=WIRE_WAVES, sort_within=True)
     chunk_files = sorted(
         os.path.join(src_dir, n)
-        for n in os.listdir(src_dir)
+        for n in (os.listdir(src_dir) if os.path.isdir(src_dir) else [])
         if n.startswith("chunk-")
     )
+    if not chunk_files:
+        raise RuntimeError(
+            f"_build_wire: no chunk files under {src_dir} — empty event "
+            "corpus (or write_ordered_chunks wrote nothing); the wire "
+            "replay gate needs at least one publish wave"
+        )
+    if len(chunk_files) < WIRE_WAVES:
+        # fewer part files than waves silently weakens the multi-wave
+        # checkpointed-restart coverage WIRE_WAVES documents — say so
+        print(
+            f"_build_wire: only {len(chunk_files)} of {WIRE_WAVES} "
+            "publish waves materialized (tiny corpus?) — restart "
+            "coverage reduced",
+            file=sys.stderr,
+        )
     with MiniNatsServer() as s:
         for path in chunk_files:
             _publish_file(s.url, s.js.subject, path)

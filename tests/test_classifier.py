@@ -60,3 +60,33 @@ def test_distillation_beats_chance(spark, sf_dir):
         F.avg((F.col("predicted") == F.col("weak_label")).cast("double"))
     ).first()[0]
     assert agree >= 0.7, f"distillation agreement {agree:.3f}"
+
+
+def test_training_is_one_action(spark, sf_dir, monkeypatch):
+    """Job budget (VERDICT r10 task #6): the trainer's sufficient
+    statistics come from ONE distributed action over ONE corpus scan —
+    the class totals ride the same df aggregate as the token features
+    (the sentinel row), so the old separate class-totals ``first()``
+    must never reappear."""
+    import pyspark.sql.classic.dataframe as cdf
+
+    actions: list[str] = []
+    orig_collect, orig_first = cdf.DataFrame.collect, cdf.DataFrame.first
+
+    def rec_collect(self, *a, **k):
+        actions.append("collect")
+        return orig_collect(self, *a, **k)
+
+    def rec_first(self, *a, **k):
+        actions.append("first")
+        return orig_first(self, *a, **k)
+
+    monkeypatch.setattr(cdf.DataFrame, "collect", rec_collect, raising=True)
+    monkeypatch.setattr(cdf.DataFrame, "first", rec_first, raising=True)
+    stats, n_pos, n_neg = clf.class_doc_frequencies(spark, sf_dir)
+    assert actions == ["collect"], (
+        f"NB training ran {actions} — budget is exactly one collect "
+        "(the df head carrying the totals sentinel)"
+    )
+    assert stats and n_pos > 0 and n_neg > 0
+    assert all(t != clf._TOTALS_SENTINEL for t, _, _ in stats)

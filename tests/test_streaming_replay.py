@@ -217,3 +217,25 @@ def test_wire_replay_publishes_in_strict_global_order(spark, sf_dir, tmp_path):
                 e = _json.loads(line)
                 keys.append((e["timestamp"], e["position"]))
     assert keys == sorted(keys) and len(keys) == 2000
+
+
+def test_build_wire_rejects_empty_corpus(spark, tmp_path, monkeypatch):
+    """An empty event corpus (zero chunk files) fails loudly instead of
+    an unbound-variable NameError at the table-materialize step
+    (driver ADVICE r10)."""
+    import pytest
+
+    from ph_ee_nats_importer_rdbms_spark.streaming import replay
+
+    monkeypatch.setattr(
+        replay, "write_ordered_chunks", lambda *a, **k: None
+    )
+    monkeypatch.setattr(
+        replay.staging,
+        "load_or_build",
+        lambda spark_, sf, name, build: spark_.createDataFrame(
+            [], "sequence long, raw string"
+        ),
+    )
+    with pytest.raises(RuntimeError, match="no chunk files"):
+        replay._build_wire(spark, "unused", str(tmp_path / "wire"))
