@@ -47,6 +47,11 @@ from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
     embed_bands_for,
     hyperplanes,
 )
+from ph_ee_nats_importer_rdbms_spark.analytics.similarity import (
+    SQ16_COLS,
+    sq16_meta_of,
+    sq16_pair_keep_col,
+)
 
 #: round-6 layout: band keys are slim (vec_id, band, bucket) and the
 #: embedding payload lives ONCE per vector in a separate ``vectors``
@@ -57,6 +62,18 @@ from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
 #: appends to a legacy store keep writing its layout so read_union
 #: schemas stay uniform across that store's batch dirs.
 BUCKETS_SCHEMA = "vec_id long, band int, bucket long"
+#: round-11 artifact: per-vector SQ16 pre-filter sketch (VERDICT r10
+#: task #1) — lets the banded candidate join carry ~150 B of fixed-width
+#: columns instead of the raw embedding and thins candidates with the
+#: LOSSLESS Cauchy–Schwarz bound BEFORE the cross-band distinct (the
+#: 1.24e9-key shuffle that exhausted the sf100 box's scratch disk).
+#: Pre-upgrade and legacy stores simply lack the dirs: reads fall back
+#: to the exact path, appends keep the store's shape (never a mixed
+#: store where only some batches carry the sketch).
+SQ16_SCHEMA = (
+    "vec_id long, q16 array<smallint>, s16 double, e16 double,"
+    " rn16 double, pnorm double"
+)
 LEGACY_BUCKETS_SCHEMA = (
     "vec_id long, embedding array<float>, bucket long, norm double"
 )
@@ -140,13 +157,44 @@ def _store_vectors(spark: SparkSession, root: str) -> DataFrame:
     return bs.read_union(spark, root, "vectors", VECTORS_SCHEMA)
 
 
+def _sq16_available(root: str) -> bool:
+    """True when EVERY committed batch carries the SQ16 sketch — the
+    prefilter needs metadata for both join sides, so one pre-upgrade
+    batch sends the whole store down the exact path (and appends then
+    skip writing the sketch, keeping the store's shape uniform)."""
+    if _is_legacy(root):
+        return False
+    return all(
+        os.path.isdir(os.path.join(root, "sq16", m["batch"]))
+        for m in bs.committed_batches(root)
+    )
+
+
+def _store_sq16(spark: SparkSession, root: str) -> DataFrame:
+    return bs.read_union(spark, root, "sq16", SQ16_SCHEMA)
+
+
 def _verified_pairs(
-    new_bk: DataFrame, all_bk: DataFrame, all_vec: DataFrame
+    new_bk: DataFrame,
+    all_bk: DataFrame,
+    all_vec: DataFrame,
+    new_meta: DataFrame | None = None,
+    all_meta: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-cosine-verified near-dup pairs between the new batch and the
     whole bucketed corpus: (band, bucket)-join candidates only (old↔old
     pairs never regenerate because one side is always new), deduped
-    across bands BEFORE the verify so each pair scores once."""
+    across bands BEFORE the verify so each pair scores once.
+
+    With SQ16 metadata (``new_meta``/``all_meta``), the sketch rides the
+    band join and the LOSSLESS bound thins candidates BEFORE the
+    cross-band distinct and the embedding re-attach — the filter can
+    only drop pairs the exact verify would reject, so the output is
+    identical to the unfiltered path (pinned by the append-equals-
+    rebuild fuzz and tests/test_round11_pins.py). A pair colliding in
+    several bands is filtered per collision and deduped after, and the
+    bound's mild asymmetry is harmless: either orientation failing
+    proves the pair can't qualify."""
     a = new_bk.select(
         "band", "bucket", F.col("vec_id").alias("id_a")
     )
@@ -155,19 +203,33 @@ def _verified_pairs(
         F.col("bucket").alias("bucket_b"),
         F.col("vec_id").alias("id_b"),
     )
-    cand = (
-        a.join(
-            b,
-            (F.col("band") == F.col("band_b"))
-            & (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("id_a") != F.col("id_b")),
+    if new_meta is not None:
+        a = a.join(
+            new_meta.select(
+                F.col("vec_id").alias("id_a"),
+                *[F.col(c).alias(f"{c}_a") for c in SQ16_COLS],
+            ),
+            "id_a",
         )
-        .select(
-            F.least("id_a", "id_b").alias("vec_a"),
-            F.greatest("id_a", "id_b").alias("vec_b"),
+        b = b.join(
+            all_meta.select(
+                F.col("vec_id").alias("id_b"),
+                *[F.col(c).alias(f"{c}_b") for c in SQ16_COLS],
+            ),
+            "id_b",
         )
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("bucket") == F.col("bucket_b"))
+        & (F.col("id_a") != F.col("id_b")),
     )
+    if new_meta is not None:
+        cand = cand.filter(sq16_pair_keep_col(EMBED_COSINE_THRESHOLD))
+    cand = cand.select(
+        F.least("id_a", "id_b").alias("vec_a"),
+        F.greatest("id_a", "id_b").alias("vec_b"),
+    ).distinct()
     pairs = cand.join(
         all_vec.select(
             F.col("vec_id").alias("vec_a"),
@@ -422,11 +484,19 @@ def build_embedding_store(
         slim = bucketed.select("vec_id", F.lit(0).alias("band"), "bucket")
         vec = bucketed.select("vec_id", "embedding", "norm")
         artifacts = {"buckets": bucketed}
+        meta = None
     else:
         slim = _bucketed(vectors, structure).localCheckpoint(eager=True)
         vec = _vectors_of(vectors).localCheckpoint(eager=True)
-        artifacts = {"buckets": slim, "vectors": vec}
-    pairs = _verified_pairs(slim, slim, vec).localCheckpoint(eager=True)
+        # the prefilter reads the sketch on BOTH join sides — checkpoint
+        # so the encode runs once per vector, not once per side
+        meta = sq16_meta_of(
+            vectors.select("vec_id", "embedding")
+        ).localCheckpoint(eager=True)
+        artifacts = {"buckets": slim, "vectors": vec, "sq16": meta}
+    pairs = _verified_pairs(
+        slim, slim, vec, new_meta=meta, all_meta=meta
+    ).localCheckpoint(eager=True)
     n = vec.count()
     if not isinstance(planes, list):
         artifacts["recall_sample"] = bs.hash_subsample(
@@ -530,9 +600,16 @@ def append_embedding_batch(
         artifacts = {"buckets": new_bk, "vectors": new_vec}
     all_bk = _store_buckets(spark, root).unionByName(new_bk)
     all_vec = _store_vectors(spark, root).unionByName(new_vec)
-    pairs_new = _verified_pairs(new_bk, all_bk, all_vec).localCheckpoint(
-        eager=True
-    )
+    new_meta = all_meta = None
+    if _sq16_available(root):
+        new_meta = sq16_meta_of(
+            new_vectors.select("vec_id", "embedding")
+        ).localCheckpoint(eager=True)
+        all_meta = _store_sq16(spark, root).unionByName(new_meta)
+        artifacts["sq16"] = new_meta
+    pairs_new = _verified_pairs(
+        new_bk, all_bk, all_vec, new_meta=new_meta, all_meta=all_meta
+    ).localCheckpoint(eager=True)
     old_label_edges = read_labels(spark, root).select(
         F.col("node").alias("doc_a"), F.col("label").alias("doc_b")
     )

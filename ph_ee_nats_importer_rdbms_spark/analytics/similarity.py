@@ -673,6 +673,104 @@ def pq_corpus_size(spark: SparkSession, sf_dir: str) -> int:
     )
 
 
+# ---------------------------------------------------------------------------
+# SQ16 pair pre-filter — lossless candidate thinning (VERDICT r10 task #1)
+# ---------------------------------------------------------------------------
+# For PAIR-generating operators (SemDeDup within-cluster scoring, the
+# embedding store's banded candidate verify), the raw embeddings are
+# the heavy payload: they ride the candidate join, the cross-band
+# distinct, and every spill in between. This pre-filter lets the pair
+# relation carry an int16 SCALAR-QUANTIZED sketch instead (per-vector
+# scale s = 32767/max|x_i|, so reconstruction error is ~1e-4 of the
+# norm), plus three doubles, and thins candidates with a RIGOROUS
+# Cauchy–Schwarz bound before anything touches raw vectors:
+#
+#   |<x,y> − <rx,ry>| = |<x−rx, y> + <rx, y−ry>| ≤ e_x·‖y‖ + ‖rx‖·e_y
+#
+# where rx = q/s is the decoded sketch and e_x = ‖x−rx‖ is computed
+# EXACTLY at encode time and stored. <rx,ry> itself is exact integer
+# arithmetic (Σ qa_i·qb_i as BIGINT) scaled once — so a pair is
+# dropped ONLY when even the most favorable true dot cannot reach the
+# exact filter's threshold. Measured at sf0.1: margin ≈ 2e-4 on a
+# threshold of 0.40 against a within-cluster cosine distribution whose
+# 99.8th percentile is below it — survivors ≈ the true dups. PQ codes
+# were tried first and CANNOT work here: the 16×4-bit books reconstruct
+# unit vectors to e ≈ 0.57, so their rigorous margin (~1.0) never
+# filters anything at a 0.40 threshold.
+
+#: slack for call sites that threshold ROUND(cos, 4): round(c,4) ≥ T
+#: ⟺ c ≥ T − 5e-5, plus a belt-and-braces float-eval epsilon.
+_PAIR_ROUND4_SLACK = 0.00005 + 1e-9
+
+#: columns of the sketch relation (besides vec_id) — what the pair
+#: join sides carry instead of the embedding
+SQ16_COLS = ("q16", "s16", "e16", "rn16", "pnorm")
+
+
+def sq16_meta_of(vectors: DataFrame) -> DataFrame:
+    """Per-vector pre-filter sketch over any (vec_id, embedding)
+    relation: ``q16`` (int16 quantized components), ``s16`` (the
+    per-vector scale), ``e16`` = ‖x − q/s‖ (EXACT reconstruction
+    error — computed from the stored codes, so clamping or any rounding
+    quirk is priced in, never assumed), ``rn16`` = ‖q/s‖, ``pnorm`` =
+    ‖x‖. Fixed-width columns only (~150 B/vector vs ~280 B for the raw
+    float array, and no 64-double fold downstream)."""
+    s = F.expr(
+        "32767.0 / greatest(aggregate(embedding, cast(0.0 as double), "
+        "(m, x) -> greatest(m, abs(cast(x as double)))), cast(1e-30 as double))"
+    )
+    q = F.expr(
+        "transform(embedding, x -> cast(least(greatest("
+        "round(cast(x as double) * _s), -32767.0), 32767.0) as smallint))"
+    )
+    e = F.expr(
+        "sqrt(aggregate(zip_with(embedding, _q, (x, c) -> "
+        "pow(cast(x as double) - cast(c as double) / _s, 2)), "
+        "cast(0.0 as double), (a, t) -> a + t))"
+    )
+    rn = F.expr(
+        "sqrt(aggregate(_q, cast(0 as bigint), "
+        "(a, c) -> a + cast(c as bigint) * c)) / _s"
+    )
+    return (
+        vectors.withColumn("_s", s)
+        .withColumn("_q", q)
+        .select(
+            "vec_id",
+            F.col("_q").alias("q16"),
+            F.col("_s").alias("s16"),
+            e.alias("e16"),
+            rn.alias("rn16"),
+            _norm("embedding").alias("pnorm"),
+        )
+    )
+
+
+def sq16_pair_keep_col(threshold: float) -> Column:
+    """Boolean keep-column for a joined pair relation carrying
+    ``{q16,s16,e16,rn16,pnorm}_a`` and ``..._b``: True unless the upper
+    bound on the true dot provably misses ``round(cos, 4) ≥ threshold``.
+    Dropped pairs CANNOT satisfy the exact filter; kept pairs still go
+    through it — the pre-filter only thins the relation that has to
+    carry raw embeddings. The sketch dot is exact integer arithmetic
+    (max 64 · 32767² ≈ 6.9e13 < 2⁶³, no overflow under ANSI mode)."""
+    sdot = F.expr(
+        "cast(aggregate(zip_with(q16_a, q16_b, (x, y) -> "
+        "cast(x as bigint) * y), cast(0 as bigint), (a, t) -> a + t) "
+        "as double) / (s16_a * s16_b)"
+    )
+    bound = (
+        sdot
+        + F.col("e16_a") * F.col("pnorm_b")
+        + F.col("rn16_a") * F.col("e16_b")
+    )
+    return bound >= (
+        F.lit(threshold - _PAIR_ROUND4_SLACK)
+        * F.col("pnorm_a")
+        * F.col("pnorm_b")
+    )
+
+
 #: LUT routing switch: query sets up to this size compute their ADC LUTs
 #: driver-side (one collect of an already-config-sized, about-to-be-
 #: broadcast relation — no codegen cost, no literal in the plan); larger
@@ -1662,9 +1760,14 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-bucketing — both join sides salt over ceil(occ/cap) hash
     sub-buckets so no task exceeds ~cap² pair candidates while every
     pair is still generated exactly once (``_semdedup_cluster_pairs``).
-    The labeled relation is a per-dataset curation artifact like the
-    near-dup pair lists, so it stages (``emb`` domain): the pair join
-    runs once at ingest."""
+    The pair join itself carries only the SQ16 sketch (~150 B/side):
+    the LOSSLESS quantization bound thins the ~occ²-per-cluster
+    candidates to ~the true dups before the raw embeddings re-attach
+    for the exact verify (round 11 — the sf100 build previously
+    exhausted the box's scratch disk with both embeddings riding the
+    full pair relation). The labeled relation is a per-dataset curation
+    artifact like the near-dup pair lists, so it stages (``emb``
+    domain): the pair join runs once at ingest."""
     return _staged(
         spark,
         sf_dir,
@@ -1673,9 +1776,15 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_cluster_pairs(v: DataFrame, occ_cap: int) -> DataFrame:
+def _semdedup_cluster_pairs(
+    v: DataFrame, occ_cap: int, payload: tuple = ("embedding", "ccos", "nrm")
+) -> DataFrame:
     """All ordered within-cluster pairs of ``v`` (vec_id, cluster_id,
-    embedding, ccos, nrm) with PER-TASK work bounded by ``occ_cap``².
+    ``payload``...) with PER-TASK work bounded by ``occ_cap``².
+    ``payload`` names the columns carried onto both sides (renamed
+    ``<col>_a`` / ``<col>_b``; ``embedding`` → ``emb_a``/``emb_b``) —
+    the prefiltered build passes the SLIM fixed-width PQ metadata here
+    instead of the raw embeddings (VERDICT r10 task #1).
 
     Clusters at or under the cap join on ``cluster_id`` directly (the
     sub-bucket machinery degenerates to nsub=1 — one no-op explode per
@@ -1699,21 +1808,23 @@ def _semdedup_cluster_pairs(v: DataFrame, occ_cap: int) -> DataFrame:
     vs = v.join(splits, "cluster_id").withColumn(
         "sb", F.pmod(F.xxhash64("vec_id"), F.col("nsub")).cast("int")
     )
+
+    def _side(c: str, suffix: str):
+        return F.col(c).alias(
+            ("emb" if c == "embedding" else c) + suffix
+        )
+
     a = vs.select(
         "cluster_id",
         F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("ccos").alias("ccos_a"),
-        F.col("nrm").alias("nrm_a"),
+        *[_side(c, "_a") for c in payload],
         F.col("sb").alias("sb_a"),
         F.explode(F.sequence(F.lit(0), F.col("nsub") - 1)).alias("qb"),
     )
     b = vs.select(
         F.col("cluster_id").alias("cluster_b"),
         F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("ccos").alias("ccos_b"),
-        F.col("nrm").alias("nrm_b"),
+        *[_side(c, "_b") for c in payload],
         F.col("sb").alias("sb_b"),
         F.explode(F.sequence(F.lit(0), F.col("nsub") - 1)).alias("pa"),
     )
@@ -1724,6 +1835,12 @@ def _semdedup_cluster_pairs(v: DataFrame, occ_cap: int) -> DataFrame:
         & (F.col("qb") == F.col("sb_b"))
         & (F.col("vec_a") != F.col("vec_b")),
     )
+
+
+#: SQ16 pre-filter switch for the within-cluster scoring — True in
+#: production; the parity test flips it to pin that the lossless bound
+#: changes NOTHING but the bytes that ride the pair join.
+SEMDEDUP_SQ16_PREFILTER = True
 
 
 def _semdedup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1753,22 +1870,71 @@ def _semdedup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    qual = (
-        _semdedup_cluster_pairs(v, SEMDEDUP_OCC_CAP)
-        .filter(
-            F.round(
-                _dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 4
-            )
-            >= SEMDEDUP_COS
-        )
-        .filter(
-            (F.col("ccos_b") < F.col("ccos_a"))
-            | (
-                (F.col("ccos_b") == F.col("ccos_a"))
-                & (F.col("vec_b") < F.col("vec_a"))
-            )
-        )
+    keeper = (F.col("ccos_b") < F.col("ccos_a")) | (
+        (F.col("ccos_b") == F.col("ccos_a"))
+        & (F.col("vec_b") < F.col("vec_a"))
     )
+    exact = (
+        F.round(
+            _dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 4
+        )
+        >= SEMDEDUP_COS
+    )
+    if SEMDEDUP_SQ16_PREFILTER:
+        # slim pair join (VERDICT r10 task #1): only the fixed-width
+        # SQ16 sketch rides the ~occ²-per-cluster candidate relation;
+        # the lossless bound thins it to ~the true dups, and the raw
+        # embeddings re-attach by id for the exact verify on survivors
+        # only. nrm == pnorm by construction (same _norm expression), so
+        # the exact cosine is bit-identical to the unfiltered path.
+        # checkpoint: the pair generator reads vslim three times
+        # (occupancy + both sides) — without this the sketch encode
+        # executes three times
+        vslim = (
+            v.select("vec_id", "cluster_id", "ccos")
+            .join(sq16_meta_of(v.select("vec_id", "embedding")), "vec_id")
+            .localCheckpoint(eager=True)
+        )
+        surv = (
+            _semdedup_cluster_pairs(
+                vslim,
+                SEMDEDUP_OCC_CAP,
+                payload=("ccos",) + SQ16_COLS,
+            )
+            .filter(keeper)
+            .filter(sq16_pair_keep_col(SEMDEDUP_COS))
+            .select(
+                "vec_a",
+                "vec_b",
+                "ccos_a",
+                "ccos_b",
+                F.col("pnorm_a").alias("nrm_a"),
+                F.col("pnorm_b").alias("nrm_b"),
+            )
+        )
+        qual = (
+            surv.join(
+                v.select(
+                    F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("emb_a"),
+                ),
+                "vec_a",
+            )
+            .join(
+                v.select(
+                    F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("emb_b"),
+                ),
+                "vec_b",
+            )
+            .filter(exact)
+        )
+    else:
+        qual = (
+            _semdedup_cluster_pairs(v, SEMDEDUP_OCC_CAP)
+            .filter(exact)
+            .filter(keeper)
+        )
     drops = qual.groupBy("vec_a").agg(
         F.min_by("vec_b", F.struct("ccos_b", "vec_b")).alias("dup_of")
     )
