@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Iterator
 
 import pandas as pd
@@ -350,6 +351,7 @@ def run_multi_hop(
     events: DataFrame | None = None,
     state_ttl_minutes: float | None = None,
     engine: str = "applyinpandas",
+    hop_timings: dict | None = None,
 ) -> dict[str, str]:
     """Run the 3-hop pipeline over ``source_dir``; returns output paths.
 
@@ -373,7 +375,12 @@ def run_multi_hop(
     tests/test_tws_resolve.py). TWS needs multiple column families, which
     only the RocksDB provider supports, so ``state_store=None`` is
     promoted to ``"rocksdb"`` there; the TTL improvement is not
-    implemented on the TWS stages (pass ``state_ttl_minutes=None``)."""
+    implemented on the TWS stages (pass ``state_ttl_minutes=None``).
+
+    ``hop_timings`` (optional dict) accumulates wall seconds per hop
+    (``resolve``/``rekey``/``entity``, += so multi-wave callers fold) —
+    the ingest throughput bench's per-hop attribution
+    (tools/bench_ingest.py)."""
     if engine not in ("applyinpandas", "tws"):
         raise ValueError(
             f"engine must be applyinpandas|tws, got {engine!r}"
@@ -412,27 +419,45 @@ def run_multi_hop(
             w = w.trigger(availableNow=True)
         return w.start()
 
+    def timed(hop: str, run):
+        t0 = time.perf_counter()
+        run()
+        if hop_timings is not None:
+            hop_timings[hop] = hop_timings.get(hop, 0.0) + (
+                time.perf_counter() - t0
+            )
+
     source = (
         events
         if events is not None
         else read_raw_stream(spark, source_dir, max_files_per_trigger)
     )
-    q1 = start(resolve_fn(source, state_ttl_minutes), "resolved")
-    q1.awaitTermination()
+    timed(
+        "resolve",
+        lambda: start(
+            resolve_fn(source, state_ttl_minutes), "resolved"
+        ).awaitTermination(),
+    )
 
     resolved = spark.readStream.schema(FLAT_SCHEMA).parquet(paths["resolved"])
-    q2 = start(
-        rekey_fn(
-            with_routing(resolved, registry, resolve_definitions=False),
-            state_ttl_minutes,
-        ),
-        "rekeyed",
+    timed(
+        "rekey",
+        lambda: start(
+            rekey_fn(
+                with_routing(resolved, registry, resolve_definitions=False),
+                state_ttl_minutes,
+            ),
+            "rekeyed",
+        ).awaitTermination(),
     )
-    q2.awaitTermination()
 
     rekeyed = spark.readStream.schema(REKEYED_SCHEMA).parquet(paths["rekeyed"])
-    q3 = start(entity_fn(rekeyed, state_ttl_minutes), "changes")
-    q3.awaitTermination()
+    timed(
+        "entity",
+        lambda: start(
+            entity_fn(rekeyed, state_ttl_minutes), "changes"
+        ).awaitTermination(),
+    )
     return paths
 
 
