@@ -759,10 +759,19 @@ def _dot(a: str, b: str) -> Column:
     """Sequential left-to-right dot product (matches DuckDB list_sum order).
     Kept as a higher-order function: a 64-term unrolled expression tree was
     tried and measured SLOWER (it blows the codegen method-size budget and
-    multiplies Catalyst analysis cost across the ANN plans)."""
+    multiplies Catalyst analysis cost across the ANN plans). The index
+    fold replaced zip_with in round 11 — zip_with ALLOCATES the product
+    array before folding it, and on the corpus×k assignment crossJoin
+    (the engine's largest relation) that measured 2.5× slower than
+    reducing over an index sequence; the addition order is identical,
+    so every 4/6dp-rounded oracle hash is bit-equal (micro-benched and
+    diffed to 0.0). Precondition: equal-length arrays (all callers pass
+    EMBED_DIM vectors; ANSI element_at would throw otherwise, where
+    zip_with used to null-poison)."""
     return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        f"reduce(sequence(1, size({a})), CAST(0.0 AS DOUBLE),"
+        f" (acc, i) -> acc + CAST(element_at({a}, i) AS DOUBLE)"
+        f" * CAST(element_at({b}, i) AS DOUBLE))"
     )
 
 

@@ -273,36 +273,148 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     )
 
 
+#: exactness fence for the BLAS assignment kernel: a vector is routed to
+#: the exact SQL argmax when ANY contending centroid's 6dp rounding sits
+#: within this distance (in cos·1e6 units) of a half-integer boundary.
+#: The float discrepancy between a numpy matmul row and the sequential
+#: SQL fold is ≤ ~300·eps ≈ 7e-14 on the cosine (same per-term products,
+#: different summation order — Higham's standard reordering bound), i.e.
+#: ≤ 7e-8 in these units; the fence is 100× wider, so a vector that
+#: passes it provably rounds AND ranks identically under both kernels.
+IVF_BLAS_FENCE = 1e-5
+
+
+def _ivf_assign_exact(vectors: DataFrame, cent_n) -> DataFrame:
+    """The pure-SQL assignment argmax: crossJoin against the broadcast
+    (centroid, norm) relation, 6dp-rounded cosine, (ccos, -cid) order
+    packed into one BIGINT so the aggregate stays a streaming
+    HashAggregate (see ivf_assign_of for the history). Used for the
+    BLAS kernel's fenced rows — and as the reference side of the
+    kernel-parity pins."""
+    scored = vectors.select(
+        "vec_id", "embedding", _norm("embedding").alias("xnrm")
+    ).crossJoin(cent_n).select(
+        "vec_id",
+        "cid",
+        F.round(
+            _dot("embedding", "cemb") / (F.col("xnrm") * F.col("cnrm")), 6
+        ).alias("ccos"),
+    )
+    lo = (1 << 32) - 1
+    amax = F.max(
+        F.round(F.col("ccos") * 1e6).cast("long") * F.lit(1 << 32)
+        + (F.lit(lo) - F.col("cid"))
+    ).alias("_amax")
+    return scored.groupBy("vec_id").agg(amax).select(
+        "vec_id",
+        (F.lit(lo) - F.pmod(F.col("_amax"), F.lit(1 << 32)))
+        .cast("int")
+        .alias("cluster_id"),
+    )
+
+
+def _blas_assign_kernel(codebook: list[list[float]], fence: float):
+    """mapInPandas kernel: batched numpy matmul against the codebook
+    matrix, HALF_UP 6dp rounding, first-max argmax (= lowest cid on
+    ties, the SQL order), and the boundary fence that flags any row
+    whose outcome a summation-order ulp could flip."""
+    import numpy as np
+
+    C = np.asarray(codebook, dtype=np.float64)
+    cnorm = np.sqrt((C * C).sum(axis=1))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for lo_i in range(0, len(pdf), 2048):
+                chunk = pdf.iloc[lo_i : lo_i + 2048]
+                X = np.stack(chunk["embedding"].to_numpy()).astype(
+                    np.float64
+                )
+                xnorm = np.sqrt((X * X).sum(axis=1))
+                xnorm[xnorm == 0.0] = 1.0  # zero vector: cos rows all 0
+                s6 = (X @ C.T) / xnorm[:, None] / cnorm[None, :] * 1e6
+                a = np.abs(s6)
+                c6 = (np.sign(s6) * np.floor(a + 0.5)).astype(np.int64)
+                # distance of |s6|+0.5 to its nearest integer = distance
+                # of the HALF_UP decision to flipping
+                h = a + 0.5
+                bdist = np.abs(h - np.rint(h))
+                win = np.argmax(c6, axis=1)  # first max == lowest cid
+                m = c6[np.arange(len(c6)), win]
+                flagged = (
+                    (bdist <= fence) & (c6 >= (m[:, None] - 1))
+                ).any(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": chunk["vec_id"].to_numpy(),
+                        "cluster_id": win.astype("int32"),
+                        "flagged": flagged,
+                    }
+                )
+
+    return kernel
+
+
 def ivf_assign_of(
     spark: SparkSession, vectors: DataFrame, codebook: list[list[float]]
 ) -> DataFrame:
     """IVF assignment over ANY (vec_id, embedding) relation with an
     explicit codebook — the encode kernel behind :func:`ivf_assignments`,
     reused by the incremental vector index (analytics/incremental_vectors)
-    so appends encode against FROZEN centroids."""
-    cent = F.broadcast(
-        spark.createDataFrame(
-            [(cid, vec) for cid, vec in enumerate(codebook)],
-            "cid INT, cemb ARRAY<DOUBLE>",
-        )
+    and SemDeDup, so appends encode against FROZEN centroids.
+
+    This is a SANCTIONED Arrow stage (the short list: multimodal decode,
+    the packing fold, the streaming state engines — and, since round 11,
+    this kernel): the corpus×k centroid scoring is dense GEMM, which
+    Spark has no built-in operator for, and the interpreted
+    higher-order-function fold measured ~4 µs per 64-dim cosine — the
+    sf100 assignment alone was ~40 CPU-minutes of lambda dispatch for
+    ~15 BLAS-seconds of arithmetic. Exactness is NOT traded away: the
+    numpy path rounds HALF_UP at 6dp exactly like ``F.round``, breaks
+    ties toward the lower cid exactly like the SQL argmax, and any row
+    whose rounding sits within ``IVF_BLAS_FENCE`` of a decision
+    boundary (100× the worst-case summation-order discrepancy) is
+    re-assigned by the exact SQL kernel — so the composed operator is
+    bit-equal to the pure-SQL path on every input, fence hit or not
+    (kernel-parity + forced-fence pins in tests/test_round11_pins.py).
+    Serving plans are untouched: this runs at build/append time only."""
+    cent = spark.createDataFrame(
+        [(cid, vec) for cid, vec in enumerate(codebook)],
+        "cid INT, cemb ARRAY<DOUBLE>",
     )
-    # the argmax aggregates FIXED-WIDTH columns only (no embedding in
-    # the buffer): an array-typed first() forces SortAggregate, which
-    # SORTS the |corpus|×|codebook| crossJoin output with the embedding
-    # payload attached — measured as a ~45 GB external-sort spill at
-    # 2M vectors × 3907 centroids (the sf100 decade run). With longs
-    # only the plan is a streaming HashAggregate with map-side combine;
-    # embeddings re-attach by a corpus-sized join afterwards.
-    scored = vectors.select("vec_id", "embedding").crossJoin(cent).select(
-        "vec_id",
-        "cid",
-        F.round(_cosine("embedding", "cemb"), 6).alias("ccos"),
+    # The SQL fallback's argmax history, because it keeps repeating: it
+    # MUST be a streaming HashAggregate — its input is the
+    # |corpus|×|codebook| crossJoin, the largest relation in the whole
+    # engine (7.8e9 rows at 2M×3907). Round 10 dropped the embedding
+    # array from the aggregation buffer, but max_by's STRUCT ordering
+    # key still forced SortAggregate: Spark's hash aggregation needs
+    # every buffer field mutable fixed-width, so the plan sorted the
+    # entire crossJoin output — it merely FIT at sf10 (0.7 GB spill)
+    # and was caught red-handed by the round-11 sf100 run (~65 GB of
+    # temp_local sort spill before the box ran out of disk). The
+    # (ccos, -cid) lexicographic order therefore packs into ONE BIGINT
+    # (_ivf_assign_exact): ccos is 6dp-rounded so round(ccos·1e6) is an
+    # exact order-isomorphic integer in the high bits, (2³²-1 − cid) in
+    # the low 32 breaks ties toward the LOWER cid — plain max() over
+    # longs. The repartition balances the stream side: a bin-packed
+    # single-file scan idled 15 of 32 cores for the whole scoring pass.
+    par = spark.sparkContext.defaultParallelism
+    cent_n = F.broadcast(cent.withColumn("cnrm", _norm("cemb")))
+    slim = vectors.select("vec_id", "embedding").repartition(par)
+    scored = slim.mapInPandas(
+        _blas_assign_kernel(codebook, IVF_BLAS_FENCE),
+        "vec_id long, cluster_id int, flagged boolean",
     )
-    assign = scored.groupBy("vec_id").agg(
-        F.max_by("cid", F.struct(F.col("ccos"), -F.col("cid"))).alias(
-            "cluster_id"
+    ok = scored.filter(~F.col("flagged")).select("vec_id", "cluster_id")
+    fenced = _ivf_assign_exact(
+        slim.join(
+            scored.filter(F.col("flagged")).select("vec_id"), "vec_id"
         ),
+        cent_n,
     )
+    assign = ok.unionByName(fenced)
     return assign.join(
         vectors.select("vec_id", "embedding"), "vec_id"
     ).select("vec_id", "cluster_id", "embedding")

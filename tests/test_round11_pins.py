@@ -206,3 +206,68 @@ def test_estore_pre_upgrade_store_appends_via_exact_path(
         for r in ie.read_pairs(spark, fresh_root).collect()
     }
     assert got == want
+
+
+def test_ivf_assign_argmax_is_hash_aggregate(spark, sf_dir):
+    """The corpus×k assignment argmax must plan as a streaming
+    HashAggregate: max_by's STRUCT ordering key silently fell back to
+    SortAggregate — which external-sorts the entire crossJoin output
+    (measured ~65 GB of sort spill at 2M×3907 before the round-11 fix
+    packed the (ccos, -cid) order into one BIGINT)."""
+    from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    plan = sim.ivf_assign_of(
+        spark, e, sim.IVF_CODEBOOKS["default"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan, plan[:2000]
+    assert "HashAggregate" in plan
+
+
+def test_packed_argmax_matches_struct_ordering(spark, sf_dir):
+    """The BIGINT-packed (ccos, -cid) key picks the identical cluster as
+    the old struct ordering on real data — same winner, same low-cid
+    tie-break."""
+    from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
+
+    book = sim._semdedup_codebook(sf_dir)
+    cent = spark.createDataFrame(
+        [(c, v) for c, v in enumerate(book)], "cid INT, cemb ARRAY<DOUBLE>"
+    )
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", F.round(sim._cosine("embedding", "cemb"), 6).alias("ccos")
+    )
+    want = {
+        r["vec_id"]: r["c"]
+        for r in scored.groupBy("vec_id")
+        .agg(F.max_by("cid", F.struct(F.col("ccos"), -F.col("cid"))).alias("c"))
+        .collect()
+    }
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in sim.ivf_assign_of(spark, e, book).collect()
+    }
+    assert got == want
+
+
+def test_blas_fence_fallback_is_live_and_identical(spark, sf_dir,
+                                                   monkeypatch):
+    """Force the fence to flag EVERY row: the exact-SQL fallback branch
+    must then produce the full assignment, identical to the normal
+    (BLAS) path — proving the fallback is live, correct, and that the
+    two kernels agree row-for-row on real data."""
+    from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
+
+    book = sim._semdedup_codebook(sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    normal = {
+        r["vec_id"]: r["cluster_id"]
+        for r in sim.ivf_assign_of(spark, e, book).collect()
+    }
+    monkeypatch.setattr(sim, "IVF_BLAS_FENCE", float("inf"))
+    forced = {
+        r["vec_id"]: r["cluster_id"]
+        for r in sim.ivf_assign_of(spark, e, book).collect()
+    }
+    assert forced == normal and len(normal) == e.count()
