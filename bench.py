@@ -57,10 +57,19 @@ def _previous_round_warm(sf: str) -> dict[str, float]:
     import glob
     import re
 
+    def _same_sf(recorded) -> bool:
+        # records store sf as float, the CLI passes a string: "10" must
+        # match 10.0 or the adjudication pass silently disables itself
+        # at exactly the integer scale factors it was built for
+        try:
+            return float(recorded) == float(sf)
+        except (TypeError, ValueError):
+            return str(recorded) == str(sf)
+
     try:
         with open(_LOCAL_REF) as f:
             ref = json.load(f)
-        if str(ref.get("sf")) == str(sf):
+        if _same_sf(ref.get("sf")):
             return {
                 k: float(v)
                 for k, v in ref.get("queries", {}).items()
@@ -78,7 +87,7 @@ def _previous_round_warm(sf: str) -> dict[str, float]:
     try:
         with open(best) as f:
             rec = json.load(f)
-        if str(rec.get("sf")) != str(sf):
+        if not _same_sf(rec.get("sf")):
             return {}
         pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', rec.get("tail", ""))
         return {k: float(v) for k, v in pairs}

@@ -103,7 +103,15 @@ def class_doc_frequencies(
         F.explode(
             F.concat(
                 F.array(F.lit(_TOTALS_SENTINEL)),
-                F.coalesce(F.array_distinct(_tokens()), F.array()),
+                # array_remove: a document whose raw text CONTAINS the
+                # literal sentinel token (\s+ split preserves NUL bytes)
+                # must not add a second sentinel row — the concat sits
+                # outside array_distinct, so the collision would silently
+                # inflate n_pos/n_neg past the guard below.
+                F.array_remove(
+                    F.coalesce(F.array_distinct(_tokens()), F.array()),
+                    _TOTALS_SENTINEL,
+                ),
             )
         ).alias("token"),
     )

@@ -767,11 +767,15 @@ def _dot(a: str, b: str) -> Column:
     so every 4/6dp-rounded oracle hash is bit-equal (micro-benched and
     diffed to 0.0). Precondition: equal-length arrays (all callers pass
     EMBED_DIM vectors; ANSI element_at would throw otherwise, where
-    zip_with used to null-poison)."""
+    zip_with used to null-poison). The size-0 guard keeps the one case
+    the precondition doesn't cover: sequence(1, 0) is the DESCENDING
+    [1, 0] and element_at(..., 0) raises even for two empty arrays,
+    where the old zip_with fold returned 0.0."""
     return F.expr(
-        f"reduce(sequence(1, size({a})), CAST(0.0 AS DOUBLE),"
+        f"CASE WHEN size({a}) = 0 THEN CAST(0.0 AS DOUBLE)"
+        f" ELSE reduce(sequence(1, size({a})), CAST(0.0 AS DOUBLE),"
         f" (acc, i) -> acc + CAST(element_at({a}, i) AS DOUBLE)"
-        f" * CAST(element_at({b}, i) AS DOUBLE))"
+        f" * CAST(element_at({b}, i) AS DOUBLE)) END"
     )
 
 

@@ -155,11 +155,13 @@ def _bm25_score(
     )
 
 
-#: (abs store root, manifest-name tuple) -> (qrows, n_docs, avgdl).
-#: Both values are DETERMINISTIC functions of the committed-manifest set
-#: (vocabulary ranks and corpus length stats derive only from committed
-#: partials), so caching per manifest fingerprint is exact: any append
-#: writes a new manifest file, changing the key. Bounds the per-call
+#: (abs store root, manifest-file identity tuple) -> (qrows, n_docs,
+#: avgdl). Both values are DETERMINISTIC functions of the committed-
+#: manifest set (vocabulary ranks and corpus length stats derive only
+#: from committed partials), so caching per manifest fingerprint is
+#: exact: an append writes a new manifest file and a REBUILD at the same
+#: path rewrites `base` with a fresh mtime_ns — either changes the key
+#: (names alone would alias a rebuilt store). Bounds the per-call
 #: work of read_bm25_search to the one scoring job (VERDICT r10 task
 #: #5 — the collect-per-call small jobs were ~90% of its warm time).
 _BM25_READ_CACHE: dict[tuple[str, tuple[str, ...]], tuple] = {}
@@ -205,9 +207,27 @@ def read_bm25_search(spark: SparkSession, root: str) -> DataFrame:
             f"(batches without bm25_postings: {missing}) — rebuild the "
             "store (or re-deliver) to materialize the index"
         )
+    # Key on manifest-file IDENTITY (name + size + mtime_ns), not name
+    # alone: a base build always commits batch name "base", so a store
+    # REBUILT at the same path in the same process would otherwise hit
+    # the stale entry and serve the old corpus's query terms and stats.
+    # Every (re)build/append writes its manifests via os.replace, so the
+    # mtime_ns changes even when names and sizes collide.
+    mdir = incremental_docs._manifest_dir(os.path.abspath(root))
     key = (
         os.path.abspath(root),
-        tuple(f"{m['seq']:06d}_{m['batch']}" for m in committed),
+        tuple(
+            (name, st.st_size, st.st_mtime_ns)
+            for name, st in (
+                (
+                    f"{m['seq']:06d}_{m['batch']}.json",
+                    os.stat(
+                        os.path.join(mdir, f"{m['seq']:06d}_{m['batch']}.json")
+                    ),
+                )
+                for m in committed
+            )
+        ),
     )
     cached = _BM25_READ_CACHE.get(key)
     dl = incremental_docs.read_artifact(

@@ -403,10 +403,14 @@ def ivf_assign_of(
     par = spark.sparkContext.defaultParallelism
     cent_n = F.broadcast(cent.withColumn("cnrm", _norm("cemb")))
     slim = vectors.select("vec_id", "embedding").repartition(par)
+    # localCheckpoint: `scored` feeds BOTH the ok filter and the fenced
+    # re-assign join — without it the BLAS kernel runs twice and the
+    # repartitioned scan three times, and the ok/fenced split would
+    # lean on deterministic recomputation through repartition().
     scored = slim.mapInPandas(
         _blas_assign_kernel(codebook, IVF_BLAS_FENCE),
         "vec_id long, cluster_id int, flagged boolean",
-    )
+    ).localCheckpoint(eager=True)
     ok = scored.filter(~F.col("flagged")).select("vec_id", "cluster_id")
     fenced = _ivf_assign_exact(
         slim.join(
