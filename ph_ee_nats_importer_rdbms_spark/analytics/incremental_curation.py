@@ -248,20 +248,35 @@ def read_curation(spark: SparkSession, root: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: per-batch partial of the BM25 inverted index: the delivery's
-#: (doc_id, token, tf) postings. Deliveries carry disjoint doc_ids (the
+#: (doc_id, token, tf, dl) postings with the document length PRE-JOINED
+#: at append time (dl is per-doc constant, so the join is exact and
+#: batch-local) — the read path scores straight off this relation with
+#: no per-call tf⋈dl shuffle. Deliveries carry disjoint doc_ids (the
 #: store's re-delivery guard enforces exactly that), so the union of
-#: committed partials IS the whole-corpus postings relation — no merge
-#: aggregate needed at read, unlike the vocabulary partials.
-BM25_POSTINGS_SCHEMA = T.StructType(
+#: committed partials IS the whole-corpus postings relation.
+BM25_PLIST_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("token", T.StringType()),
         T.StructField("tf", T.LongType()),
+        T.StructField("dl", T.LongType()),
     ]
 )
 
-#: per-batch (doc_id, dl) document lengths — the BM25 normalizer inputs;
-#: same disjoint-union-at-read semantics as the postings.
+#: per-batch (token, df) document-frequency partial. Disjoint delivery
+#: doc_ids make df plainly summable across batches, so the read side
+#: merges K config-pruned partials instead of re-running the corpus-
+#: sized count_distinct per query call — the aggregate that would be a
+#: whole-index scan at 100 TB.
+BM25_DF_SCHEMA = T.StructType(
+    [
+        T.StructField("token", T.StringType()),
+        T.StructField("df", T.LongType()),
+    ]
+)
+
+#: per-batch (doc_id, dl) document lengths — the corpus-stats inputs
+#: (n_docs, avgdl); same disjoint-union-at-read semantics.
 BM25_DL_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -273,22 +288,30 @@ BM25_DL_SCHEMA = T.StructType(
 def bm25_partials_of(docs: DataFrame) -> dict[str, DataFrame]:
     """One delivery's BM25 index partials — the same postings/length
     relations ``search._bm25_build`` derives from the whole corpus, cut
-    at the batch boundary: (doc_id, token, tf) term frequencies and
-    (doc_id, dl) lengths (docs with zero tokens drop out of both, as in
-    the corpus build). Delivery-proportional cost: one tokenize + two
-    map-side-combinable aggregates over the batch, riding the curation
+    at the batch boundary: dl-joined (doc_id, token, tf, dl) postings,
+    (token, df) document-frequency partials, and (doc_id, dl) lengths
+    (docs with zero tokens drop out of all three, as in the corpus
+    build). Delivery-proportional cost: one tokenize + map-side-
+    combinable aggregates + one batch-local join, riding the curation
     store's transaction so postings can never be committed without
-    their lengths (VERDICT r9 task #5)."""
+    their frequencies (VERDICT r9 task #5; compaction per VERDICT r11
+    task #2 — the read-time df recompute and tf⋈dl shuffle move to
+    append time)."""
     from ph_ee_nats_importer_rdbms_spark.analytics.text import _tokens
 
     toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     return {
-        "bm25_postings": toks.groupBy("doc_id", "token").agg(
-            F.count(F.lit(1)).alias("tf")
+        "bm25_plist": tf.join(dl, "doc_id").select(
+            "doc_id", "token", "tf", "dl"
         ),
-        "bm25_dl": toks.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("dl")
+        "bm25_df": tf.groupBy("token").agg(
+            F.count(F.lit(1)).alias("df")
         ),
+        "bm25_dl": dl,
     }
 
 

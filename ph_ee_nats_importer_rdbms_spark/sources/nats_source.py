@@ -156,7 +156,12 @@ class _WireTransport:
     worker process per partition, so nothing needs to pickle a socket."""
 
     def __init__(
-        self, servers: str, stream: str, missing: str, window: int = 64
+        self,
+        servers: str,
+        stream: str,
+        missing: str,
+        window: int = 64,
+        ranged_get: str = "auto",
     ) -> None:
         if missing not in ("fail", "skip"):
             raise ValueError(f"missing must be fail|skip, got {missing!r}")
@@ -164,10 +169,15 @@ class _WireTransport:
             # surfaced here as a config error: a 0/negative window would
             # send no requests and block in the socket read until timeout
             raise ValueError(f"pipeline_window must be >= 1, got {window}")
+        if ranged_get not in ("auto", "direct", "msg"):
+            raise ValueError(
+                f"ranged_get must be auto|direct|msg, got {ranged_get!r}"
+            )
         self.servers = servers
         self.stream = stream
         self.missing = missing
         self.window = window
+        self.ranged_get = ranged_get
 
     def latest(self) -> int:
         from .nats_wire import NatsWireClient
@@ -176,12 +186,49 @@ class _WireTransport:
             return c.last_seq(self.stream)
 
     def fetch(self, start: int, end: int) -> Iterator[tuple[str, str, int]]:
-        # pipelined ranged read: one wildcard-inbox subscription for the
-        # whole slice with `window` MSG.GETs in flight, so a partition's
-        # throughput is bounded by bandwidth, not by one RTT per message
-        # (missing=skip still surfaces purged sequences as seq-column gaps)
-        from .nats_wire import NatsWireClient
+        # Ranged read, two strategies (both single-connection per
+        # partition — partitions fan out, so a micro-batch consumes over
+        # `partitions` parallel sockets):
+        #   direct — batched direct get (ADR-31): one request per
+        #     `window` messages, raw payloads; the server does O(1)
+        #     request parses per window instead of per message. The
+        #     100 TB consume shape, and the fix for the round-11 wire
+        #     ceiling (the per-message MSG.GET RPC cost).
+        #   msg — per-sequence MSG.GET pipelined `window`-deep: works
+        #     against any JetStream stream, including allow_direct=false.
+        # auto tries direct and falls back to msg if the server rejects
+        # it BEFORE the first message (no headers / no allow_direct);
+        # a failure mid-stream propagates — silently restarting could
+        # double-yield sequences. missing=skip surfaces purged sequences
+        # as seq-column gaps on both paths.
+        from .nats_wire import NatsWireClient, NatsWireError, SeqOutOfRange
 
+        if self.ranged_get in ("auto", "direct"):
+            with NatsWireClient(self.servers) as c:
+                gen = c.direct_get_batch(
+                    self.stream,
+                    start,
+                    end,
+                    window=self.window,
+                    missing=self.missing,
+                )
+                first = None
+                try:
+                    first = next(gen)
+                except StopIteration:
+                    return
+                except SeqOutOfRange:
+                    raise  # real data loss, not a capability gap
+                except NatsWireError:
+                    if self.ranged_get == "direct":
+                        raise
+                    gen = None  # fall through to the MSG.GET path
+                if gen is not None:
+                    seq, subject, data = first
+                    yield (data.decode("utf-8"), subject, seq)
+                    for seq, subject, data in gen:
+                        yield (data.decode("utf-8"), subject, seq)
+                    return
         with NatsWireClient(self.servers) as c:
             for seq, subject, data in c.get_msgs_pipelined(
                 self.stream, start, end, window=self.window, missing=self.missing
@@ -200,6 +247,7 @@ def _transport(options: dict):
             options.get("stream", subject),
             options.get("missing", "fail"),
             int(options.get("pipeline_window", 64)),
+            options.get("ranged_get", "auto"),
         )
     if kind == "jetstream":
         return _JetStreamTransport(
@@ -263,8 +311,10 @@ class NatsDataSource(DataSource):
 
     Options: ``transport`` (jetstream|wire|file), ``subject``, ``servers``,
     ``stream``, ``path`` (file transport), ``missing`` (wire: fail|skip on
-    purged sequences), ``pipeline_window`` (wire: MSG.GETs in flight per
-    partition read, default 64), ``starting_seq``,
+    purged sequences), ``pipeline_window`` (wire: messages per direct-get
+    batch / MSG.GETs in flight per partition read, default 64),
+    ``ranged_get`` (wire: auto|direct|msg — batched direct get with
+    fallback, forced direct, or per-sequence MSG.GET), ``starting_seq``,
     ``partition_target_rows``, ``max_rows_per_trigger``.
     """
 

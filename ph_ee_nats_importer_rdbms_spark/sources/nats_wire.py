@@ -13,6 +13,14 @@ JetStream JSON API calls the Spark source actually needs:
   (offset discovery — what ``latestOffset`` polls)
 - ``$JS.API.STREAM.MSG.GET.<stream>`` with ``{"seq": n}`` -> one message
   (random access by stream sequence — what ranged partition reads use)
+- ``$JS.API.DIRECT.GET.<stream>`` with ``{"seq": n, "batch": k}`` -> up
+  to ``k`` raw messages streamed as HMSG frames + a 204 EOB marker (the
+  public batched direct-get API, NATS ADR-31) — ONE request per window
+  instead of one RPC per message, and payloads arrive raw instead of
+  base64-inside-JSON, so a ranged partition read costs the server O(1)
+  request parses per window. This is the default ranged-read path; the
+  per-sequence MSG.GET pipeline stays as the fallback for streams
+  without ``allow_direct``.
 
 Request/reply is the standard core-NATS pattern: subscribe a unique
 ``_INBOX.*`` subject, publish the request with that inbox as reply-to,
@@ -29,8 +37,12 @@ as the nats-py transport.
 
 Semantics matched to a real ``nats-server``:
 
-- CONNECT advertises ``"headers": false`` so the server never sends
-  HMSG frames (header framing is therefore out of scope here).
+- CONNECT advertises ``"headers": true`` when the server's INFO does —
+  required by direct get, whose replies are HMSG frames (status line +
+  ``Nats-Stream``/``Nats-Subject``/``Nats-Sequence`` headers + raw
+  payload). Against a headers-less server the client advertises false
+  and direct get raises, which the transport layer treats as "fall back
+  to pipelined MSG.GET".
 - ``verbose: false`` — no +OK chatter; -ERR still raises.
 - MSG payloads are length-framed (``<#bytes>\\r\\n<payload>\\r\\n``),
   read exactly, never split on newlines — payloads may contain any
@@ -101,13 +113,14 @@ class NatsWireClient:
         if not info_line.startswith(b"INFO "):
             raise NatsWireError(f"expected INFO, got {info_line[:80]!r}")
         self.server_info = json.loads(info_line[5:])
+        self.headers = bool(self.server_info.get("headers"))
         self._send(
             b"CONNECT "
             + json.dumps(
                 {
                     "verbose": False,
                     "pedantic": False,
-                    "headers": False,
+                    "headers": self.headers,
                     "no_responders": False,
                     "lang": "python-wire",
                     "version": "0",
@@ -347,6 +360,156 @@ class NatsWireClient:
                 self._send(f"UNSUB {sid}".encode() + _CRLF)
             except OSError:
                 pass  # connection already dead; close() follows anyway
+
+    # -- batched direct get (NATS ADR-31) ---------------------------------------
+
+    def _read_hmsg(self, parts: list[str]) -> tuple[str, dict, bytes]:
+        """Finish reading an HMSG whose control line is already split into
+        ``parts``: HMSG <subject> <sid> [reply-to] <#hdr> <#total>.
+        Returns (subject, headers dict with '' -> status line, payload)."""
+        hdr_len, total_len = int(parts[-2]), int(parts[-1])
+        block = self._read_exact(total_len)
+        if self._read_exact(2) != _CRLF:
+            raise NatsWireError("bad HMSG trailer")
+        head, payload = block[:hdr_len], block[hdr_len:]
+        headers: dict[str, str] = {}
+        lines = head.split(_CRLF)
+        # first line is the version/status: "NATS/1.0" or "NATS/1.0 204 EOB"
+        headers[""] = lines[0].decode(errors="replace")
+        for ln in lines[1:]:
+            if not ln:
+                continue
+            k, _, v = ln.decode(errors="replace").partition(":")
+            headers[k.strip()] = v.strip()
+        return parts[1], headers, payload
+
+    def direct_get_batch(
+        self,
+        stream: str,
+        start: int,
+        end: int,
+        window: int = 256,
+        missing: str = "fail",
+    ):
+        """Yield ``(seq, subject, payload)`` for stream sequences in
+        ``(start, end]``, in order, via the batched direct-get API — the
+        ranged-read shape that amortizes the server's request processing
+        across ``window`` messages: one ``$JS.API.DIRECT.GET.<stream>``
+        request with ``{"seq": n, "batch": k}`` answers with up to ``k``
+        HMSG frames carrying RAW payloads (no per-message base64/JSON),
+        terminated by a ``NATS/1.0 204`` EOB status. Requires the stream
+        to allow direct get; servers without it answer a 404/503 status
+        or an API error BEFORE any message, which callers use to fall
+        back to :meth:`get_msgs_pipelined`.
+
+        A real server serves the first message with sequence >= the
+        requested one, so retention holes surface as sequence JUMPS:
+        ``missing="fail"`` raises :class:`SeqOutOfRange` at the first
+        gap inside the requested range; ``missing="skip"`` emits the
+        messages that exist (the ``seq`` gap is the data-loss record,
+        same contract as the pipelined path)."""
+        if missing not in ("fail", "skip"):
+            raise ValueError(f"missing must be fail|skip, got {missing!r}")
+        if not self.headers:
+            raise NatsWireError(
+                "direct get needs header support, which the server does "
+                "not advertise"
+            )
+        want = start + 1
+        if want > end:
+            return
+        self._sid += 1
+        sid = str(self._sid)
+        inbox = f"_INBOX.{uuid.uuid4().hex}"
+        self._send(f"SUB {inbox} {sid}".encode() + _CRLF)
+        api = f"$JS.API.DIRECT.GET.{stream}"
+        try:
+            while want <= end:
+                self.publish(
+                    api,
+                    json.dumps(
+                        {"seq": want, "batch": min(window, end - want + 1)}
+                    ).encode(),
+                    reply=inbox,
+                )
+                got_any = False
+                past_end = False
+                eob = False
+                while not eob:
+                    line = self._read_line()
+                    if line.startswith(b"HMSG "):
+                        parts = line.decode().split(" ")
+                        subj, headers, payload = self._read_hmsg(parts)
+                        if parts[2] != sid:
+                            continue  # stale delivery for an abandoned sid
+                        status = headers[""].split(" ")
+                        code = status[1] if len(status) > 1 else ""
+                        if code == "204":  # EOB: batch served completely
+                            eob = True
+                            continue
+                        if code == "404":  # nothing at/after `want`
+                            if missing == "fail":
+                                raise SeqOutOfRange(
+                                    stream, want, {"code": 404, "status": code}
+                                )
+                            return
+                        if code:  # 503 no-responders, 408 timeout, ...
+                            raise NatsWireError(
+                                f"DIRECT.GET.{stream}: status {headers['']!r}"
+                            )
+                        seq = int(headers["Nats-Sequence"])
+                        if seq > want and missing == "fail":
+                            # retention hole inside the requested range
+                            # (seq > end implies seq > want, so a hole
+                            # whose successor lies past `end` raises too)
+                            raise SeqOutOfRange(
+                                stream,
+                                want,
+                                {"code": 404, "err_code": 10037,
+                                 "description": "no message found"},
+                            )
+                        if seq > end:
+                            # over-read past the range (holes shifted the
+                            # batch): drop, and stop after this batch —
+                            # nothing in (want, end] remains on the stream
+                            past_end = True
+                            continue
+                        got_any = True
+                        want = seq + 1
+                        yield (seq, headers.get("Nats-Subject", subj), payload)
+                    elif line.startswith(b"MSG "):
+                        # a JSON API error (stream without allow_direct)
+                        parts = line.decode().split(" ")
+                        body = self._read_exact(int(parts[-1]))
+                        if self._read_exact(2) != _CRLF:
+                            raise NatsWireError("bad MSG trailer")
+                        if parts[2] != sid:
+                            continue
+                        raise NatsWireError(
+                            f"DIRECT.GET.{stream}: {body[:200]!r}"
+                        )
+                    elif line == b"PING":
+                        self._send(b"PONG" + _CRLF)
+                    elif line in (b"PONG", b"+OK"):
+                        continue
+                    elif line.startswith(b"-ERR"):
+                        raise NatsWireError(line.decode(errors="replace"))
+                    else:
+                        raise NatsWireError(f"unexpected frame {line[:80]!r}")
+                if past_end:
+                    return  # the rest of the range is a retention gap
+                if not got_any:
+                    # EOB with zero messages: stream has nothing >= want
+                    if missing == "fail" and want <= end:
+                        raise SeqOutOfRange(
+                            stream, want, {"code": 404, "status": "empty batch"}
+                        )
+                    return
+        finally:
+            try:
+                self._send(f"UNSUB {sid}".encode() + _CRLF)
+            except OSError:
+                pass
 
 
 __all__ = [

@@ -15,6 +15,14 @@ Implements, faithfully to a real nats-server's observable behavior:
 - ``$JS.API.STREAM.MSG.GET.<stream>`` ``{"seq": n}`` → base64 message, or
   the 404/10037 "no message found" error object for purged/future
   sequences (the shape nats_wire.SeqOutOfRange parses).
+- ``$JS.API.DIRECT.GET.<stream>`` ``{"seq": n, "batch": k}`` → up to
+  ``k`` messages as HMSG frames (``NATS/1.0`` status line +
+  ``Nats-Stream``/``Nats-Subject``/``Nats-Sequence`` headers + RAW
+  payload), starting at the first sequence >= n (retention holes are
+  skipped, exactly like a real server), terminated by a ``NATS/1.0 204
+  EOB`` status frame with ``Nats-Num-Pending``; ``NATS/1.0 404 No
+  Messages`` when nothing >= n exists. The whole batch is written as
+  ONE socket send, and the INFO line advertises ``headers: true``.
 - Core publishes to the stream's subject append to the stream (what a
   Zeebe exporter's PUB would do); ``purge_up_to`` emulates a retention
   policy advancing ``first_seq`` mid-run.
@@ -95,6 +103,25 @@ class MiniJetStream:
         with self._lock:
             return self._msgs.get(seq)
 
+    def get_from(
+        self, seq: int, batch: int
+    ) -> tuple[list[tuple[int, str, bytes]], int]:
+        """Up to ``batch`` messages with sequence >= ``seq`` in order
+        (holes skipped, like a real server's direct get), plus the
+        number still pending after the last returned one."""
+        out: list[tuple[int, str, bytes]] = []
+        with self._lock:
+            s = max(seq, self._first)
+            while s <= self._last and len(out) < batch:
+                got = self._msgs.get(s)
+                if got is not None:
+                    out.append((s, got[0], got[1]))
+                s += 1
+            pending = sum(
+                1 for k in self._msgs if k >= s
+            ) if out else 0
+        return out, pending
+
 
 class MiniNatsServer:
     """``with MiniNatsServer(stream="zeebe", subject="zeebe-export") as s:``
@@ -106,6 +133,7 @@ class MiniNatsServer:
         subject: str = "zeebe-export",
         reorder_window: int = 0,
         duplicate_replies: bool = False,
+        allow_direct: bool = True,
     ) -> None:
         # chaos knobs for the pipelined-read tests (a clustered JetStream
         # API may answer out of order / redeliver): MSG.GET replies are
@@ -113,6 +141,11 @@ class MiniNatsServer:
         # each sent twice. Deterministic by construction — no randomness.
         self.reorder_window = reorder_window
         self.duplicate_replies = duplicate_replies
+        # allow_direct=False emulates a stream without direct get: the
+        # API subject has no responders, which surfaces to a requester
+        # (with no_responders negotiated) as a 503-status message — the
+        # signal the wire transport's `auto` mode falls back on.
+        self.allow_direct = allow_direct
         self.js = MiniJetStream(stream, subject)
         self._listener = socket.create_server(("127.0.0.1", 0))
         self.port = self._listener.getsockname()[1]
@@ -167,7 +200,7 @@ class MiniNatsServer:
                     "server_id": "mini-test-double",
                     "version": "0.0.0-test",
                     "proto": 1,
-                    "headers": False,
+                    "headers": True,
                     "max_payload": 1 << 20,
                 }
             ).encode()
@@ -212,6 +245,29 @@ class MiniNatsServer:
                         + _CRLF
                     )
 
+        def deliver_direct_batch(
+            reply: str, api_subject: str, req_payload: bytes
+        ) -> None:
+            """Serve one DIRECT.GET request: write the whole batch of
+            HMSG frames (+ the EOB/404 status frame) as ONE socket send
+            per matching subscription — the server-side shape that makes
+            ranged reads O(1) request parses and O(1) syscalls per
+            window instead of per message."""
+            frames = self._direct_get_frames(api_subject, req_payload)
+            for sid, sub_subject in list(subs.items()):
+                if _subject_matches(sub_subject, reply):
+                    out = []
+                    for hdr, payload in frames:
+                        total = len(hdr) + len(payload)
+                        out.append(
+                            f"HMSG {reply} {sid} {len(hdr)} {total}".encode()
+                            + _CRLF
+                            + hdr
+                            + payload
+                            + _CRLF
+                        )
+                    send(b"".join(out))
+
         while not self._stop.is_set():
             line = read_line()
             if line is None:
@@ -242,6 +298,10 @@ class MiniNatsServer:
                 payload = read_exact(nbytes)
                 if read_exact(2) != _CRLF:
                     raise ValueError("bad PUB trailer")
+                if subject.startswith("$JS.API.DIRECT.GET."):
+                    if reply:
+                        deliver_direct_batch(reply, subject, payload)
+                    continue
                 if subject.startswith("$JS.API."):
                     if reply:
                         resp = self._js_api(subject, payload)
@@ -268,6 +328,46 @@ class MiniNatsServer:
             send(b"-ERR 'Unknown Protocol Operation'" + _CRLF)
 
     # -- JetStream API double ---------------------------------------------------
+
+    def _direct_get_frames(
+        self, subject: str, payload: bytes
+    ) -> list[tuple[bytes, bytes]]:
+        """(header-block, raw-payload) frames answering one batched
+        direct-get request — message frames then the 204 EOB marker, or
+        a single 404 status when nothing >= seq exists (the observable
+        shapes of a real server's ADR-31 batched direct get)."""
+        if not self.allow_direct:
+            return [(b"NATS/1.0 503 No Responders Available\r\n\r\n", b"")]
+        stream_name = subject[len("$JS.API.DIRECT.GET.") :]
+        if stream_name != self.js.stream:
+            return [(b"NATS/1.0 404 No Messages\r\n\r\n", b"")]
+        req = json.loads(payload or b"{}")
+        seq = int(req.get("seq", 1))
+        batch = max(1, int(req.get("batch", 1)))
+        msgs, pending = self.js.get_from(seq, batch)
+        if not msgs:
+            return [(b"NATS/1.0 404 No Messages\r\n\r\n", b"")]
+        frames = [
+            (
+                (
+                    f"NATS/1.0\r\nNats-Stream: {self.js.stream}"
+                    f"\r\nNats-Subject: {msg_subject}"
+                    f"\r\nNats-Sequence: {s}\r\n\r\n"
+                ).encode(),
+                data,
+            )
+            for s, msg_subject, data in msgs
+        ]
+        frames.append(
+            (
+                (
+                    f"NATS/1.0 204 EOB\r\nNats-Num-Pending: {pending}"
+                    f"\r\nNats-Last-Sequence: {msgs[-1][0]}\r\n\r\n"
+                ).encode(),
+                b"",
+            )
+        )
+        return frames
 
     def _js_api(self, subject: str, payload: bytes) -> bytes:
         api = subject[len("$JS.API.") :]

@@ -302,16 +302,29 @@ def test_bm25_postings_ride_the_same_transaction(spark, tmp_path):
     before = {
         tuple(r)
         for r in incremental_docs.read_artifact(
-            spark, root, "bm25_postings", cur.BM25_POSTINGS_SCHEMA
+            spark, root, "bm25_plist", cur.BM25_PLIST_SCHEMA
         ).collect()
     }
-    assert (3, "beta", 3) in before
+    assert (3, "beta", 3, 7) in before  # dl pre-joined at append time
+    from pyspark.sql import functions as F
+
+    dfs = {
+        r["token"]: int(r["sum(df)"])
+        for r in incremental_docs.read_artifact(
+            spark, root, "bm25_df", cur.BM25_DF_SCHEMA
+        )
+        .groupBy("token")
+        .sum("df")
+        .collect()
+    }
+    # summable partials: doc 1 (base) + doc 3 (append) contain "beta"
+    assert dfs["beta"] == 2
     # replay the SAME delivery: skip_committed makes it a no-op
     cur.append_curation_batch(spark, batch, root, skip_committed=True)
     after = {
         tuple(r)
         for r in incremental_docs.read_artifact(
-            spark, root, "bm25_postings", cur.BM25_POSTINGS_SCHEMA
+            spark, root, "bm25_plist", cur.BM25_PLIST_SCHEMA
         ).collect()
     }
     assert after == before

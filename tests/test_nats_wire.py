@@ -44,7 +44,10 @@ def _publish_n(server: MiniNatsServer, n: int, start: int = 1) -> None:
 def test_handshake_info_connect_ping() -> None:
     with MiniNatsServer() as s, NatsWireClient(s.url) as c:
         assert c.server_info["proto"] == 1
-        assert c.server_info["headers"] is False
+        # headers are advertised since the batched direct-get upgrade —
+        # HMSG framing is what carries its raw-payload replies
+        assert c.server_info["headers"] is True
+        assert c.headers is True
 
 
 def test_publish_then_stream_info_and_ranged_get() -> None:
@@ -278,3 +281,109 @@ def test_fuzz_arbitrary_payloads_roundtrip_exactly(payloads) -> None:
             for i, p in enumerate(payloads, start=1):
                 subject, data = c.get_msg("zeebe", i)
                 assert data == p
+
+
+# -- batched direct get (ADR-31) ------------------------------------------------
+
+
+def test_direct_get_batch_order_payloads_and_eob() -> None:
+    """The batched path yields the same (seq, subject, payload) stream
+    as per-sequence MSG.GET, across multiple windows per range."""
+    with MiniNatsServer() as s:
+        _publish_n(s, 25)
+        with NatsWireClient(s.url) as c:
+            got = list(c.direct_get_batch("zeebe", 0, 25, window=7))
+            assert [g[0] for g in got] == list(range(1, 26))
+            assert all(g[1] == "zeebe-export" for g in got)
+            assert json.loads(got[10][2])["position"] == 11
+            want = list(c.get_msgs_pipelined("zeebe", 0, 25))
+            assert got == want
+
+
+def test_direct_get_batch_gap_fails_or_skips() -> None:
+    """A real server's direct get silently serves the first sequence >=
+    the requested one, so retention holes surface as sequence jumps:
+    fail raises at the FIRST gap, skip emits the gap as accounting."""
+    with MiniNatsServer() as s:
+        _publish_n(s, 10)
+        s.js.purge_seq(4)
+        with NatsWireClient(s.url) as c:
+            with pytest.raises(SeqOutOfRange) as ei:
+                list(c.direct_get_batch("zeebe", 0, 10, window=3))
+            assert ei.value.seq == 4
+            got = list(
+                c.direct_get_batch("zeebe", 0, 10, window=3, missing="skip")
+            )
+            assert [g[0] for g in got] == [1, 2, 3, 5, 6, 7, 8, 9, 10]
+
+
+def test_direct_get_batch_trailing_hole_and_over_read() -> None:
+    """Holes at the END of the requested range make the server answer
+    sequences PAST it — those are dropped, skip mode stops cleanly, and
+    fail mode still raises for the in-range gap."""
+    with MiniNatsServer() as s:
+        _publish_n(s, 10)
+        s.js.purge_seq(5)
+        s.js.purge_seq(6)
+        with NatsWireClient(s.url) as c:
+            got = list(
+                c.direct_get_batch("zeebe", 0, 6, window=10, missing="skip")
+            )
+            assert [g[0] for g in got] == [1, 2, 3, 4]
+            with pytest.raises(SeqOutOfRange) as ei:
+                list(c.direct_get_batch("zeebe", 0, 6, window=10))
+            assert ei.value.seq == 5
+
+
+def test_direct_get_batch_purged_head_404() -> None:
+    """A range wholly below first_seq answers 404: SeqOutOfRange under
+    fail (data loss, loudly), empty under skip."""
+    with MiniNatsServer() as s:
+        _publish_n(s, 8)
+        s.js.purge_up_to(8)
+        _publish_n(s, 1)  # seq 9 exists; range (0, 8] is fully purged
+        with NatsWireClient(s.url) as c:
+            with pytest.raises(SeqOutOfRange):
+                list(c.direct_get_batch("zeebe", 0, 8, window=4))
+            # skip: server returns seq 9 (> end) -> dropped, clean stop
+            assert (
+                list(c.direct_get_batch("zeebe", 0, 8, window=4, missing="skip"))
+                == []
+            )
+
+
+def test_wire_transport_auto_falls_back_without_allow_direct() -> None:
+    """`ranged_get=auto` against a stream without direct get (503
+    no-responders before any message) silently falls back to the
+    pipelined MSG.GET path; forced `direct` raises instead."""
+    from ph_ee_nats_importer_rdbms_spark.sources.nats_source import (
+        _WireTransport,
+    )
+    from ph_ee_nats_importer_rdbms_spark.sources.nats_wire import (
+        NatsWireError,
+    )
+
+    with MiniNatsServer(allow_direct=False) as s:
+        _publish_n(s, 6)
+        t = _WireTransport(s.url, "zeebe", "fail")
+        rows = list(t.fetch(0, 6))
+        assert [r[2] for r in rows] == [1, 2, 3, 4, 5, 6]
+        forced = _WireTransport(s.url, "zeebe", "fail", ranged_get="direct")
+        with pytest.raises(NatsWireError):
+            list(forced.fetch(0, 6))
+
+
+def test_wire_transport_direct_is_the_default_and_matches_msg() -> None:
+    """Default (auto, direct-capable server): the transport serves the
+    identical rows through the batched path as through forced MSG.GET."""
+    from ph_ee_nats_importer_rdbms_spark.sources.nats_source import (
+        _WireTransport,
+    )
+
+    with MiniNatsServer() as s:
+        _publish_n(s, 30)
+        direct = list(_WireTransport(s.url, "zeebe", "fail", window=8).fetch(0, 30))
+        msg = list(
+            _WireTransport(s.url, "zeebe", "fail", ranged_get="msg").fetch(0, 30)
+        )
+        assert direct == msg and len(direct) == 30
