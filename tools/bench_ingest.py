@@ -104,6 +104,7 @@ def run_wire(spark, sf_dir, work, partitions, engine, waves) -> dict:
         os.path.join(src, f) for f in os.listdir(src) if f.startswith("chunk-")
     )
     hops: dict = {"source": 0.0}
+    waves_sec: list[float] = []
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     with MiniNatsServer() as s:
         for path in chunk_files:
@@ -113,6 +114,7 @@ def run_wire(spark, sf_dir, work, partitions, engine, waves) -> dict:
             events = sp.read_raw_nats_stream(
                 spark, transport="wire", servers=s.url, stream=s.js.stream
             )
+            t0 = time.perf_counter()
             paths = sp.run_multi_hop(
                 spark,
                 "",
@@ -122,8 +124,13 @@ def run_wire(spark, sf_dir, work, partitions, engine, waves) -> dict:
                 engine=engine,
                 hop_timings=hops,
             )
+            # per-wave drain time: wave 1 is a cold topology, wave 2+ a
+            # checkpointed RESTART against the broker's new tail — the
+            # wave-over-wave delta on equal-size waves is the resume
+            # overhead (query restarts + state-store reload)
+            waves_sec.append(round(time.perf_counter() - t0, 2))
     hops["sink"] = _sink(spark, paths["changes"], os.path.join(work, "tables"))
-    return {"envelopes": n, "hops": hops}
+    return {"envelopes": n, "hops": hops, "waves_sec": waves_sec}
 
 
 def main() -> int:
@@ -165,6 +172,11 @@ def main() -> int:
                     "pipeline_sec": pipeline_sec,
                     "eps": round(r["envelopes"] / pipeline_sec),
                     "hops": hops,
+                    **(
+                        {"waves_sec": r["waves_sec"]}
+                        if "waves_sec" in r
+                        else {}
+                    ),
                     "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 }
             )
