@@ -117,9 +117,12 @@ class MiniJetStream:
                 if got is not None:
                     out.append((s, got[0], got[1]))
                 s += 1
-            pending = sum(
-                1 for k in self._msgs if k >= s
-            ) if out else 0
+            # upper-bound pending (exact when no holes remain past s):
+            # an O(1) span count, NOT a dict scan — the scan was O(n)
+            # per batch request and capped the double at ~3k msg/s on
+            # million-message streams. Clients treat the header as
+            # advisory (ours ignores it).
+            pending = max(0, self._last - s + 1) if out else 0
         return out, pending
 
 

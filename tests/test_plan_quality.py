@@ -96,6 +96,24 @@ def test_bm25_store_pushes_query_terms_to_postings_scan(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_bm25_store_read_is_single_exchange_with_group_limit(spark, sf_dir):
+    """The compacted read path (VERDICT r11 task #2): dl and df are
+    pre-joined/pre-aggregated into the committed partials and qid/df
+    arrive as literal maps, so the warm plan must be ONE Exchange (the
+    qid repartition serving both the fold and the rank window — no
+    broadcast build, no tf⋈dl shuffle, no df recompute) and the top-k
+    must plan as WindowGroupLimit (rank pushdown, not full sort+filter)."""
+    df = QUERIES["bm25_search_store"][0](spark, sf_dir)
+    plan = _plan(df)
+    exchanges = [
+        ln for ln in plan.splitlines() if ln.lstrip().startswith("(")
+        and "Exchange" in ln and "Reused" not in ln
+    ]
+    assert len(exchanges) == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+
+
 def test_ann_search_store_prunes_probed_list_partitions(spark, sf_dir):
     """The store-backed serving entry (VERDICT r7 task #2): probes must
     reach the staged store's inverted-list layout as PartitionFilters on

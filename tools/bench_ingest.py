@@ -143,6 +143,17 @@ def main() -> int:
     ap.add_argument("--waves", type=int, default=replay.WIRE_WAVES)
     args = ap.parse_args()
 
+    if args.engine == "tws":
+        # transformWithStateInPandas workers speak protobuf to the JVM
+        # state server; on this container that runtime comes from the
+        # test shim, which must reach PYTHONPATH before the JVM launches
+        try:
+            from tests.protobuf_compat import ensure_protobuf
+
+            ensure_protobuf()
+        except ImportError:
+            pass  # real protobuf install (or the run fails loudly below)
+
     spark = build_session(
         app_name="ph-ee-spark-ingest-bench",
         extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"},
