@@ -299,11 +299,24 @@ def bm25_partials_of(docs: DataFrame) -> dict[str, DataFrame]:
     append time)."""
     from ph_ee_nats_importer_rdbms_spark.analytics.text import _tokens
 
-    toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).alias("tf")
+    # localCheckpoint: the three artifacts are written as separate jobs,
+    # and tf/dl each feed two of them — without the checkpoints the
+    # delivery would re-tokenize ~4x (the same shape build_index already
+    # uses for shingles/signatures). One tokenize + two aggregates total,
+    # as documented.
+    toks = docs.select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    ).localCheckpoint(eager=True)
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .localCheckpoint(eager=True)
+    )
     return {
         "bm25_plist": tf.join(dl, "doc_id").select(
             "doc_id", "token", "tf", "dl"

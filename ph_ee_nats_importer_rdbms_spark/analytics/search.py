@@ -176,7 +176,7 @@ def _bm25_fold_rank(
     )
 
 
-#: (abs store root, manifest-file identity tuple) ->
+#: (applicationId, abs store root, manifest-file identity tuple) ->
 #: ((qid, token, df) rows, n_docs, avgdl, constructed DataFrame).
 #: All DETERMINISTIC functions
 #: of the committed-manifest set (vocabulary ranks, summed df partials
@@ -236,14 +236,19 @@ def read_bm25_search(spark: SparkSession, root: str) -> DataFrame:
             f"(batches without compacted bm25 artifacts: {missing}) — "
             "rebuild the store (or re-deliver) to materialize the index"
         )
-    # Key on manifest-file IDENTITY (name + size + mtime_ns), not name
-    # alone: a base build always commits batch name "base", so a store
-    # REBUILT at the same path in the same process would otherwise hit
-    # the stale entry and serve the old corpus's query terms and stats.
-    # Every (re)build/append writes its manifests via os.replace, so the
-    # mtime_ns changes even when names and sizes collide.
+    # Key on (session, root, manifest-file IDENTITY): the manifest part
+    # is name + size + mtime_ns, not name alone — a base build always
+    # commits batch name "base", so a store REBUILT at the same path in
+    # the same process would otherwise hit the stale entry and serve the
+    # old corpus's query terms and stats (every (re)build/append writes
+    # its manifests via os.replace, so mtime_ns changes even when names
+    # and sizes collide). The session part is the applicationId: the
+    # cached value includes a constructed DataFrame, which is bound to
+    # the SparkSession that built it — an entry from a stopped session
+    # must never be served to a new one.
     mdir = incremental_docs._manifest_dir(os.path.abspath(root))
     key = (
+        spark.sparkContext.applicationId,
         os.path.abspath(root),
         tuple(
             (name, st.st_size, st.st_mtime_ns)
@@ -259,43 +264,38 @@ def read_bm25_search(spark: SparkSession, root: str) -> DataFrame:
         ),
     )
     cached = _BM25_READ_CACHE.get(key)
-    if cached is not None and len(cached) == 4:
+    if cached is not None:
         # the constructed DataFrame is itself a pure function of the key
-        # (committed set + this module's code): reusing it skips ~100
-        # py4j expression-construction round trips per warm call
+        # (session + committed set + this module's code): reusing it
+        # skips ~100 py4j expression-construction round trips per call
         return cached[3]
-    if cached is None:
-        qt = [
-            (int(r["qid"]), r["token"])
-            for r in _qterms_of(icur.read_vocabulary(spark, root)).collect()
-        ]
-        qtokens = [t for _, t in qt]
-        dfmap = {
-            r["token"]: int(r["df"])
-            for r in incremental_docs.read_artifact(
-                spark, root, "bm25_df", icur.BM25_DF_SCHEMA
-            )
-            .filter(F.col("token").isin(qtokens))
-            .groupBy("token")
-            .agg(F.sum("df").alias("df"))
-            .collect()
-        }
-        srow = (
-            incremental_docs.read_artifact(
-                spark, root, "bm25_dl", icur.BM25_DL_SCHEMA
-            )
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.avg(F.col("dl").cast("double")).alias("avgdl"),
-            )
-            .first()
+    qt = [
+        (int(r["qid"]), r["token"])
+        for r in _qterms_of(icur.read_vocabulary(spark, root)).collect()
+    ]
+    qtokens = [t for _, t in qt]
+    dfmap = {
+        r["token"]: int(r["df"])
+        for r in incremental_docs.read_artifact(
+            spark, root, "bm25_df", icur.BM25_DF_SCHEMA
         )
-        cached = (
-            [(qid, tok, dfmap.get(tok, 0)) for qid, tok in qt],
-            int(srow["n_docs"]),
-            float(srow["avgdl"]),
+        .filter(F.col("token").isin(qtokens))
+        .groupBy("token")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    }
+    srow = (
+        incremental_docs.read_artifact(
+            spark, root, "bm25_dl", icur.BM25_DL_SCHEMA
         )
-    qrows, n_docs, avgdl = cached[:3]
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        )
+        .first()
+    )
+    qrows = [(qid, tok, dfmap.get(tok, 0)) for qid, tok in qt]
+    n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
     # The config-sized query relation becomes LITERAL MAPS (token -> qid,
     # token -> df) instead of a broadcast join: same values, same double
     # arithmetic, one less exchange to build per call. A token can only
@@ -321,6 +321,12 @@ def read_bm25_search(spark: SparkSession, root: str) -> DataFrame:
         ).alias("term"),
     )
     out = _bm25_fold_rank(terms, single_exchange=True)
+    # evict superseded entries for this (session, root): only the latest
+    # committed set can ever hit again, and each entry pins a JVM
+    # logical plan — without eviction an append-then-query loop grows
+    # driver memory linearly with deliveries
+    for k in [k for k in _BM25_READ_CACHE if k[:2] == key[:2] and k != key]:
+        del _BM25_READ_CACHE[k]
     _BM25_READ_CACHE[key] = (qrows, n_docs, avgdl, out)
     return out
 

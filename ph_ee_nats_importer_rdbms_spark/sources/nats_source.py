@@ -219,7 +219,14 @@ class _WireTransport:
                     return
                 except SeqOutOfRange:
                     raise  # real data loss, not a capability gap
-                except NatsWireError:
+                except (NatsWireError, OSError):
+                    # NatsWireError: 503 no-responders / API error from a
+                    # stream without allow_direct. OSError/timeout: a
+                    # server that never answers the DIRECT.GET subject at
+                    # all (no no-responders negotiation possible) — both
+                    # are capability signals BEFORE any yielded message,
+                    # so the per-sequence path can safely re-read the
+                    # whole range.
                     if self.ranged_get == "direct":
                         raise
                     gen = None  # fall through to the MSG.GET path

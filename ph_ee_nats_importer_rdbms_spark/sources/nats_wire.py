@@ -121,7 +121,12 @@ class NatsWireClient:
                     "verbose": False,
                     "pedantic": False,
                     "headers": self.headers,
-                    "no_responders": False,
+                    # no_responders requires headers; negotiating it is
+                    # what makes a request to a responder-less subject
+                    # (e.g. DIRECT.GET on a stream without allow_direct)
+                    # answer an immediate 503-status message instead of
+                    # hanging the requester until the socket timeout
+                    "no_responders": self.headers,
                     "lang": "python-wire",
                     "version": "0",
                     "protocol": 1,

@@ -211,6 +211,7 @@ class MiniNatsServer:
         )
         buf = b""
         subs: dict[str, str] = {}  # sid -> subject filter (supports * and >)
+        conn_opts: dict = {}  # parsed CONNECT options (no_responders, ...)
         held: list[tuple[str, bytes]] = []  # reorder_window reply buffer
         lock = threading.Lock()  # serialize writes from this handler
 
@@ -279,6 +280,10 @@ class MiniNatsServer:
                 continue
             op = line.split(b" ", 1)[0].upper()
             if op == b"CONNECT":
+                try:
+                    conn_opts.update(json.loads(line[8:] or b"{}"))
+                except ValueError:
+                    pass  # a real server tolerates odd CONNECT bodies
                 continue
             if op == b"PING":
                 send(b"PONG" + _CRLF)
@@ -302,7 +307,14 @@ class MiniNatsServer:
                 if read_exact(2) != _CRLF:
                     raise ValueError("bad PUB trailer")
                 if subject.startswith("$JS.API.DIRECT.GET."):
-                    if reply:
+                    # faithful no-responders semantics: a stream without
+                    # allow_direct has NO subscriber on this subject, so
+                    # only a client that negotiated no_responders gets
+                    # the 503 status — anyone else gets silence (and
+                    # times out), exactly like a real server
+                    if reply and (
+                        self.allow_direct or conn_opts.get("no_responders")
+                    ):
                         deliver_direct_batch(reply, subject, payload)
                     continue
                 if subject.startswith("$JS.API."):

@@ -1,5 +1,5 @@
-import sys, time, json
-sys.path.insert(0, "/root/repo")
+import os, sys, time, json
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ph_ee_nats_importer_rdbms_spark.session import build_session
 from ph_ee_nats_importer_rdbms_spark.analytics import similarity as sim
 
