@@ -115,3 +115,57 @@ def test_jetstream_offsets_and_restart_replay(spark, tmp_path):
     assert sorted(r.seq for r in got2.select("seq").collect()) == list(
         range(1, 131)
     )
+
+
+def test_wire_transport_direct_get_against_live_broker(spark, tmp_path):
+    """The dependency-free wire transport against a REAL server: the
+    batched direct-get path (stream created with allow_direct) and the
+    per-sequence MSG.GET path must serve identical rows, and a stream
+    WITHOUT allow_direct must trigger the auto fallback via the real
+    503 no-responders reply (the semantics the protocol double mirrors
+    in tests/test_nats_wire.py)."""
+    nats_mod = _connect_or_skip()
+    import asyncio
+
+    from ph_ee_nats_importer_rdbms_spark.sources.nats_source import (
+        _WireTransport,
+    )
+
+    payloads = [json.dumps({"n": i}) for i in range(50)]
+
+    async def make(stream: str, subject: str, allow_direct: bool) -> None:
+        nc = await nats_mod.connect(_SERVERS)
+        try:
+            js = nc.jetstream()
+            await js.add_stream(
+                name=stream, subjects=[subject], allow_direct=allow_direct
+            )
+            for p in payloads:
+                await js.publish(subject, p.encode("utf-8"))
+        finally:
+            await nc.close()
+
+    loop = asyncio.new_event_loop()
+
+    direct_stream = f"phee_wire_{uuid.uuid4().hex[:8]}"
+    loop.run_until_complete(make(direct_stream, f"{direct_stream}.x", True))
+    got_direct = list(
+        _WireTransport(_SERVERS, direct_stream, "fail", window=16).fetch(0, 50)
+    )
+    got_msg = list(
+        _WireTransport(_SERVERS, direct_stream, "fail", ranged_get="msg").fetch(
+            0, 50
+        )
+    )
+    assert got_direct == got_msg and len(got_direct) == 50
+    assert [seq for _, _, seq in got_direct] == list(range(1, 51))
+
+    nodirect_stream = f"phee_wire_{uuid.uuid4().hex[:8]}"
+    loop.run_until_complete(
+        make(nodirect_stream, f"{nodirect_stream}.x", False)
+    )
+    # auto: real 503 no-responders -> silent fallback to MSG.GET
+    got_fb = list(
+        _WireTransport(_SERVERS, nodirect_stream, "fail").fetch(0, 50)
+    )
+    assert [seq for _, _, seq in got_fb] == list(range(1, 51))
