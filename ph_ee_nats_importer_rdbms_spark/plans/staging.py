@@ -205,13 +205,30 @@ def cache_root() -> str | None:
     )
 
 
+#: (module rel-paths, per-file (size, mtime_ns) identity) -> digest.
+#: The code digest re-reads ~6 MB of module + codebook bytes per
+#: fingerprint call otherwise (~29 ms — paid on EVERY staged-relation
+#: resolution); file identity makes the cache exact while keeping the
+#: dev contract that an edited module re-keys its domains.
+_CODE_DIGEST_CACHE: dict[tuple, str] = {}
+
+
 def _code_digest(modules: tuple[str, ...]) -> str:
+    paths = [os.path.join(_PKG_DIR, rel) for rel in modules]
+    ident = tuple(
+        (p, st.st_size, st.st_mtime_ns)
+        for p, st in ((p, os.stat(p)) for p in paths)
+    )
+    hit = _CODE_DIGEST_CACHE.get(ident)
+    if hit is not None:
+        return hit
     h = hashlib.sha256()
-    for rel in modules:
-        path = os.path.join(_PKG_DIR, rel)
+    for path in paths:
         with open(path, "rb") as f:
             h.update(f.read())
-    return h.hexdigest()
+    digest = h.hexdigest()
+    _CODE_DIGEST_CACHE[ident] = digest
+    return digest
 
 
 def fingerprint(sf_dir: str, domain: str = "zeebe") -> str:

@@ -447,6 +447,9 @@ def test_lut_router_switches_by_size_and_preserves_ann_output(
         raise AssertionError("driver-side collect on the many-query route")
 
     monkeypatch.setattr(sim, "PQ_LUT_DRIVER_MAX", 0)
+    # the plan memo must not serve (or cache) a construction made under
+    # a patched router — bypass it so the engine route really constructs
+    monkeypatch.setattr(sim, "_PLAN_MEMO_BYPASS", True)
     monkeypatch.setattr(
         "pyspark.sql.classic.dataframe.DataFrame.collect",
         no_collect,
