@@ -81,6 +81,11 @@ def _memo_plan(domains: tuple[str, ...] = ("emb",)):
                 spark.sparkContext.applicationId,
                 fn.__name__,
                 os.path.abspath(sf_dir),
+                # the cache ROOT is part of plan identity: a plan built
+                # while SPARK_GRAFT_STAGE_CACHE_DIR pointed elsewhere
+                # (tests redirect it to tmp dirs) references that
+                # location's parquet and must not be served afterwards
+                staging.cache_root(),
                 tuple(staging.fingerprint(sf_dir, d) for d in domains),
             )
             hit = _PLAN_MEMO.get(key)
