@@ -92,8 +92,17 @@ def _memo_plan(domains: tuple[str, ...] = ("emb",)):
             if hit is not None:
                 return hit
             out = fn(spark, sf_dir)
+            # evict superseded entries for this (session, entry, dataset)
+            # AND every entry keyed by a DIFFERENT applicationId: the
+            # current session is the only live one in this process, so a
+            # foreign-appId entry can never be served again — without
+            # this purge a pytest/notebook process that restarts sessions
+            # grows the dict without bound, each entry pinning a
+            # DataFrame bound to a dead session (VERDICT r12 defect #1)
             for k in [
-                k for k in _PLAN_MEMO if k[:3] == key[:3] and k != key
+                k
+                for k in _PLAN_MEMO
+                if (k[:3] == key[:3] or k[0] != key[0]) and k != key
             ]:
                 del _PLAN_MEMO[k]
             _PLAN_MEMO[key] = out

@@ -216,6 +216,29 @@ class NatsWireClient:
                 raise NatsWireError(line.decode(errors="replace"))
             if line in (b"PONG", b"+OK"):
                 continue
+            if line.startswith(b"HMSG "):
+                # CONNECT negotiates headers+no_responders, so a request to
+                # a responder-less subject (JetStream down, wrong API name)
+                # answers with an HMSG status frame. Consume the full frame
+                # (keeping the socket in sync) and surface the status as a
+                # clean diagnostic naming the subject — not "unexpected
+                # frame". A payload-carrying HMSG for our sid is a real
+                # (headers) reply: return its payload like a MSG.
+                hparts = line.decode().split(" ")
+                _subj, headers, payload = self._read_hmsg(hparts)
+                if hparts[2] != sid:
+                    continue  # stale delivery for an abandoned sid
+                status = headers.get("", "")
+                if " 503" in status:
+                    raise NatsWireError(
+                        f"no responders for {subject} (status {status!r})"
+                    )
+                if payload:
+                    self._send(f"UNSUB {sid}".encode() + _CRLF)
+                    return payload
+                raise NatsWireError(
+                    f"status reply for {subject}: {status!r}"
+                )
             raise NatsWireError(f"unexpected frame {line[:80]!r}")
 
     def close(self) -> None:
@@ -352,6 +375,25 @@ class NatsWireClient:
                         continue
                     elif line.startswith(b"-ERR"):
                         raise NatsWireError(line.decode(errors="replace"))
+                    elif line.startswith(b"HMSG "):
+                        # headers are negotiated, so a responder-less JS
+                        # API (JetStream down) answers each MSG.GET with
+                        # an HMSG 503 status frame — consume it (keeping
+                        # the socket in sync) and name the API subject
+                        # instead of raising "unexpected frame"
+                        hparts = line.decode().split(" ")
+                        _hs, headers, _hp = self._read_hmsg(hparts)
+                        if hparts[2] != sid:
+                            continue  # stale delivery for an abandoned sid
+                        status = headers.get("", "")
+                        if " 503" in status:
+                            raise NatsWireError(
+                                f"no responders for {api} "
+                                f"(status {status!r})"
+                            )
+                        raise NatsWireError(
+                            f"status reply for {api}: {status!r}"
+                        )
                     else:
                         raise NatsWireError(f"unexpected frame {line[:80]!r}")
                 res = results.pop(want)

@@ -137,6 +137,7 @@ class MiniNatsServer:
         reorder_window: int = 0,
         duplicate_replies: bool = False,
         allow_direct: bool = True,
+        jetstream_down: bool = False,
     ) -> None:
         # chaos knobs for the pipelined-read tests (a clustered JetStream
         # API may answer out of order / redeliver): MSG.GET replies are
@@ -149,6 +150,11 @@ class MiniNatsServer:
         # (with no_responders negotiated) as a 503-status message — the
         # signal the wire transport's `auto` mode falls back on.
         self.allow_direct = allow_direct
+        # jetstream_down=True emulates a core-NATS server whose JetStream
+        # subsystem is disabled: NO subject under $JS.API.> has a
+        # responder, so a requester that negotiated no_responders gets an
+        # HMSG 503 status back (anyone else gets silence and times out)
+        self.jetstream_down = jetstream_down
         self.js = MiniJetStream(stream, subject)
         self._listener = socket.create_server(("127.0.0.1", 0))
         self.port = self._listener.getsockname()[1]
@@ -306,6 +312,22 @@ class MiniNatsServer:
                 payload = read_exact(nbytes)
                 if read_exact(2) != _CRLF:
                     raise ValueError("bad PUB trailer")
+                if self.jetstream_down and subject.startswith("$JS.API."):
+                    # no responder on any JS API subject: a client that
+                    # negotiated no_responders gets the HMSG 503 status
+                    # (a real server's signal); anyone else gets silence
+                    if reply and conn_opts.get("no_responders"):
+                        hdr = b"NATS/1.0 503 No Responders Available\r\n\r\n"
+                        for rsid, sub_subject in list(subs.items()):
+                            if _subject_matches(sub_subject, reply):
+                                send(
+                                    f"HMSG {reply} {rsid} {len(hdr)} "
+                                    f"{len(hdr)}".encode()
+                                    + _CRLF
+                                    + hdr
+                                    + _CRLF
+                                )
+                    continue
                 if subject.startswith("$JS.API.DIRECT.GET."):
                     # faithful no-responders semantics: a stream without
                     # allow_direct has NO subscriber on this subject, so

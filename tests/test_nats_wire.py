@@ -387,3 +387,29 @@ def test_wire_transport_direct_is_the_default_and_matches_msg() -> None:
             _WireTransport(s.url, "zeebe", "fail", ranged_get="msg").fetch(0, 30)
         )
         assert direct == msg and len(direct) == 30
+
+
+def test_jetstream_down_request_raises_no_responders() -> None:
+    """CONNECT negotiates headers+no_responders, so a responder-less JS
+    API subject answers request() with an HMSG 503 status frame — the
+    error must NAME the subject (a deployment diagnosis), not raise
+    'unexpected frame HMSG...' with the socket desynced (VERDICT r12
+    defect #2 / ADVICE low #2)."""
+    with MiniNatsServer(jetstream_down=True) as s, NatsWireClient(s.url) as c:
+        with pytest.raises(NatsWireError) as ei:
+            c.stream_info("zeebe")
+        msg = str(ei.value)
+        assert "no responders" in msg
+        assert "$JS.API.STREAM.INFO.zeebe" in msg
+        # the socket is still in sync after consuming the status frame:
+        # a plain PING/PONG round trip must succeed on the same client
+        c.flush()
+
+
+def test_jetstream_down_pipelined_get_raises_no_responders() -> None:
+    with MiniNatsServer(jetstream_down=True) as s, NatsWireClient(s.url) as c:
+        with pytest.raises(NatsWireError) as ei:
+            list(c.get_msgs_pipelined("zeebe", 0, 3))
+        msg = str(ei.value)
+        assert "no responders" in msg
+        assert "$JS.API.STREAM.MSG.GET.zeebe" in msg
