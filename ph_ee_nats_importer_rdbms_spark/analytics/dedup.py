@@ -41,7 +41,11 @@ from ph_ee_nats_importer_rdbms_spark.analytics.hashing import (
     spark_h60,
 )
 from ph_ee_nats_importer_rdbms_spark.plans import staging
-from ph_ee_nats_importer_rdbms_spark.sources.files import load_table, spread
+from ph_ee_nats_importer_rdbms_spark.sources.files import (
+    load_table,
+    local_rel,
+    spread,
+)
 
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.4
@@ -367,7 +371,20 @@ def _cc_driver(pairs: DataFrame) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     out = [(n, find(n)) for n in parent]
-    return pairs.sparkSession.createDataFrame(out, "node long, label long")
+    # LocalTableScan, not a python-RDD (sources.files.local_rel): the
+    # label relation re-executes on every downstream action
+    from pyspark.sql import types as T
+
+    return local_rel(
+        pairs.sparkSession,
+        out,
+        T.StructType(
+            [
+                T.StructField("node", T.LongType()),
+                T.StructField("label", T.LongType()),
+            ]
+        ),
+    )
 
 
 def connected_components(pairs: DataFrame) -> DataFrame:

@@ -51,6 +51,7 @@ from ph_ee_nats_importer_rdbms_spark.analytics.similarity import (
     ivf_assign_of,
     pq_encode_of,
 )
+from ph_ee_nats_importer_rdbms_spark.sources.files import local_rel
 
 _SCHEMAS = {
     "pq_codes": T.StructType(
@@ -961,13 +962,22 @@ def search_store(
     from ph_ee_nats_importer_rdbms_spark.analytics import similarity as sim
 
     books = frozen_codebooks(root)
+    # LocalTableScan, not a python-RDD: the store serving plan is
+    # memoized, so the centroid relation is re-executed per query call —
+    # see sources.files.local_rel
     cent = F.broadcast(
-        spark.createDataFrame(
+        local_rel(
+            spark,
             [
                 (cid, [float(v) for v in vec])
                 for cid, vec in enumerate(books["ivf"])
             ],
-            "cid INT, cemb ARRAY<DOUBLE>",
+            T.StructType(
+                [
+                    T.StructField("cid", T.IntegerType()),
+                    T.StructField("cemb", T.ArrayType(T.DoubleType())),
+                ]
+            ),
         )
     )
     return sim._ann_search_impl(

@@ -34,7 +34,11 @@ from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
 )
 from ph_ee_nats_importer_rdbms_spark.analytics.hashing import hyperplanes
 from ph_ee_nats_importer_rdbms_spark.plans import staging
-from ph_ee_nats_importer_rdbms_spark.sources.files import load_table, spread
+from ph_ee_nats_importer_rdbms_spark.sources.files import (
+    load_table,
+    local_rel as _local_rel,
+    spread,
+)
 
 N_QUERIES = 10
 TOP_K = 10
@@ -161,10 +165,11 @@ def _ranked(pairs: DataFrame, k: int = TOP_K) -> DataFrame:
 
 @_memo_plan()
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus side stays spread (the 64-dim cosine fold is the per-row
+    # work the repartition parallelizes); the broadcast query side reads
+    # its ≤10 rows straight off the scan — no Exchange (r13, guide §2.4)
     e = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
+    queries = _corpus_queries(spark, sf_dir)
     pairs = F.broadcast(queries).crossJoin(e).filter(
         F.col("query_id") != F.col("vec_id")
     )
@@ -286,9 +291,9 @@ def q_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
         .distinct()
     )
-    qe = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
+    # broadcast query side off the bare scan — no spread Exchange in
+    # front of a ≤10-row filter (r13, guide §2.4)
+    qe = _corpus_queries(spark, sf_dir)
     scored = cand.join(F.broadcast(qe), "query_id").join(e, "vec_id")
     cos = F.round(_cosine("q_emb", "embedding"), 4)
     return _ranked(scored.select("query_id", "vec_id", cos.alias("cosine")))
@@ -334,11 +339,22 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
 def _ivf_centroids(spark: SparkSession, sf_dir: str):
     """The corpus's learned centroid set as a broadcast literal relation
     — config shipped to every task, exactly how a deployment distributes
-    an offline-trained IVF codebook."""
+    an offline-trained IVF codebook. Driver-local (LocalTableScan), so
+    re-executions of a memoized serving plan rebuild the broadcast
+    without a python-RDD stage."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("cid", T.IntegerType()),
+            T.StructField("cemb", T.ArrayType(T.DoubleType())),
+        ]
+    )
     return F.broadcast(
-        spark.createDataFrame(
+        _local_rel(
+            spark,
             [(cid, vec) for cid, vec in enumerate(_codebook(sf_dir))],
-            "cid INT, cemb ARRAY<DOUBLE>",
+            schema,
         )
     )
 
@@ -1078,7 +1094,10 @@ def _pq_query_lut(
             T.StructField("q_norm", T.DoubleType()),
         ]
     )
-    return queries.sparkSession.createDataFrame(out, full)
+    # LocalTableScan, not a python-RDD: the LUT relation is rebuilt on
+    # every execution of the (memoized) serving plan otherwise — see
+    # _local_rel
+    return _local_rel(queries.sparkSession, out, full)
 
 
 def _fold_dot(q, cent, base: int) -> float:
@@ -1135,7 +1154,10 @@ def ann_search(
         spark,
         queries,
         codes_t=pq_codes_table(spark, sf_dir),
-        vectors=spread(load_table(spark, sf_dir, "embeddings")).select(
+        # refine side: joined against the ≤refine-pool survivors — the
+        # bare scan suffices, a spread() Exchange in front of a join
+        # build is wasted work (r13, guide §2.4)
+        vectors=load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding"
         ),
         assign=lambda: ivf_assignments(spark, sf_dir),
@@ -1255,8 +1277,11 @@ def _ann_search_impl(
 
 def _corpus_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The registry entries' fixed query set: the first N_QUERIES corpus
-    vectors."""
-    e = spread(load_table(spark, sf_dir, "embeddings"))
+    vectors. NO ``spread()`` on the query side (r13, guide §2.4): the
+    relation is N_QUERIES rows headed for a driver collect or a
+    broadcast build — a round-robin repartition of the scan just inserts
+    an Exchange (and a 32-task stage) in front of a ≤10-row filter."""
+    e = load_table(spark, sf_dir, "embeddings")
     return e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -1306,8 +1331,9 @@ def _search_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreign query ids (vec_id + 100000) and REVERSED embeddings —
     deterministic and arithmetic-free, so the DuckDB oracle's
     ``list_reverse`` reproduces the exact same float32 payload Spark's
-    ``reverse()`` feeds the engine (no rounding hazard to reconcile)."""
-    e = spread(load_table(spark, sf_dir, "embeddings"))
+    ``reverse()`` feeds the engine (no rounding hazard to reconcile).
+    Unspread for the same reason as :func:`_corpus_queries`."""
+    e = load_table(spark, sf_dir, "embeddings")
     return e.filter(F.col("vec_id") < N_QUERIES).select(
         (F.col("vec_id") + 100000).alias("query_id"),
         F.reverse("embedding").alias("q_emb"),

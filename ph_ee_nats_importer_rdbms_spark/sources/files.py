@@ -57,6 +57,35 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(par)
 
 
+def local_rel(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """A config-sized relation as a driver-local ``LocalTableScan``
+    (guide §4.1): plain ``createDataFrame(list)`` builds a
+    python-RDD-backed plan whose ``Scan ExistingRDD`` re-runs a Python
+    worker round trip on EVERY execution (~0.3 s measured for a 10-row
+    relation); the Arrow path embeds the rows in the plan, so repeated
+    executions (the serving shape — those plans are memoized) read them
+    driver-local with zero tasks. Values are bit-identical: Python
+    floats ARE IEEE doubles and Arrow transports them unchanged. Falls
+    back to the plain path if Arrow rejects the schema or rows."""
+    import pandas as pd
+
+    try:
+        cols = [f.name for f in schema.fields] if hasattr(schema, "fields") else None
+        if cols is None:
+            raise ValueError("string schemas take the plain path")
+        pdf = pd.DataFrame(
+            {c: [r[i] for r in rows] for i, c in enumerate(cols)}
+        )
+        out = spark.createDataFrame(pdf, schema)
+        # defensive: only serve the Arrow shape if it really became a
+        # local relation (a silent fallback keeps the python-RDD plan)
+        if "LocalTableScan" in out._jdf.queryExecution().executedPlan().toString():  # noqa: SLF001
+            return out
+    except Exception:  # noqa: BLE001 — fall back to the plain path
+        pass
+    return spark.createDataFrame(rows, schema)
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
 ) -> None:

@@ -174,12 +174,10 @@ def _build(spark: SparkSession, sf_dir: str, root: str) -> None:
     -> typed tables under ``root/tables/``. The scaffolding (source files,
     per-hop checkpoints, intermediate parquet) is removed after the tables
     commit — the artifact is the table store, not the replay residue."""
-    from ph_ee_nats_importer_rdbms_spark.plans.queries import zeebe_events_df
+    from ph_ee_nats_importer_rdbms_spark.plans.queries import flat_events_staged
     from ph_ee_nats_importer_rdbms_spark.streaming import pipeline as sp
 
-    flat = staging.load_or_build(
-        spark, sf_dir, "flat_events", lambda: zeebe_events_df(spark, sf_dir)
-    )
+    flat = flat_events_staged(spark, sf_dir)
     src_dir = os.path.join(root, "source")
     work_dir = os.path.join(root, "work")
     write_ordered_chunks(flat, src_dir)
@@ -237,7 +235,7 @@ def _build_wire(spark: SparkSession, sf_dir: str, root: str) -> None:
     against one set of checkpoints, exercising the checkpointed-restart
     resume of the source (each wave's availableNow run starts from the
     previously committed stream sequence)."""
-    from ph_ee_nats_importer_rdbms_spark.plans.queries import zeebe_events_df
+    from ph_ee_nats_importer_rdbms_spark.plans.queries import flat_events_staged
     from ph_ee_nats_importer_rdbms_spark.streaming import pipeline as sp
 
     try:
@@ -248,9 +246,7 @@ def _build_wire(spark: SparkSession, sf_dir: str, root: str) -> None:
             "(tests/nats_mini_server.py on sys.path) or a real broker"
         ) from e
 
-    flat = staging.load_or_build(
-        spark, sf_dir, "flat_events", lambda: zeebe_events_df(spark, sf_dir)
-    )
+    flat = flat_events_staged(spark, sf_dir)
     src_dir = os.path.join(root, "source")
     work_dir = os.path.join(root, "work")
     # strict global order: sequence numbers must follow event time

@@ -45,7 +45,7 @@ sys.path.insert(0, _REPO)
 
 from ph_ee_nats_importer_rdbms_spark.plans import staging  # noqa: E402
 from ph_ee_nats_importer_rdbms_spark.plans.queries import (  # noqa: E402
-    zeebe_events_df,
+    flat_events_staged,
 )
 from ph_ee_nats_importer_rdbms_spark.session import build_session  # noqa: E402
 from ph_ee_nats_importer_rdbms_spark.streaming import (  # noqa: E402
@@ -55,9 +55,7 @@ from ph_ee_nats_importer_rdbms_spark.streaming import (  # noqa: E402
 
 
 def _flat_corpus(spark, sf_dir):
-    flat = staging.load_or_build(
-        spark, sf_dir, "flat_events", lambda: zeebe_events_df(spark, sf_dir)
-    )
+    flat = flat_events_staged(spark, sf_dir)
     return flat, flat.count()
 
 
