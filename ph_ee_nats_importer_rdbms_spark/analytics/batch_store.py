@@ -74,8 +74,15 @@ def commit(root: str, manifest: dict) -> None:
 
 
 def write_artifacts(root: str, batch: str, dfs: dict[str, DataFrame]) -> None:
+    from ph_ee_nats_importer_rdbms_spark.sources.files import compact_for_write
+
+    # AQE-sized files (r13, guide §6): a map-only artifact otherwise
+    # writes one ≈8 KB file per input partition and every store READ
+    # pays the per-file tax on every query
     for name, df in dfs.items():
-        df.write.mode("overwrite").parquet(batch_path(root, name, batch))
+        compact_for_write(df).write.mode("overwrite").parquet(
+            batch_path(root, name, batch)
+        )
 
 
 def read_union(

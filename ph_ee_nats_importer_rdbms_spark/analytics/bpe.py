@@ -113,12 +113,26 @@ def _pairs_of(syms: Column) -> Column:
 def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(word, cnt): the corpus's word-frequency table — the ONE
     corpus-linear pass (map-side-combinable hash aggregate); every merge
-    iteration downstream touches only this vocabulary-sized relation."""
-    d = spread(load_table(spark, sf_dir, "documents"))
-    return (
-        d.select(F.explode(_tokens()).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    iteration downstream touches only this vocabulary-sized relation.
+
+    Staged per dataset (r13, lex domain): the trainer and the
+    pair-counts registry entry both start from this table, and it is a
+    corpus-linear aggregate with a vocabulary-sized output — exactly the
+    ingest-artifact shape the other staged curation relations share, so
+    warm calls read the (tiny) parquet instead of re-running the
+    tokenize+explode+aggregate corpus pass per call."""
+    from ph_ee_nats_importer_rdbms_spark.plans import staging
+
+    def build() -> DataFrame:
+        d = spread(load_table(spark, sf_dir, "documents"))
+        return (
+            d.select(F.explode(_tokens()).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    return staging.load_memoized(
+        spark, sf_dir, "word_counts", build, domain="lex"
     )
 
 

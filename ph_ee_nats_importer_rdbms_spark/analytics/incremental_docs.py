@@ -230,8 +230,13 @@ def _batch_id_of(docs: DataFrame) -> str:
 def _write_artifacts(
     root: str, batch: str, dfs: dict[str, DataFrame]
 ) -> None:
+    from ph_ee_nats_importer_rdbms_spark.sources.files import compact_for_write
+
+    # AQE-sized files (r13, guide §6) — see batch_store.write_artifacts
     for name, df in dfs.items():
-        df.write.mode("overwrite").parquet(_batch_path(root, name, batch))
+        compact_for_write(df).write.mode("overwrite").parquet(
+            _batch_path(root, name, batch)
+        )
 
 
 def build_index(

@@ -47,7 +47,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ph_ee_nats_importer_rdbms_spark.analytics import batch_store as bs
-from ph_ee_nats_importer_rdbms_spark.analytics.similarity import (
+# encode kernels from vector_kernels (r13): the vstore fingerprint keys
+# exactly the modules that define store BYTES — this one, the kernels,
+# and the codebook artifacts — so similarity.py query-side edits no
+# longer force the staged store's rebuild
+from ph_ee_nats_importer_rdbms_spark.analytics.vector_kernels import (
     ivf_assign_of,
     pq_encode_of,
 )
@@ -250,14 +254,25 @@ def _encode_and_write(
                 ),
             )
         )
+    from ph_ee_nats_importer_rdbms_spark.sources.files import compact_for_write
+
+    # AQE-sized files (r13, guide §6) — see batch_store.write_artifacts
     for name, df in artifacts:
-        df.write.mode("overwrite").parquet(_batch_path(root, name, batch))
+        compact_for_write(df).write.mode("overwrite").parquet(
+            _batch_path(root, name, batch)
+        )
     # the serving layout: codes joined into their inverted lists, one
     # partition dir per cluster — probes become a partition-pruned read
     # (search_store), the IndexIVFPQ shape save_ivf_store(with_codes=True)
     # materializes for staged datasets
-    codes.select("vec_id", "codes", "approx_norm2").join(
-        assign, "vec_id"
+    # keyed rebalance before the partitioned write (r13, guide §6): the
+    # unkeyed join output scattered every cluster across every writer
+    # task — one ≈1 KB file per (task, cluster) pair, 32 files per
+    # cluster directory; clustering by cluster_id gives each directory
+    # ~one advisory-sized file, so a pruned probe opens 1 file
+    compact_for_write(
+        codes.select("vec_id", "codes", "approx_norm2").join(assign, "vec_id"),
+        "cluster_id",
     ).write.mode("overwrite").partitionBy("cluster_id").parquet(
         _batch_path(root, "lists", batch)
     )
@@ -453,7 +468,7 @@ def _probe_coverage_stats(
     from pyspark.sql import Window
 
     from ph_ee_nats_importer_rdbms_spark.analytics.dedup import _dot, _norm
-    from ph_ee_nats_importer_rdbms_spark.analytics.similarity import (
+    from ph_ee_nats_importer_rdbms_spark.analytics.vector_kernels import (
         IVF_PQ_NPROBE,
         probes_for,
     )
@@ -1014,7 +1029,10 @@ def _build_staged_store(spark: SparkSession, sf_dir: str, root: str) -> None:
     test_search_store_matches_dataset_backed_ann_search pins to equal the
     staged-dataset ``ann_search``. Two deliveries (not one) so the staged
     artifact exercises the append path the store exists for."""
-    from ph_ee_nats_importer_rdbms_spark.analytics import similarity as sim
+    from ph_ee_nats_importer_rdbms_spark.analytics.vector_kernels import (
+        _codebook,
+        _pq_books,
+    )
     from ph_ee_nats_importer_rdbms_spark.sources.files import load_table, spread
 
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
@@ -1024,8 +1042,8 @@ def _build_staged_store(spark: SparkSession, sf_dir: str, root: str) -> None:
         spark,
         e.filter(F.col("vec_id") % 2 == 0),
         root,
-        sim._codebook(sf_dir),
-        sim._pq_books(sf_dir),
+        _codebook(sf_dir),
+        _pq_books(sf_dir),
     )
     append_vectors(spark, e.filter(F.col("vec_id") % 2 == 1), root)
 

@@ -1074,9 +1074,23 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     own size), and the operator composes with the packing/tokenizing
     stages downstream exactly where a pipeline wants it (after curation,
     before packing)."""
-    d = load_table(spark, sf_dir, "documents")
-    staged = d.select("doc_id", _tokens().alias("toks")).localCheckpoint(
-        eager=False
+    from ph_ee_nats_importer_rdbms_spark.plans import staging
+
+    # staged, not per-call localCheckpoint (r13): the tokenized relation
+    # is a per-doc curation artifact like unigram_logprob/dedup_spans, so
+    # it stages once per dataset (docs domain) — a per-call checkpoint
+    # would materialize corpus-scale token arrays into the block manager
+    # on every registry call (and, under the r13 entry-plan memo, pin
+    # them for the session), where the staged parquet keeps the entry's
+    # warm path a pure columnar read.
+    staged = staging.load_memoized(
+        spark,
+        sf_dir,
+        "doc_tokens",
+        lambda: spread(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", _tokens().alias("toks")
+        ),
+        domain="docs",
     )
     n = F.size("toks")
     k_max = F.greatest(

@@ -402,11 +402,21 @@ def _pid_alive(pid: int) -> bool:
 def bucketed_dir(sf_dir: str) -> str | None:
     """Root for the dataset's co-bucketed table store (sinks/storage.py) —
     lives under the same fingerprinted dir as the parquet stage, so code or
-    data changes invalidate the bucketed files too. None when disabled."""
+    data changes invalidate the bucketed files too. None when disabled.
+
+    The name carries the layout version ("_c" = compacted, r13: the
+    writer now pre-shuffles by the bucket key so each table is
+    num_buckets files, not input-partitions × buckets): the fingerprint
+    keys data+semantics, not layout, and sinks/storage.py is not a
+    fingerprinted module — without the rename an existing store would
+    serve the old many-file layout forever. The superseded name is
+    dropped so the store never doubles."""
     root = cache_root()
     if root is None:
         return None
-    return os.path.join(_dataset_dir(root, sf_dir), "bucketed")
+    ds = _dataset_dir(root, sf_dir)
+    shutil.rmtree(os.path.join(ds, "bucketed"), ignore_errors=True)
+    return os.path.join(ds, "bucketed_c")
 
 
 def read_staged(

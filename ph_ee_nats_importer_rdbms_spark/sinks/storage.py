@@ -63,10 +63,21 @@ def save_bucketed_tables(
             stale = os.path.join(wh, table.lower())
             if wh and os.path.isdir(stale):
                 shutil.rmtree(stale)
+        bucketed = name in BUCKETED and JOIN_KEY in df.columns
+        if bucketed:
+            # pre-shuffle by the bucket key into num_buckets partitions
+            # (r13, guide §6): bucketBy splits each WRITER TASK's rows by
+            # bucket id, so an unaligned input writes (input partitions ×
+            # buckets) files — observed 80-128 ≈6 KB files per table;
+            # hash-repartitioned input gives each task whole buckets and
+            # the layout collapses to num_buckets files per table. The
+            # shuffle is paid once at save time, bucket assignment and
+            # row content are unchanged.
+            df = df.repartition(num_buckets, df[JOIN_KEY])
         writer = df.write.mode("overwrite").format("parquet")
         if path_root is not None:
             writer = writer.option("path", os.path.join(path_root, name))
-        if name in BUCKETED and JOIN_KEY in df.columns:
+        if bucketed:
             writer = writer.bucketBy(num_buckets, JOIN_KEY).sortBy(JOIN_KEY)
         writer.saveAsTable(table)
         created.append(table)

@@ -57,6 +57,25 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(par)
 
 
+def compact_for_write(df: DataFrame, *cols: str) -> DataFrame:
+    """Size output files with AQE before a parquet write (guide §6
+    "small files hurt twice"): a map-only artifact write otherwise emits
+    one file per input partition (observed: 32 ≈8 KB files per staged
+    store artifact, ~1,200 files for an 11 MB store tree), and every
+    downstream scan pays per-file opens + driver listing. The REBALANCE
+    hint inserts an exchange whose output partitioning AQE derives from
+    the data's actual size (``advisoryPartitionSizeInBytes``) — tiny
+    relations coalesce to one file, 100 TB relations keep hundreds of
+    advisory-sized files. Scale-adaptive by construction: nothing here
+    is tuned to local[32].
+
+    With ``cols``, rebalancing is keyed (REBALANCE(c1, ...)) so rows
+    cluster by the columns a hive-``partitionBy`` write splits on — one
+    writer task then holds whole partition-directories and each
+    directory gets ~one advisory-sized file instead of one per task."""
+    return df.hint("rebalance", *[F.col(c) for c in cols])
+
+
 def local_rel(spark: SparkSession, rows: list, schema) -> DataFrame:
     """A config-sized relation as a driver-local ``LocalTableScan``
     (guide §4.1): plain ``createDataFrame(list)`` builds a

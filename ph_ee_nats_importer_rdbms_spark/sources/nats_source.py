@@ -197,10 +197,16 @@ class _WireTransport:
         #   msg — per-sequence MSG.GET pipelined `window`-deep: works
         #     against any JetStream stream, including allow_direct=false.
         # auto tries direct and falls back to msg if the server rejects
-        # it BEFORE the first message (no headers / no allow_direct);
-        # a failure mid-stream propagates — silently restarting could
-        # double-yield sequences. missing=skip surfaces purged sequences
-        # as seq-column gaps on both paths.
+        # it BEFORE the first message (no headers / no allow_direct); a
+        # failure mid-stream propagates — silently restarting could
+        # double-yield sequences. direct_get_batch buffers each window
+        # until its 204 EOB (r13, ADVICE): a real 2.2-2.10 server
+        # supports direct get but IGNORES the batch field — one message,
+        # no EOB — so the missing-terminator timeout surfaces as an
+        # OSError before any message is yielded and this fallback
+        # engages instead of failing the partition mid-read.
+        # missing=skip surfaces purged sequences as seq-column gaps on
+        # both paths.
         from .nats_wire import NatsWireClient, NatsWireError, SeqOutOfRange
 
         if self.ranged_get in ("auto", "direct"):

@@ -482,6 +482,20 @@ class NatsWireClient:
                 got_any = False
                 past_end = False
                 eob = False
+                # The window is BUFFERED until its EOB arrives (r13,
+                # ADVICE): real nats-server 2.2-2.10 supports direct get
+                # but ignores the ADR-31 ``batch`` field — it answers ONE
+                # message and never sends a 204 EOB, so a streaming yield
+                # would hand out that message and then die on the socket
+                # timeout MID-STREAM, where the auto transport can no
+                # longer fall back (a partial range may already be
+                # consumed). Holding each window until its terminator
+                # makes a missing-EOB timeout surface BEFORE any message
+                # of the window is yielded — for the first window that is
+                # before ANY yield, exactly the capability signal
+                # ``ranged_get="auto"`` needs to re-read the whole range
+                # via MSG.GET. Memory is bounded by ``window`` messages.
+                buf: list[tuple[int, str, bytes]] = []
                 while not eob:
                     line = self._read_line()
                     if line.startswith(b"HMSG "):
@@ -523,7 +537,9 @@ class NatsWireClient:
                             continue
                         got_any = True
                         want = seq + 1
-                        yield (seq, headers.get("Nats-Subject", subj), payload)
+                        buf.append(
+                            (seq, headers.get("Nats-Subject", subj), payload)
+                        )
                     elif line.startswith(b"MSG "):
                         # a JSON API error (stream without allow_direct)
                         parts = line.decode().split(" ")
@@ -543,6 +559,7 @@ class NatsWireClient:
                         raise NatsWireError(line.decode(errors="replace"))
                     else:
                         raise NatsWireError(f"unexpected frame {line[:80]!r}")
+                yield from buf  # window complete (EOB seen)
                 if past_end:
                     return  # the rest of the range is a retention gap
                 if not got_any:

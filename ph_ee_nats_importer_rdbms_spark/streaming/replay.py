@@ -186,11 +186,17 @@ def _build(spark: SparkSession, sf_dir: str, root: str) -> None:
     )
     tables = sp.materialize_tables(spark, paths["changes"])
     out_root = os.path.join(root, "tables")
+    # AQE-sized files (r13, guide §6): the replayed tables are read on
+    # every zeebe_*_streaming query — compact at the one-time build
+    from ph_ee_nats_importer_rdbms_spark.sources.files import compact_for_write
+
     for name in TABLES:
         df = tables[name]
         if name in _ENTITY_SCHEMAS:
             df = _typed_entity(df, _ENTITY_SCHEMAS[name])
-        df.write.mode("overwrite").parquet(os.path.join(out_root, name))
+        compact_for_write(df).write.mode("overwrite").parquet(
+            os.path.join(out_root, name)
+        )
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(work_dir, ignore_errors=True)
 
@@ -285,11 +291,17 @@ def _build_wire(spark: SparkSession, sf_dir: str, root: str) -> None:
             )
     tables = sp.materialize_tables(spark, paths["changes"])
     out_root = os.path.join(root, "tables")
+    # AQE-sized files (r13, guide §6): the replayed tables are read on
+    # every zeebe_*_streaming query — compact at the one-time build
+    from ph_ee_nats_importer_rdbms_spark.sources.files import compact_for_write
+
     for name in TABLES:
         df = tables[name]
         if name in _ENTITY_SCHEMAS:
             df = _typed_entity(df, _ENTITY_SCHEMAS[name])
-        df.write.mode("overwrite").parquet(os.path.join(out_root, name))
+        compact_for_write(df).write.mode("overwrite").parquet(
+            os.path.join(out_root, name)
+        )
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(work_dir, ignore_errors=True)
 

@@ -138,6 +138,7 @@ class MiniNatsServer:
         duplicate_replies: bool = False,
         allow_direct: bool = True,
         jetstream_down: bool = False,
+        ignore_batch: bool = False,
     ) -> None:
         # chaos knobs for the pipelined-read tests (a clustered JetStream
         # API may answer out of order / redeliver): MSG.GET replies are
@@ -155,6 +156,13 @@ class MiniNatsServer:
         # responder, so a requester that negotiated no_responders gets an
         # HMSG 503 status back (anyone else gets silence and times out)
         self.jetstream_down = jetstream_down
+        # ignore_batch=True emulates nats-server 2.2-2.10: direct get is
+        # supported but the ADR-31 ``batch`` field is not — every request
+        # answers exactly ONE message and NO 204 EOB terminator, so a
+        # batched-read client that streams messages before seeing the
+        # terminator hangs mid-range (the failure mode the transport's
+        # window buffering turns back into a clean pre-yield fallback)
+        self.ignore_batch = ignore_batch
         self.js = MiniJetStream(stream, subject)
         self._listener = socket.create_server(("127.0.0.1", 0))
         self.port = self._listener.getsockname()[1]
@@ -381,6 +389,8 @@ class MiniNatsServer:
         req = json.loads(payload or b"{}")
         seq = int(req.get("seq", 1))
         batch = max(1, int(req.get("batch", 1)))
+        if self.ignore_batch:
+            batch = 1  # pre-2.11 server: batch field not understood
         msgs, pending = self.js.get_from(seq, batch)
         if not msgs:
             return [(b"NATS/1.0 404 No Messages\r\n\r\n", b"")]
@@ -395,15 +405,18 @@ class MiniNatsServer:
             )
             for s, msg_subject, data in msgs
         ]
-        frames.append(
-            (
+        if not self.ignore_batch:
+            # pre-2.11 servers answer a plain (non-batched) direct get:
+            # one message, no EOB terminator frame
+            frames.append(
                 (
-                    f"NATS/1.0 204 EOB\r\nNats-Num-Pending: {pending}"
-                    f"\r\nNats-Last-Sequence: {msgs[-1][0]}\r\n\r\n"
-                ).encode(),
-                b"",
+                    (
+                        f"NATS/1.0 204 EOB\r\nNats-Num-Pending: {pending}"
+                        f"\r\nNats-Last-Sequence: {msgs[-1][0]}\r\n\r\n"
+                    ).encode(),
+                    b"",
+                )
             )
-        )
         return frames
 
     def _js_api(self, subject: str, payload: bytes) -> bytes:

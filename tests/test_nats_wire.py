@@ -389,6 +389,51 @@ def test_wire_transport_direct_is_the_default_and_matches_msg() -> None:
         assert direct == msg and len(direct) == 30
 
 
+def test_direct_get_batch_ignore_batch_server_fails_before_first_yield() -> None:
+    """nats-server 2.2-2.10 supports direct get but IGNORES the ADR-31
+    ``batch`` field: each request answers one message and never sends a
+    204 EOB. The client buffers each window until its terminator, so the
+    missing-EOB timeout must surface BEFORE any message is yielded —
+    the pre-yield capability signal the auto transport falls back on
+    (previously the first message was yielded and the timeout killed the
+    read MID-STREAM, where falling back would double-consume)."""
+    with MiniNatsServer(ignore_batch=True) as s:
+        _publish_n(s, 6)
+        with NatsWireClient(s.url, timeout=0.5) as c:
+            gen = c.direct_get_batch("zeebe", 0, 6, window=4)
+            with pytest.raises(OSError):
+                next(gen)  # nothing yielded before the failure
+
+
+def test_wire_transport_auto_falls_back_on_ignore_batch_server(
+    monkeypatch,
+) -> None:
+    """`ranged_get=auto` against a batch-ignoring (pre-2.11) server
+    reads the FULL range through the MSG.GET fallback instead of failing
+    the partition mid-stream; forced `direct` raises."""
+    import functools
+
+    from ph_ee_nats_importer_rdbms_spark.sources import nats_source, nats_wire
+
+    # shrink the socket timeout so the missing-EOB probe is test-fast
+    orig_init = nats_wire.NatsWireClient.__init__
+    monkeypatch.setattr(
+        nats_wire.NatsWireClient,
+        "__init__",
+        functools.partialmethod(orig_init, timeout=0.5),
+    )
+    with MiniNatsServer(ignore_batch=True) as s:
+        _publish_n(s, 9)
+        t = nats_source._WireTransport(s.url, "zeebe", "fail", window=4)
+        rows = list(t.fetch(0, 9))
+        assert [r[2] for r in rows] == list(range(1, 10))
+        forced = nats_source._WireTransport(
+            s.url, "zeebe", "fail", window=4, ranged_get="direct"
+        )
+        with pytest.raises(OSError):
+            list(forced.fetch(0, 9))
+
+
 def test_jetstream_down_request_raises_no_responders() -> None:
     """CONNECT negotiates headers+no_responders, so a responder-less JS
     API subject answers request() with an HMSG 503 status frame — the

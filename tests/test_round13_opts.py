@@ -17,7 +17,11 @@ def test_plan_memo_purges_dead_session_entries(spark, sf_dir) -> None:
     app = spark.sparkContext.applicationId
     dead = ("app-DEAD-0000", "q_ann_bruteforce", "/nowhere", None, ("fp",))
     sim._PLAN_MEMO[dead] = "sentinel"
-    # a MISS on any memoized entry runs the eviction sweep
+    # drop any same-session cached entry first: the sweep runs on
+    # INSERT, so the call below must be a memo MISS regardless of which
+    # tests (and plans) ran earlier in this session
+    for k in [k for k in sim._PLAN_MEMO if k[0] == app]:
+        del sim._PLAN_MEMO[k]
     sim.q_ann_lsh(spark, sf_dir)
     assert dead not in sim._PLAN_MEMO
     assert all(k[0] == app for k in sim._PLAN_MEMO)
