@@ -47,7 +47,7 @@ from ph_ee_nats_importer_rdbms_spark.analytics.dedup import (
     embed_bands_for,
     hyperplanes,
 )
-from ph_ee_nats_importer_rdbms_spark.analytics.similarity import (
+from ph_ee_nats_importer_rdbms_spark.analytics.vector_kernels import (
     SQ16_COLS,
     sq16_meta_of,
     sq16_pair_keep_col,

@@ -135,6 +135,7 @@ from ph_ee_nats_importer_rdbms_spark.analytics.vector_kernels import (  # noqa: 
     PQ_M,
     PQ_REFINE,
     PQ_REFINE_DIVISOR,
+    SQ16_COLS,
     _blas_assign_kernel,
     _codebook,
     _ivf_assign_exact,
@@ -145,6 +146,8 @@ from ph_ee_nats_importer_rdbms_spark.analytics.vector_kernels import (  # noqa: 
     ivf_assign_of,
     pq_encode_of,
     probes_for,
+    sq16_meta_of,
+    sq16_pair_keep_col,
 )
 
 ORACLE_SF_BASE = "sf0.01"
@@ -555,103 +558,6 @@ def pq_corpus_size(spark: SparkSession, sf_dir: str) -> int:
         lambda: _pq_codes_build(spark, sf_dir), domain="emb",
     )
 
-
-# ---------------------------------------------------------------------------
-# SQ16 pair pre-filter — lossless candidate thinning (VERDICT r10 task #1)
-# ---------------------------------------------------------------------------
-# For PAIR-generating operators (SemDeDup within-cluster scoring, the
-# embedding store's banded candidate verify), the raw embeddings are
-# the heavy payload: they ride the candidate join, the cross-band
-# distinct, and every spill in between. This pre-filter lets the pair
-# relation carry an int16 SCALAR-QUANTIZED sketch instead (per-vector
-# scale s = 32767/max|x_i|, so reconstruction error is ~1e-4 of the
-# norm), plus three doubles, and thins candidates with a RIGOROUS
-# Cauchy–Schwarz bound before anything touches raw vectors:
-#
-#   |<x,y> − <rx,ry>| = |<x−rx, y> + <rx, y−ry>| ≤ e_x·‖y‖ + ‖rx‖·e_y
-#
-# where rx = q/s is the decoded sketch and e_x = ‖x−rx‖ is computed
-# EXACTLY at encode time and stored. <rx,ry> itself is exact integer
-# arithmetic (Σ qa_i·qb_i as BIGINT) scaled once — so a pair is
-# dropped ONLY when even the most favorable true dot cannot reach the
-# exact filter's threshold. Measured at sf0.1: margin ≈ 2e-4 on a
-# threshold of 0.40 against a within-cluster cosine distribution whose
-# 99.8th percentile is below it — survivors ≈ the true dups. PQ codes
-# were tried first and CANNOT work here: the 16×4-bit books reconstruct
-# unit vectors to e ≈ 0.57, so their rigorous margin (~1.0) never
-# filters anything at a 0.40 threshold.
-
-#: slack for call sites that threshold ROUND(cos, 4): round(c,4) ≥ T
-#: ⟺ c ≥ T − 5e-5, plus a belt-and-braces float-eval epsilon.
-_PAIR_ROUND4_SLACK = 0.00005 + 1e-9
-
-#: columns of the sketch relation (besides vec_id) — what the pair
-#: join sides carry instead of the embedding
-SQ16_COLS = ("q16", "s16", "e16", "rn16", "pnorm")
-
-
-def sq16_meta_of(vectors: DataFrame) -> DataFrame:
-    """Per-vector pre-filter sketch over any (vec_id, embedding)
-    relation: ``q16`` (int16 quantized components), ``s16`` (the
-    per-vector scale), ``e16`` = ‖x − q/s‖ (EXACT reconstruction
-    error — computed from the stored codes, so clamping or any rounding
-    quirk is priced in, never assumed), ``rn16`` = ‖q/s‖, ``pnorm`` =
-    ‖x‖. Fixed-width columns only (~150 B/vector vs ~280 B for the raw
-    float array, and no 64-double fold downstream)."""
-    s = F.expr(
-        "32767.0 / greatest(aggregate(embedding, cast(0.0 as double), "
-        "(m, x) -> greatest(m, abs(cast(x as double)))), cast(1e-30 as double))"
-    )
-    q = F.expr(
-        "transform(embedding, x -> cast(least(greatest("
-        "round(cast(x as double) * _s), -32767.0), 32767.0) as smallint))"
-    )
-    e = F.expr(
-        "sqrt(aggregate(zip_with(embedding, _q, (x, c) -> "
-        "pow(cast(x as double) - cast(c as double) / _s, 2)), "
-        "cast(0.0 as double), (a, t) -> a + t))"
-    )
-    rn = F.expr(
-        "sqrt(aggregate(_q, cast(0 as bigint), "
-        "(a, c) -> a + cast(c as bigint) * c)) / _s"
-    )
-    return (
-        vectors.withColumn("_s", s)
-        .withColumn("_q", q)
-        .select(
-            "vec_id",
-            F.col("_q").alias("q16"),
-            F.col("_s").alias("s16"),
-            e.alias("e16"),
-            rn.alias("rn16"),
-            _norm("embedding").alias("pnorm"),
-        )
-    )
-
-
-def sq16_pair_keep_col(threshold: float) -> Column:
-    """Boolean keep-column for a joined pair relation carrying
-    ``{q16,s16,e16,rn16,pnorm}_a`` and ``..._b``: True unless the upper
-    bound on the true dot provably misses ``round(cos, 4) ≥ threshold``.
-    Dropped pairs CANNOT satisfy the exact filter; kept pairs still go
-    through it — the pre-filter only thins the relation that has to
-    carry raw embeddings. The sketch dot is exact integer arithmetic
-    (max 64 · 32767² ≈ 6.9e13 < 2⁶³, no overflow under ANSI mode)."""
-    sdot = F.expr(
-        "cast(aggregate(zip_with(q16_a, q16_b, (x, y) -> "
-        "cast(x as bigint) * y), cast(0 as bigint), (a, t) -> a + t) "
-        "as double) / (s16_a * s16_b)"
-    )
-    bound = (
-        sdot
-        + F.col("e16_a") * F.col("pnorm_b")
-        + F.col("rn16_a") * F.col("e16_b")
-    )
-    return bound >= (
-        F.lit(threshold - _PAIR_ROUND4_SLACK)
-        * F.col("pnorm_a")
-        * F.col("pnorm_b")
-    )
 
 
 #: LUT routing switch: query sets up to this size compute their ADC LUTs

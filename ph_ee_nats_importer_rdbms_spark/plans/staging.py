@@ -106,7 +106,11 @@ _DOMAINS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
             "sources/files.py",
             "analytics/hashing.py",
             "analytics/dedup.py",
+            # the staged emb builders (ann_buckets, ivf_assign, pq_codes,
+            # semdedup) live in similarity.py and call the encode kernels
+            # in vector_kernels.py — both can change staged bytes
             "analytics/similarity.py",
+            "analytics/vector_kernels.py",
             # learned codebooks: retraining must invalidate ivf_assign /
             # pq_codes / the staged semdedup labeling
             "analytics/ivf_centroids.json",
@@ -148,7 +152,10 @@ _DOMAINS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
         ("embeddings.parquet",),
         (
             "sources/files.py",
-            "analytics/similarity.py",
+            # r13 (VERDICT r12 task #5): the store BUILD reads only the
+            # encode kernels, so query-plan edits in similarity.py no
+            # longer force the 20+-second store rebuild
+            "analytics/vector_kernels.py",
             "analytics/incremental_vectors.py",
             "analytics/ivf_centroids.json",
             "analytics/pq_codebooks.json",
@@ -190,6 +197,9 @@ _DOMAINS: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
             "analytics/dedup.py",
             "analytics/batch_store.py",
             "analytics/incremental_embeddings.py",
+            # the store's SQ16 sketch columns are encoded by
+            # vector_kernels.sq16_meta_of — a kernel edit changes bytes
+            "analytics/vector_kernels.py",
         ),
     ),
 }
