@@ -1022,10 +1022,21 @@ def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations. The salted plan spreads each source over 16 salt
     buckets for the map-side partial pass, then merges the (≤16 rows per
     source) partials; output is bit-identical to the plain groupBy, which
-    is exactly what the oracle checks."""
+    is exactly what the oracle checks.
+
+    r13 (guide §2.3/§2.4): project to the three consumed columns BEFORE
+    salting — the salt hashes ``struct(*df.columns)``, so feeding it the
+    full row forced the scan to read (and the former spread Exchange to
+    carry) the whole ``text`` payload just to compute a 4-int salt. The
+    spread itself is gone too: the salted partial aggregate already
+    spreads the reduce side, and count/sum/min/max of integers are
+    order-free, so the round-robin Exchange bought nothing. Plan: 3
+    Exchange → 2, ReadSchema drops text/lang."""
     from ph_ee_nats_importer_rdbms_spark.operators.skew import salted_agg
 
-    d = spread(load_table(spark, sf_dir, "documents"))
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
     return salted_agg(
         d,
         ["source"],

@@ -1469,12 +1469,23 @@ _ENTRY_MEMO: dict[tuple, DataFrame] = {}
 def _entry_key(spark: SparkSession, name: str, sf_dir: str) -> tuple:
     from ph_ee_nats_importer_rdbms_spark.plans import staging as _st
 
+    def _fp(domain: str) -> str:
+        # Partial dataset dirs are a supported call shape (an entry only
+        # reads the tables it names — e.g. a caller hands a dir with just
+        # events.parquet to an events query): a domain whose sources are
+        # missing keys as a sentinel instead of failing the whole entry,
+        # and still re-keys the moment the source appears.
+        try:
+            return _st.fingerprint(sf_dir, domain)
+        except OSError:
+            return f"absent:{domain}"
+
     return (
         spark.sparkContext.applicationId,
         name,
         _os.path.abspath(sf_dir),
         _st.cache_root(),
-        tuple(_st.fingerprint(sf_dir, d) for d in _st._DOMAINS),
+        tuple(_fp(d) for d in _st._DOMAINS),
     )
 
 

@@ -286,14 +286,19 @@ def _prune_stale(root: str, keep: str) -> None:
 def drop_stage(sf_dir: str, name: str, domain: str = "zeebe") -> None:
     """Remove a SUPERSEDED staged relation by name (e.g. after a layout
     rename: the fingerprint keys data+semantics, not layout, so the old
-    name would otherwise sit in the live fingerprint dir forever)."""
+    name would otherwise sit in the live fingerprint dir forever).
+
+    Best-effort by contract: cleanup must never be the step that fails a
+    build — if the dataset's sources can't be fingerprinted (missing or
+    synthetic sf_dir), there is no live fingerprint dir to clean."""
     root = cache_root()
     if root is None:
         return
-    shutil.rmtree(
-        os.path.join(_dataset_dir(root, sf_dir, domain), name),
-        ignore_errors=True,
-    )
+    try:
+        target = os.path.join(_dataset_dir(root, sf_dir, domain), name)
+    except OSError:
+        return
+    shutil.rmtree(target, ignore_errors=True)
 
 
 def is_staged(sf_dir: str, name: str, domain: str = "zeebe") -> bool:
