@@ -1340,36 +1340,58 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the three top-k relations are tiny (n_queries × k rows)
     regardless of corpus size — the joins here are trivia; the cost is the
-    underlying searches, which share the session-staged relations."""
-    bf = q_ann_bruteforce(spark, sf_dir).select("query_id", "vec_id")
-    queries = bf.select("query_id").distinct()
-    parts = []
-    for method, fn in (
+    underlying searches, which share the session-staged relations.
+
+    r13 (guide §2.4/§3): one semi-join instead of five. The old shape
+    semi-joined each method's result against ``bf`` separately and
+    re-derived the query grid from ``bf`` — six copies of the whole
+    brute-force chain in one plan (Catalyst does not ReuseExchange
+    across the differing semi-join parents; the before-plan carried 34
+    WindowGroupLimit nodes). Now the five method-labeled results union
+    FIRST, hit one broadcast semi-join against the single ``bf``
+    subtree, and aggregate by (method, query_id); the grid is the
+    N_QUERIES scan × an exploded method-literal array (map-only — no
+    join, so no BroadcastNestedLoopJoin for the plan gate to flag).
+    The grid's query set equals ``bf``'s distinct query_id by
+    construction: brute force emits a top-k row for every
+    ``vec_id < N_QUERIES`` whenever the corpus holds ≥ 2 vectors.
+    Output is bit-identical (integer counts, same floor/coalesce
+    expressions) — oracle-checked at sf0.001/0.01/0.1."""
+    methods = (
         ("lsh", q_ann_lsh),
         ("lsh_multi", q_ann_lsh_multi),
         ("ivf", q_ann_ivf),
         ("pq", q_ann_pq),
         ("ivf_pq", q_ann_ivf_pq),
-    ):
-        ap = fn(spark, sf_dir).select("query_id", "vec_id")
-        hits = (
-            ap.join(bf, ["query_id", "vec_id"], "left_semi")
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    bf = q_ann_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    union = None
+    for method, fn in methods:
+        part = fn(spark, sf_dir).select(
+            F.lit(method).alias("method"), "query_id", "vec_id"
         )
-        n = F.coalesce("n_hits", F.lit(0))
-        parts.append(
-            queries.join(hits, "query_id", "left").select(
-                F.lit(method).alias("method"),
-                "query_id",
-                n.alias("n_hits"),
-                (F.floor(n * 10000 / TOP_K) / 10000).alias("recall_at_k"),
-            )
+        union = part if union is None else union.unionByName(part)
+    hits = (
+        union.join(F.broadcast(bf), ["query_id", "vec_id"], "left_semi")
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    grid = (
+        _corpus_queries(spark, sf_dir)
+        .select(
+            F.explode(
+                F.array(*[F.lit(m) for m, _ in methods])
+            ).alias("method"),
+            "query_id",
         )
-    out = parts[0]
-    for part in parts[1:]:
-        out = out.unionByName(part)
-    return out
+    )
+    n = F.coalesce("n_hits", F.lit(0))
+    return grid.join(F.broadcast(hits), ["method", "query_id"], "left").select(
+        "method",
+        "query_id",
+        n.alias("n_hits"),
+        (F.floor(n * 10000 / TOP_K) / 10000).alias("recall_at_k"),
+    )
 
 
 ANN_LSH_MULTI_ORACLE = _ann_lsh_multi_oracle()
