@@ -144,6 +144,23 @@ def test_tenant_lookup_prunes_tenant_partitions(spark, sf_dir):
     assert any("tenant" in ln and "tn1" in ln for ln in pf), plan
 
 
+def test_ann_recall_embeds_brute_force_once(spark, sf_dir):
+    """The r13 restructure: the five method results union into ONE
+    broadcast semi-join against a single brute-force subtree, and the
+    0-fill grid is map-only (exploded method literals — no sixth join).
+    The old per-method shape embedded the whole brute-force chain six
+    times (34 WindowGroupLimit / 12 BroadcastNestedLoopJoin nodes); pin
+    the collapsed shape so a refactor can't silently reintroduce the
+    duplication."""
+    plan = _plan(QUERIES["ann_recall"][0](spark, sf_dir))
+    nodes = [ln for ln in plan.splitlines() if ln.lstrip().startswith("(")]
+    wgl = sum("WindowGroupLimit" in ln for ln in nodes)
+    bnlj = sum("BroadcastNestedLoopJoin" in ln for ln in nodes)
+    assert wgl <= 24, f"WindowGroupLimit nodes {wgl} > 24:\n{plan}"
+    assert bnlj <= 7, f"BroadcastNestedLoopJoin nodes {bnlj} > 7:\n{plan}"
+    assert "CartesianProduct" not in plan
+
+
 def test_unigram_hot_tokens_take_the_broadcast_path(spark, sf_dir):
     """The Zipf-head split must be visible in the plan: the hot-token
     count join broadcasts (no reducer ever keys on a stopword). The
