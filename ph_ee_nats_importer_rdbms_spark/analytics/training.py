@@ -164,7 +164,21 @@ def q_decontamination_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe; it is deliberately NOT checkpointed — re-exploding from the
     memoized shingle arrays is cheaper than materializing the ~200×-larger
     exploded relation into the block manager (measured 1.6s vs 4.1s at
-    sf0.1)."""
+    sf0.1).
+
+    r13 (guide §2.3/§2.4): the pair join is a COLLECT-THEN-EXPLODE over
+    the capped groups instead of a test⋈train self-join. The old shape
+    referenced ``capped`` twice, so the plan carried FOUR explode passes
+    (the DF aggregate and the semi-join probe, once per side) and built
+    the rare-shingle aggregate twice; now the probe side explodes once,
+    valid-split rows drop before the semi join (they can never pair),
+    and one per-shingle aggregate collects the test/train doc lists —
+    each group is ≤ DECON_MAX_DF rows by the cap, so the collect is
+    skew-bounded by construction (the DF count still runs BEFORE any
+    list materializes, preserving the 100 TB hot-key guard). Per
+    shingle, exploding test_docs × train_docs yields exactly the rows
+    the self-join produced — the pair counts are bit-identical
+    (oracle-checked at sf0.001/0.01/0.1)."""
     sh = shingle_sets(spark, sf_dir)
     labeled = sh.select(
         "doc_id", split_column().alias("split"), F.explode("shingles").alias("shingle")
@@ -175,15 +189,24 @@ def q_decontamination_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= DECON_MAX_DF)
         .select("shingle")
     )
-    capped = labeled.join(rare, "shingle", "leftsemi")
-    test = capped.filter(F.col("split") == "test").select(
-        F.col("doc_id").alias("test_doc_id"), "shingle"
+    capped = labeled.filter(F.col("split") != "valid").join(
+        rare, "shingle", "leftsemi"
     )
-    train = capped.filter(F.col("split") == "train").select(
-        F.col("doc_id").alias("train_doc_id"), "shingle"
+    per_shingle = capped.groupBy("shingle").agg(
+        F.collect_list(
+            F.when(F.col("split") == "test", F.col("doc_id"))
+        ).alias("test_docs"),
+        F.collect_list(
+            F.when(F.col("split") == "train", F.col("doc_id"))
+        ).alias("train_docs"),
     )
-    pairs = test.join(train, on="shingle").groupBy("test_doc_id", "train_doc_id").agg(
-        F.count("*").alias("overlap")
+    pairs = (
+        per_shingle.select(
+            F.explode("test_docs").alias("test_doc_id"), "train_docs"
+        )
+        .select("test_doc_id", F.explode("train_docs").alias("train_doc_id"))
+        .groupBy("test_doc_id", "train_doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
     )
     return pairs.filter(F.col("overlap") >= DECONTAMINATION_MIN_OVERLAP)
 
