@@ -296,7 +296,16 @@ def q_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast query side off the bare scan — no spread Exchange in
     # front of a ≤10-row filter (r13, guide §2.4)
     qe = _corpus_queries(spark, sf_dir)
-    scored = cand.join(F.broadcast(qe), "query_id").join(e, "vec_id")
+    # scoring join (r13, guide §3.1): broadcast the CANDIDATE side — it is
+    # n_queries × bucket-mates rows — and probe the bare corpus scan. The
+    # previous shape joined `e` (the spread corpus) as the right side and
+    # Catalyst broadcast it whole: a round-robin Exchange plus a broadcast
+    # of every embedding array per execution, and at 100 TB a corpus
+    # broadcast is not a plan at all. The cosine only runs on join
+    # survivors, so the corpus side needs no spread either.
+    cand_q = cand.join(F.broadcast(qe), "query_id")
+    eb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scored = eb.join(F.broadcast(cand_q), "vec_id")
     cos = F.round(_cosine("q_emb", "embedding"), 4)
     return _ranked(scored.select("query_id", "vec_id", cos.alias("cosine")))
 
@@ -1834,6 +1843,30 @@ SEMDEDUP_ORACLE = _semdedup_oracle()
 OUTLIER_SIGMA = 2.0
 
 
+def _ivf_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster_id, centroid_cos, u): every vector's 6dp-rounded
+    cosine to its OWN centroid, and the exact ×1e6 integer the outlier
+    moments aggregate. A per-vector index statistic — fixed the moment
+    the IVF assignment is — computed with the SAME Column expressions
+    the query previously inlined (bit-identical values) and staged per
+    dataset in the emb domain, exactly like ``ivf_assign`` itself."""
+
+    def build() -> DataFrame:
+        assign = ivf_assignments(spark, sf_dir)
+        cent = _ivf_centroids(spark, sf_dir).withColumnRenamed(
+            "cid", "cluster_id"
+        )
+        sim = F.round(_cosine("embedding", "cemb"), 6)
+        return assign.join(cent, "cluster_id").select(
+            "vec_id",
+            "cluster_id",
+            sim.alias("centroid_cos"),
+            F.round(sim * 1000000).cast("long").alias("u"),
+        )
+
+    return _staged(spark, sf_dir, "ivf_centroid_dist", build)
+
+
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector distance-to-own-centroid z-scores with an outlier flag —
     the embedding-space noise screen (mislabeled/garbage vectors sit far
@@ -1849,16 +1882,20 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact inputs — so the flag cannot flip between engines on a low-bit
     stddev difference. (Σu² stays inside int64 past 9M vectors per
     cluster; beyond that a production run would aggregate Σu² as
-    DECIMAL(38,0) — same plan shape.)"""
-    assign = ivf_assignments(spark, sf_dir)
-    cent = _ivf_centroids(spark, sf_dir).withColumnRenamed("cid", "cluster_id")
-    sim = F.round(_cosine("embedding", "cemb"), 6)
-    scored = assign.join(cent, "cluster_id").select(
-        "vec_id",
-        "cluster_id",
-        sim.alias("centroid_cos"),
-        F.round(sim * 1000000).cast("long").alias("u"),
-    )
+    DECIMAL(38,0) — same plan shape.)
+
+    r13 (guide §1.2/§3.3): ``scored`` feeds BOTH the 16-row stats
+    aggregate and the per-row probe side, and Catalyst computes the
+    shared subtree twice (the stats copy sits under a BroadcastExchange,
+    so ReuseExchange never fires) — the 64-dim cosine fold ran over the
+    whole corpus twice per execution. The distance-to-own-centroid is a
+    per-vector INDEX statistic (fixed the moment the assignment is —
+    same expressions, same staged inputs), so it is now staged next to
+    ``ivf_assign`` (:func:`_ivf_centroid_dist`, emb domain) and both
+    references read the 4-narrow-column artifact: one corpus cosine
+    pass at index-build time, zero at query time, and the array column
+    leaves the serving plan entirely."""
+    scored = _ivf_centroid_dist(spark, sf_dir)
     stats = scored.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("u").alias("s1"),

@@ -184,3 +184,50 @@ def test_unigram_hot_tokens_take_the_broadcast_path(spark, sf_dir):
 
     plan = _plan(_unigram_logprob_build(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_transfer_detail_join_aggregates_off_bucketed_scan(spark, sf_dir):
+    """The r13 restructure: the Q7 aggregate entry reads the SAME
+    co-bucketed store as transfer_detail_rows, so the two per-instance
+    count aggregates satisfy their distribution straight off the scan —
+    zero shuffle Exchanges (the only exchanges are the broadcasts of the
+    16-bucket aggregate sides). At 100 TB the event logs never shuffle."""
+    plan = _plan(QUERIES["transfer_detail_join"][0](spark, sf_dir))
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if ln.lstrip().startswith("(")
+        and "Exchange" in ln
+        and "Broadcast" not in ln
+        and "Reused" not in ln
+    ]
+    assert not shuffles, plan
+
+
+def test_ann_lsh_multi_broadcasts_candidates_not_corpus(spark, sf_dir):
+    """The r13 scoring-join fix: the candidate side broadcasts and the
+    bare corpus scan probes it. The old shape spread the corpus
+    (RoundRobin Exchange) and Catalyst broadcast it WHOLE — a corpus
+    broadcast is not a plan at 100 TB. Pin: no round-robin exchange, and
+    some join probes a bare parquet scan (the corpus side)."""
+    import re
+
+    from ph_ee_nats_importer_rdbms_spark.analytics import similarity
+
+    plan = _plan(QUERIES["ann_lsh_multi"][0](spark, sf_dir))
+    assert "RoundRobinPartitioning" not in plan, plan
+    # the probe side of the scoring join is the unshuffled corpus scan:
+    # a ":- Filter"/":- Scan parquet" pair directly under a join node
+    assert re.search(
+        r":- (Filter \(\d+\)\n\s*:\s*\+- )?Scan parquet", plan
+    ), plan
+
+
+def test_embedding_outliers_plan_never_touches_the_array(spark, sf_dir):
+    """The r13 restructure: distance-to-own-centroid is a staged index
+    statistic, so the serving plan reads the 4-narrow-column artifact
+    twice and computes NO cosine — if any embedding array (or the
+    centroid literals) reappears in the plan, the double corpus pass is
+    back."""
+    plan = _plan(QUERIES["embedding_outliers"][0](spark, sf_dir))
+    assert "array" not in plan.lower(), plan
