@@ -27,13 +27,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (
-    BooleanType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import StringType, StructField, StructType
 
 from ph_ee_nats_importer_rdbms_spark import schemas
 from ph_ee_nats_importer_rdbms_spark.operators.classify import (
@@ -43,100 +37,22 @@ from ph_ee_nats_importer_rdbms_spark.operators.classify import (
 )
 from ph_ee_nats_importer_rdbms_spark.streaming import state as sm
 
+# Hop schemas and the per-group row helpers define replay SEMANTICS, so
+# they live in batch_replay.py (fingerprinted by the stream staging
+# domains) and are re-exported here for the wrappers and their callers —
+# this module is wrapper/engine code whose edits must not invalidate
+# staged replay artifacts (VERDICT r13 task #3).
+from ph_ee_nats_importer_rdbms_spark.streaming.batch_replay import (  # noqa: F401
+    CHANGES_SCHEMA,
+    FLAT_SCHEMA,
+    REKEYED_SCHEMA,
+    ROUTED_SCHEMA,
+    _concat,
+    _event_sort_key,
+    _records,
+)
+
 _STATE_SCHEMA = StructType([StructField("blob", StringType(), True)])
-
-_FLAT_FIELDS = [
-    ("partition_id", LongType()),
-    ("position", LongType()),
-    ("key", LongType()),
-    ("timestamp", LongType()),
-    ("record_type", StringType()),
-    ("value_type", StringType()),
-    ("intent", StringType()),
-    ("bpmn_process_id", StringType()),
-    ("process_instance_key", LongType()),
-    ("process_definition_key", LongType()),
-    ("parent_process_instance_key", LongType()),
-    ("bpmn_element_type", StringType()),
-    ("element_id", StringType()),
-    ("name", StringType()),
-    ("value", StringType()),
-    ("job_type", StringType()),
-]
-
-_ROUTED_EXTRA = [
-    ("process_id", StringType()),
-    ("tenant", StringType()),
-    ("process_type", StringType()),
-    ("process_direction", StringType()),
-]
-
-FLAT_SCHEMA = StructType([StructField(n, t, True) for n, t in _FLAT_FIELDS])
-ROUTED_SCHEMA = StructType(
-    [StructField(n, t, True) for n, t in _FLAT_FIELDS + _ROUTED_EXTRA]
-)
-REKEYED_SCHEMA = StructType(
-    ROUTED_SCHEMA.fields
-    + [
-        StructField("effective_key", LongType(), True),
-        StructField("child_start", BooleanType(), True),
-    ]
-)
-
-#: Stage-3 output: typed change rows. ``payload`` is the row JSON; sinks
-#: re-type it per kind with from_json (schemas in sinks/jdbc.py).
-CHANGES_SCHEMA = StructType(
-    [
-        StructField("kind", StringType(), False),
-        StructField("workflow_instance_key", LongType(), True),
-        StructField("tenant", StringType(), True),
-        StructField("payload", StringType(), True),
-    ]
-)
-
-
-def _records(pdf: pd.DataFrame) -> list[dict]:
-    """pandas rows -> plain-python dicts (no numpy scalars, NaN -> None).
-
-    One ``to_numpy(dtype=object)`` pass (r13, guide §1.2 per-task work):
-    casting the block to object converts numpy scalars to Python natives
-    in C, so the Python loop only does the NaN/NaT -> None mapping —
-    measured ~3x over the previous ``to_dict('records')`` + per-value
-    ``hasattr`` cleaning, and this helper is on the per-event path of all
-    three stateful hops (the many-key hops pay it per tiny key group,
-    where pandas per-column access alone cost ~60µs)."""
-    cols = list(pdf.columns)
-    return [
-        {
-            c: None
-            if (isinstance(v, float) and v != v) or v is pd.NaT
-            else v
-            for c, v in zip(cols, row)
-        }
-        for row in pdf.to_numpy(dtype=object).tolist()
-    ]
-
-
-def _concat(pdf_iter: Iterator[pd.DataFrame]) -> pd.DataFrame:
-    """One frame per key group; skip the concat when the group arrived as
-    a single chunk (the common case for the many-key hops)."""
-    chunks = list(pdf_iter)
-    if len(chunks) == 1:
-        return chunks[0]
-    return pd.concat(chunks, ignore_index=True)
-
-
-def _event_sort_key(e: dict):
-    """(timestamp, position) with None-last per column — the order
-    ``sort_values(["timestamp", "position"])`` produced (NaN sorts last
-    per sort column; Python's sort is stable like the mergesort was)."""
-    ts, pos = e["timestamp"], e["position"]
-    return (
-        ts is None,
-        ts if ts is not None else 0,
-        pos is None,
-        pos if pos is not None else 0,
-    )
 
 
 def _sorted_events(pdf_iter: Iterator[pd.DataFrame]) -> list[dict]:

@@ -114,14 +114,59 @@ def test_streaming_table_rejects_unknown_name(spark, sf_dir):
 
 
 def test_stream_domain_fingerprints_streaming_code():
-    """Editing a stateful stage must rebuild the replay store: the stream
-    staging domain's semantic modules include the streaming engine."""
+    """Editing replay SEMANTICS must rebuild the replay store: the stream
+    staging domain keys the per-key state machines, the hop schemas +
+    native batch fixed point, and the build orchestration. The streaming
+    WRAPPER module (pipeline.py) is deliberately NOT keyed (VERDICT r13
+    task #3): a wrapper-perf edit cannot change a staged byte, and in r13
+    exactly such an edit forced the driver through ~1,000 s of replay
+    restaging."""
     _sources, modules = staging._DOMAINS["stream"]
-    for m in ("streaming/pipeline.py", "streaming/state.py", "streaming/replay.py"):
+    for m in (
+        "streaming/state.py",
+        "streaming/batch_replay.py",
+        "streaming/replay.py",
+    ):
         assert m in modules
+    assert "streaming/pipeline.py" not in modules
     # and it still keys on the zeebe semantics (mappers, classify, ...)
     for m in staging._DOMAINS["zeebe"][1]:
         assert m in modules
+
+
+def test_pipeline_wrapper_edit_leaves_replay_fingerprints_unchanged(
+    tmp_path, monkeypatch
+):
+    """Functional form of the pin above: touching pipeline.py's bytes
+    re-keys NOTHING in the stream/streamwire domains (the r13 regression
+    shape), while touching batch_replay.py re-keys BOTH."""
+    import shutil
+
+    import ph_ee_nats_importer_rdbms_spark.plans.staging as st
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "orders.parquet").write_bytes(b"not-really-parquet")
+
+    pkg = tmp_path / "pkg"
+    shutil.copytree(st._PKG_DIR, pkg)
+    monkeypatch.setattr(st, "_PKG_DIR", str(pkg))
+    st._CODE_DIGEST_CACHE.clear()
+
+    before = {d: st.fingerprint(str(src), d) for d in ("stream", "streamwire")}
+    with open(pkg / "streaming" / "pipeline.py", "a") as f:
+        f.write("\n# wrapper-only edit\n")
+    after_wrapper = {
+        d: st.fingerprint(str(src), d) for d in ("stream", "streamwire")
+    }
+    assert after_wrapper == before
+
+    with open(pkg / "streaming" / "batch_replay.py", "a") as f:
+        f.write("\n# semantics edit\n")
+    after_sem = {d: st.fingerprint(str(src), d) for d in ("stream", "streamwire")}
+    assert after_sem["stream"] != before["stream"]
+    assert after_sem["streamwire"] != before["streamwire"]
+    st._CODE_DIGEST_CACHE.clear()
 
 
 def test_streaming_entry_warm_path_is_a_pure_table_read(spark, sf_dir):
@@ -184,8 +229,8 @@ def test_streamwire_domain_fingerprints_the_source_adapter():
     for m in (
         "sources/nats_source.py",
         "sources/nats_wire.py",
-        "streaming/pipeline.py",
         "streaming/state.py",
+        "streaming/batch_replay.py",
         "streaming/replay.py",
     ):
         assert m in modules
