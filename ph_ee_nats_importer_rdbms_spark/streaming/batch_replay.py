@@ -232,8 +232,10 @@ def _fold_sorted_groups(
         if carry is not None and len(carry):
             yield fold(carry)
 
-    par = df.sparkSession.sparkContext.defaultParallelism
-    ordered = df.repartition(par, F.col(key_col)).sortWithinPartitions(
+    # no explicit partition count: spark.sql.shuffle.partitions governs
+    # (scale-adaptive — sized by conf/env like every other shuffle, and
+    # AQE coalesces the excess on small corpora)
+    ordered = df.repartition(F.col(key_col)).sortWithinPartitions(
         F.col(key_col), *_event_order()
     )
     return ordered.mapInPandas(run, out_schema)

@@ -27,6 +27,9 @@ from ph_ee_nats_importer_rdbms_spark.plans.queries import QUERIES  # noqa: E402
 from check_oracles import compare_query, open_oracle_connection  # noqa: E402
 
 
+pytestmark = pytest.mark.slow  # heavy Spark gate; default selection skips (pytest.ini), round-close runs all
+
+
 @pytest.fixture(scope="module")
 def oracle_sf_dir():
     """The driver's oracle-gate scale (NOT conftest's sf0.001): the ANN

@@ -28,6 +28,9 @@ DAY2 = DAY1 + 86400000
 DAY3 = DAY2 + 86400000
 
 
+pytestmark = pytest.mark.slow  # heavy Spark gate; default selection skips (pytest.ini), round-close runs all
+
+
 def _corpus() -> list[dict]:
     rows = []
     # instance 100: fully on day1

@@ -17,6 +17,11 @@ from ph_ee_nats_importer_rdbms_spark.analytics import incremental_curation as cu
 from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy Spark gate; default selection skips (pytest.ini), round-close runs all
+
+
 def _verdicts(df) -> set:
     return {
         (r["doc_id"], r["reject_reason"], r["kept"]) for r in df.collect()

@@ -15,6 +15,11 @@ from ph_ee_nats_importer_rdbms_spark.analytics import incremental_docs as inc
 from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy Spark gate; default selection skips (pytest.ini), round-close runs all
+
+
 def _pairs(spark, root):
     return {
         (r["doc_a"], r["doc_b"], r["jaccard"])

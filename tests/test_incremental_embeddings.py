@@ -19,6 +19,11 @@ from ph_ee_nats_importer_rdbms_spark.analytics import (
 from ph_ee_nats_importer_rdbms_spark.sources.files import load_table, spread
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy Spark gate; default selection skips (pytest.ini), round-close runs all
+
+
 def _vectors(spark, sf_dir):
     return spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"

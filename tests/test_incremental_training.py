@@ -21,6 +21,11 @@ from ph_ee_nats_importer_rdbms_spark.analytics.training import (
 from ph_ee_nats_importer_rdbms_spark.sources.files import load_table
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy Spark gate; default selection skips (pytest.ini), round-close runs all
+
+
 def _rows(df) -> set:
     return {tuple(r) for r in df.collect()}
 

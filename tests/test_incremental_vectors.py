@@ -24,6 +24,9 @@ from ph_ee_nats_importer_rdbms_spark.analytics.similarity import (
 from ph_ee_nats_importer_rdbms_spark.sources.files import load_table, spread
 
 
+pytestmark = pytest.mark.slow  # heavy Spark gate; default selection skips (pytest.ini), round-close runs all
+
+
 def _books(sf_dir):
     """The corpus's shipped codebooks — frozen into the store at build."""
     from ph_ee_nats_importer_rdbms_spark.analytics.similarity import (

@@ -231,3 +231,25 @@ def test_embedding_outliers_plan_never_touches_the_array(spark, sf_dir):
     back."""
     plan = _plan(QUERIES["embedding_outliers"][0](spark, sf_dir))
     assert "array" not in plan.lower(), plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "pricing_summary",
+        "revenue_by_nation",
+        "top_parts",
+        "order_priority_late",
+        "revenue_rollup",
+    ],
+)
+def test_tpch_fact_side_never_round_robin_spread(spark, sf_dir, name):
+    """Pin the r13 NOT-spread decisions (VERDICT r13 task #10): a keyless
+    repartition in front of the fact-side scans costs a measured 3-5x
+    sort tax (spark.sql.execution.sortBeforeRepartition) at bench scale,
+    and for the rounded-double-sum entries it additionally makes the
+    output merge-order-dependent (the rounded value flipped vs the
+    oracle when tried). No RoundRobin Exchange may reappear above the
+    lineitem/orders scans in these five plans."""
+    plan = _plan(QUERIES[name][0](spark, sf_dir))
+    assert "RoundRobinPartitioning" not in plan, plan

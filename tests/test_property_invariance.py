@@ -38,6 +38,11 @@ _JOB_ELEMENTS = ["validate", "quote", "settle"]
 _JOB_INTENTS = ["CREATED", "COMPLETED"]
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy Spark gate; default selection skips (pytest.ini), round-close runs all
+
+
 @st.composite
 def scenario(draw):
     """A list of flat event dicts with unique positions, plus exact

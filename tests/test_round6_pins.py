@@ -506,6 +506,7 @@ def _crash_refresh_with_registry(spark, root, monkeypatch):
     return registry
 
 
+@pytest.mark.slow
 def test_registry_refresh_crash_resume_routes_identically(
     utc_session, tmp_path, monkeypatch  # noqa: F811
 ):

@@ -376,6 +376,7 @@ def test_multi_hop_restart_resumes_state(spark, tmp_path):
     assert w["status"] == t[100]["status"]
 
 
+@pytest.mark.slow
 def test_multi_hop_matches_batch_at_corpus_scale(spark, tmp_path):
     """The fixture-corpus parity test, scaled to the sf0.001 synthetic
     corpus (~11k events, ~3.7k instances): every D1/D2/C2-C5 path at
